@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders over the driver-generated parquet corpus.
+  *
+  * Design (SURVEY.md §1.3, FIXTURES.md): a TPC-H-ish star schema plus an
+  * `events` stream table, a `documents` text corpus, and an `embeddings`
+  * vector corpus. Every query is a pure function of `(SparkSession, sfDir)`;
+  * loaders here are the single entry point so scan-level concerns
+  * (timestamp normalization, future partitioned layouts at 100 TB) live in
+  * exactly one place.
+  *
+  * 100 TB note: at cluster scale these loaders would point at a partitioned
+  * lake layout (e.g. orders/lineitem partitioned by date, events by day) and
+  * everything downstream — which only depends on logical schema — survives
+  * unchanged. Filters/projections compose onto these scans and reach the
+  * parquet reader via Catalyst pushdown.
+  */
+object Tables {
+
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Events loader — the ONLY way to read `events.parquet`.
+    *
+    * The file stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4.x
+    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` (runtime
+    * settable). We read the raw int64 nanoseconds and truncate to µs with
+    * *integer* division (`div`): ns-since-epoch ≈ 1.7e18 exceeds a double's
+    * 2^53 exact-integer range, so a floating-point divide could flip a µs.
+    * Truncation matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast exactly
+    * (FIXTURES.md "Cross-engine ground truths").
+    *
+    * Exposes: event_id, ts (TIMESTAMP_NTZ µs), ts_us (epoch-µs LONG, for
+    * numeric range window frames), user_id, event_type, value, props.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Registers every table as a temp view so `spark.sql` queries (D-series,
+    * E6, …) and DataFrame queries are interchangeable. Idempotent.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { n =>
+      load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+}
