@@ -66,4 +66,129 @@ object Relational {
           .cast("decimal(18,2)").as("disc_sum"))
       .orderBy(col("l_returnflag"))
   }
+
+  // ───────────────────────────── joins (§2.C) ─────────────────────────────
+
+  /** C1 — shuffled equi-join orders⋈customer, per-customer totals.
+    * At 100 TB both sides are large → Spark picks SMJ/shuffled-hash on the
+    * join key; the post-join groupBy reuses the same key so AQE can avoid a
+    * second full shuffle.
+    */
+  def joinInnerEqui(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** C2 — explicit broadcast of the small dim side (part): at 100 TB the
+    * fact side never shuffles for this join.
+    */
+  def joinBroadcastDim(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(Cols.revenue).cast("decimal(18,4)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** C3 — TPC-H-Q5-shaped star join: region('ASIA')→nation→customer→
+    * orders(1996)→lineitem, revenue per nation. Dim chain broadcasts;
+    * the orders date filter is pushed to the parquet scan.
+    */
+  def joinMultiwayStar(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
+      .join(Tables.nation(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                 col("o_orderdate") <  lit("1997-01-01").cast("timestamp_ntz")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(Cols.revenue).cast("decimal(18,4)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+
+  /** C4 — left outer join: childless orders surface with NULL aggregates. */
+  def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(col("l_linenumber")).as("n_items"),
+        coalesce(sum(Cols.dec2(col("l_quantity"))), lit(0))
+          .cast("decimal(18,2)").as("qty_sum"))
+      .orderBy(col("o_orderkey"))
+
+  /** C5 — full outer many-to-many on nationkey; both sides have unmatched
+    * nations (FIXTURES §RI), so NULL keys appear on both sides.
+    */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir),
+        col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("c_nationkey"), col("s_nationkey"))
+      .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("s_suppkey"))
+
+  /** C6 — left semi (EXISTS): customers having at least one order. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** C7 — left anti (NOT EXISTS): orders with no lineitems (27 @ sf0.001). */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+
+  /** C10 — cross join of the two smallest dims with a computed label. */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir)
+      .crossJoin(Tables.nation(spark, sfDir))
+      .select(col("r_regionkey"), col("n_nationkey"),
+        concat_ws("-", col("r_name"), col("n_name")).as("label"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+
+  // ─────────────────────── sort / limit / top-k (§2.G) ───────────────────
+
+  /** G1 — multi-key sort with explicit null placement. */
+  def sortMultiNulls(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("status_n"),
+        col("o_totalprice"))
+      .orderBy(asc_nulls_first("status_n"), desc("o_totalprice"), asc("o_orderkey"))
+
+  /** G2 — global top-10: ORDER BY + LIMIT → TakeOrderedAndProject, which
+    * at cluster scale does per-partition top-k then a single driver merge —
+    * never a full sort of 100 TB.
+    */
+  def limitTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** G3 — top-2 per group via ranking window (DuckDB QUALIFY twin). */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
 }

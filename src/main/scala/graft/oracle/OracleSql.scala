@@ -52,5 +52,103 @@ object OracleSql {
         |CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), -1.0) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS disc_sum
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    // ── joins ──
+    "join_inner_equi" ->
+      """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spent
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "join_broadcast_dim" ->
+      """SELECT p_brand,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "),
+
+    "join_multiway_star" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
+
+    "join_left_outer" ->
+      """SELECT o_orderkey, COUNT(l_linenumber) AS n_items,
+        |CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS qty_sum
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "join_full_outer" ->
+      """SELECT c_custkey, s_suppkey, c_nationkey, s_nationkey
+        |FROM customer FULL OUTER JOIN supplier ON c_nationkey = s_nationkey
+        |ORDER BY c_custkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin.replace("\n", " "),
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "join_anti" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "join_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_name || '-' || n_name AS label
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin.replace("\n", " "),
+
+    // ── aggregations ──
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(18,6)) AS sum_charge,
+        |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+        |ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+        |ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+
+    "agg_count_distinct" ->
+      """SELECT n_name, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING COUNT(*) > 10
+        |ORDER BY n_name""".stripMargin.replace("\n", " "),
+
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |COUNT(DISTINCT l_partkey) AS n_parts,
+        |COUNT(DISTINCT l_suppkey) AS n_supps,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    // ── sort / limit / top-k ──
+    "sort_multi_nulls" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_n, o_totalprice
+        |FROM orders
+        |ORDER BY status_n ASC NULLS FIRST, o_totalprice DESC, o_orderkey""".stripMargin.replace("\n", " "),
+
+    "limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "topk_per_group" ->
+      """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) t WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin.replace("\n", " "),
   )
 }

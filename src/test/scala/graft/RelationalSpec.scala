@@ -42,4 +42,51 @@ class RelationalSpec extends SparkSpec {
       .where("n_disc + n_zero_disc <> n_all").count()
     assert(bad == 0)
   }
+
+  test("C7 join_anti: exactly 27 childless orders at sf0.001") {
+    assert(run("join_anti").count() == 27)
+  }
+
+  test("C4 join_left_outer: childless orders have n_items=0, qty_sum=0") {
+    val df = run("join_left_outer")
+    assert(df.where("n_items = 0").count() == 27)
+    assert(df.where("n_items = 0 AND qty_sum <> 0").count() == 0)
+    assert(df.count() == 1500) // all orders survive the left join
+  }
+
+  test("C6/C7 partition: semi + anti = all orders' customers") {
+    val nSemi = run("join_semi").count()
+    val cust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(nSemi > 0 && nSemi <= cust)
+  }
+
+  test("C10 join_cross: 5 regions x 25 nations = 125") {
+    assert(run("join_cross").count() == 125)
+  }
+
+  test("C2 join_broadcast_dim: plan uses BroadcastHashJoin") {
+    val plan = run("join_broadcast_dim").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("G2 limit_topk: exactly 10 rows, descending") {
+    val rows = run("limit_topk").collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("G3 topk_per_group: rn <= 2 everywhere") {
+    assert(run("topk_per_group").where("rn > 2").count() == 0)
+  }
+
+  test("E1 agg_pricing_summary: 6 flag/status combos, exact decimal sum") {
+    val df = run("agg_pricing_summary")
+    assert(df.count() == 6)
+  }
+
+  test("E3 agg_multi_distinct: distinct counts bounded by dims") {
+    val df = run("agg_multi_distinct")
+    assert(df.where("n_parts > 200 OR n_supps > 10").count() == 0) // sf0.001 dims
+  }
 }
