@@ -30,5 +30,27 @@ object Queries {
     "agg_pricing_summary"   -> (Aggregates.aggPricingSummary _),
     "agg_count_distinct"    -> (Aggregates.aggCountDistinct _),
     "agg_multi_distinct"    -> (Aggregates.aggMultiDistinct _),
+    "agg_rollup"            -> (Aggregates.aggRollup _),
+    "agg_cube"              -> (Aggregates.aggCube _),
+    "agg_grouping_sets"     -> (Aggregates.aggGroupingSets _),
+    "agg_stats"             -> (Aggregates.aggStats _),
+    "agg_collect_sorted"    -> (Aggregates.aggCollectSorted _),
+    "agg_approx_hll"        -> (Aggregates.aggApproxHll _),
+    "pivot_event_type"      -> (Aggregates.pivotEventType _),
+    // windows
+    "win_rank_topn"         -> (Windows.winRankTopn _),
+    "win_running_total"     -> (Windows.winRunningTotal _),
+    "win_lead_lag"          -> (Windows.winLeadLag _),
+    "win_range_frame"       -> (Windows.winRangeFrame _),
+    "win_ntile_pct"         -> (Windows.winNtilePct _),
+    "win_first_last"        -> (Windows.winFirstLast _),
+    // set operations
+    "set_union_all_distinct" -> (Relational.setUnionAllDistinct _),
+    "set_intersect"         -> (Relational.setIntersect _),
+    "set_except_all"        -> (Relational.setExceptAll _),
+    // subqueries / CTE
+    "subquery_scalar_uncorr" -> (Relational.subqueryScalarUncorr _),
+    "subquery_correlated"   -> (Relational.subqueryCorrelated _),
+    "cte_reuse"             -> (Relational.cteReuse _),
   )
 }

@@ -51,4 +51,75 @@ object Aggregates {
         countDistinct(col("l_suppkey")).as("n_supps"),
         sum(Cols.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
       .orderBy(col("l_returnflag"))
+
+  /** E4 — ROLLUP(region, nation) over order totals with grouping flags. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum(Cols.dec2(col("o_totalprice"))).cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** E5 — CUBE over flag/status with counts and exact decimal sums. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Cols.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** E6 — explicit GROUPING SETS via SQL (same text runs on DuckDB). */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(graft.oracle.OracleSql.all("agg_grouping_sets"))
+  }
+
+  /** E7 — sample stats (stddev/var/corr/covar), rounded to 6 dp. */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 6).as("cov_pq"))
+      .orderBy(col("l_returnflag"))
+
+  /** E8 — deterministic array agg: collect_list is unordered by contract,
+    * so sort_array makes the result a pure function of the group.
+    */
+  def aggCollectSorted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("linenumbers"))
+      .orderBy(col("l_orderkey"))
+
+  /** E9 — HLL sketch: approx_count_distinct per event type. Engine-specific
+    * sketch → no SQL oracle; unit-tested within ±5% of exact (SURVEY E9).
+    */
+  def aggApproxHll(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */
+  def pivotEventType(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
 }

@@ -191,4 +191,58 @@ object Relational {
       .where(col("rn") <= 2)
       .orderBy(col("o_custkey"), col("rn"))
   }
+
+  // ───────────────────────── set operations (§2.H) ────────────────────────
+
+  /** H1 — UNION ALL (multiset) and UNION DISTINCT arms, tagged. */
+  def setUnionAllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey"))
+    val allArm = c.unionAll(s).select(lit("all").as("tag"), col("nationkey"))
+    val distArm = c.union(s).distinct().select(lit("dist").as("tag"), col("nationkey"))
+    allArm.unionAll(distArm).orderBy(col("tag"), col("nationkey"))
+  }
+
+  /** H2 — INTERSECT (distinct): nations with both customers and suppliers. */
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+      .intersect(
+        Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** H3 — EXCEPT ALL / INTERSECT ALL multiset semantics, tagged arms. */
+  def setExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    def base(s: SparkSession) = Tables.lineitem(s, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val a = base(spark)
+    val b = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    a.exceptAll(b).select(lit("except").as("tag"), col("l_orderkey"), col("l_linenumber"))
+      .unionAll(
+        a.intersectAll(b).select(lit("intersect").as("tag"), col("l_orderkey"), col("l_linenumber")))
+      .orderBy(col("tag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // ──────────────────── subqueries / CTE via SQL (§2.D) ───────────────────
+  // The SQL text is shared verbatim with the DuckDB oracle (OracleSql), so
+  // Catalyst's decorrelation (RewriteCorrelatedScalarSubquery) is exercised
+  // on exactly the query the oracle runs.
+
+  private def sqlQuery(name: String)(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(graft.oracle.OracleSql.all(name))
+  }
+
+  /** D1 — uncorrelated scalar subquery (threshold = global decimal mean). */
+  def subqueryScalarUncorr(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("subquery_scalar_uncorr")(spark, sfDir)
+
+  /** D2 — correlated scalar subquery, decorrelated by Catalyst. */
+  def subqueryCorrelated(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("subquery_correlated")(spark, sfDir)
+
+  /** D3 — CTE referenced twice (TPC-H Q15 shape): plan/CTE reuse. */
+  def cteReuse(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("cte_reuse")(spark, sfDir)
 }

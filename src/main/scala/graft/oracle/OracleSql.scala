@@ -150,5 +150,138 @@ object OracleSql {
         |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |FROM orders) t WHERE rn <= 2
         |ORDER BY o_custkey, rn""".stripMargin.replace("\n", " "),
+
+    // ── window functions ──
+    "win_rank_topn" ->
+      """SELECT * FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin.replace("\n", " "),
+
+    "win_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
+        |ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin.replace("\n", " "),
+
+    "win_lead_lag" ->
+      (EV + """SELECT user_id, event_id, ts_us, event_type,
+        |ts_us - LAG(ts_us) OVER w AS gap_us,
+        |LEAD(event_type) OVER w AS next_type
+        |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin.replace("\n", " ")),
+
+    "win_range_frame" ->
+      (EV + """SELECT user_id, event_id, ts_us,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts_us
+        |RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS sum_1h
+        |FROM ev ORDER BY user_id, ts_us, event_id""".stripMargin.replace("\n", " ")),
+
+    "win_ntile_pct" ->
+      """SELECT c_custkey, c_acctbal,
+        |NTILE(4) OVER w AS quartile,
+        |ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "win_first_last" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |FIRST_VALUE(c_acctbal) OVER w AS top_bal,
+        |LAST_VALUE(c_acctbal) OVER w AS bottom_bal,
+        |CAST(CAST(FIRST_VALUE(c_acctbal) OVER w AS DECIMAL(12,2)) - CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS spread
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin.replace("\n", " "),
+
+    // ── grouping analytics / stats / pivot ──
+    "agg_rollup" ->
+      """SELECT r_name, n_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+        |COUNT(*) AS n_orders,
+        |CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin.replace("\n", " "),
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin.replace("\n", " "),
+
+    // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text, see E6).
+    "agg_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS bal_sum
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin.replace("\n", " "),
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |ROUND(STDDEV_SAMP(l_extendedprice), 6) AS sd_price,
+        |ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+        |ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 6) AS cov_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "agg_collect_sorted" ->
+      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
+
+    "pivot_event_type" ->
+      """SELECT user_id,
+        |COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
+        |COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+        |COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+        |COUNT(*) FILTER (WHERE event_type = 'error') AS "error"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "),
+
+    // ── set operations ──
+    "set_union_all_distinct" ->
+      """SELECT 'all' AS tag, c_nationkey AS nationkey FROM customer
+        |UNION ALL SELECT 'all', s_nationkey FROM supplier
+        |UNION ALL (SELECT 'dist' AS tag, nationkey FROM
+        |(SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier) u)
+        |ORDER BY tag, nationkey""".stripMargin.replace("\n", " "),
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin.replace("\n", " "),
+
+    "set_except_all" ->
+      """SELECT 'except' AS tag, l_orderkey, l_linenumber FROM
+        |((SELECT l_orderkey, l_linenumber FROM lineitem) EXCEPT ALL
+        |(SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 25)) e
+        |UNION ALL
+        |SELECT 'intersect' AS tag, l_orderkey, l_linenumber FROM
+        |((SELECT l_orderkey, l_linenumber FROM lineitem) INTERSECT ALL
+        |(SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 25)) i
+        |ORDER BY tag, l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
+
+    // ── subqueries / CTE (shared text: runs verbatim in BOTH engines) ──
+    "subquery_scalar_uncorr" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM customer)
+        |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
+    "subquery_correlated" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part p
+        |WHERE p_retailprice > (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "cte_reuse" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS total_rev
+        |FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin.replace("\n", " "),
   )
 }

@@ -1,0 +1,97 @@
+package graft
+
+class AnalyticSpec extends SparkSpec {
+
+  test("F1 win_rank_topn: at most 3 per nation, rn==rk with unique tiebreak") {
+    val df = run("win_rank_topn")
+    assert(df.where("rn > 3").count() == 0)
+    assert(df.where("rn <> rk").count() == 0)
+  }
+
+  test("F2 win_running_total: final running total equals group sum") {
+    val df = run("win_running_total")
+    val bad = df.groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.expr("max(running_total) AS mx"))
+      .join(
+        spark.read.parquet(s"$sf/orders.parquet")
+          .groupBy("o_custkey")
+          .agg(org.apache.spark.sql.functions.expr(
+            "cast(sum(cast(o_totalprice as decimal(12,2))) as decimal(18,2)) AS tot")),
+        "o_custkey")
+      .where("mx <> tot").count()
+    assert(bad == 0)
+  }
+
+  test("F3 win_lead_lag: gaps non-negative, first event per user has null gap") {
+    val df = run("win_lead_lag")
+    assert(df.where("gap_us < 0").count() == 0)
+    val users = df.select("user_id").distinct().count()
+    assert(df.where("gap_us IS NULL").count() == users)
+  }
+
+  test("F4 win_range_frame: trailing sum at least current value") {
+    val df = run("win_range_frame")
+    assert(df.count() > 0)
+    assert(df.where("sum_1h IS NULL").count() == 0)
+  }
+
+  test("F5 win_ntile_pct: quartiles 1..4, pct_rank in [0,1]") {
+    val df = run("win_ntile_pct")
+    assert(df.where("quartile < 1 OR quartile > 4").count() == 0)
+    assert(df.where("pct_rank < 0 OR pct_rank > 1 OR cume <= 0 OR cume > 1").count() == 0)
+  }
+
+  test("E4 agg_rollup: grand total row has both grouping flags set") {
+    val df = run("agg_rollup")
+    assert(df.where("g_r = 1 AND g_n = 1").count() == 1)
+    assert(df.where("g_r = 0 AND g_n = 1").count() == 5) // one subtotal per region
+  }
+
+  test("E5 agg_cube: 6 combos + 3 + 2 margins + 1 total = 12 rows") {
+    assert(run("agg_cube").count() == 12)
+  }
+
+  test("E9 agg_approx_hll: within 5% of exact distinct count") {
+    val approx = run("agg_approx_hll").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1, n * 0.05), s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("E10 pivot_event_type: row per user, columns sum to event count") {
+    val df = run("pivot_event_type")
+    val total = df.selectExpr("sum(view + click + purchase + signup + error)").head().getLong(0)
+    assert(total == 1000) // sf0.001 events
+  }
+
+  test("H1/H2: distinct arm equals union of key sets; intersect is subset") {
+    val dist = run("set_union_all_distinct").where("tag = 'dist'").count()
+    val inter = run("set_intersect").count()
+    assert(inter <= dist)
+  }
+
+  test("H3 set_except_all: except + intersect multiset sizes partition A") {
+    val df = run("set_except_all")
+    val nA = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val byTag = df.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag("except") + byTag("intersect") == nA)
+  }
+
+  test("D1 subquery_scalar_uncorr: all above the mean") {
+    val df = run("subquery_scalar_uncorr")
+    val mean = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("cast(sum(cast(c_acctbal as decimal(12,2))) as double)/count(*)")
+      .head().getDouble(0)
+    assert(df.where(s"c_acctbal <= $mean").count() == 0)
+  }
+
+  test("D3 cte_reuse: returns the argmax supplier(s)") {
+    assert(run("cte_reuse").count() >= 1)
+  }
+}
