@@ -52,5 +52,16 @@ object Queries {
     "subquery_scalar_uncorr" -> (Relational.subqueryScalarUncorr _),
     "subquery_correlated"   -> (Relational.subqueryCorrelated _),
     "cte_reuse"             -> (Relational.cteReuse _),
+    // scalar function suites
+    "fn_string_suite"       -> (Scalars.fnStringSuite _),
+    "fn_date_suite"         -> (Scalars.fnDateSuite _),
+    "fn_math_suite"         -> (Scalars.fnMathSuite _),
+    "fn_conditional"        -> (Scalars.fnConditional _),
+    "fn_cast_decimal"       -> (Scalars.fnCastDecimal _),
+    "fn_hash_md5"           -> (Scalars.fnHashMd5 _),
+    "fn_json_suite"         -> (Scalars.fnJsonSuite _),
+    // UDF / UDAF
+    "udf_score"             -> (Scalars.udfScore _),
+    "udaf_weighted_avg"     -> (Scalars.udafWeightedAvg _),
   )
 }

@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Scalar functions (SURVEY §2.I) + UDF/UDAF surface (§2.K).
+  *
+  * All of §2.I uses built-in `functions._` — codegen'd, no UDF in the hot
+  * path. Engine-semantics deltas (dayofweek base, floor return type, % sign)
+  * are normalized here or in the oracle SQL, never left implicit.
+  */
+object Scalars {
+
+  /** I1 — string function suite over part. */
+  def fnStringSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        lpad(col("p_brand"), 10, "*").as("lpadded"),
+        concat_ws("/", col("p_name"), col("p_type")).as("joined"),
+        expr("replace(p_name, 'a', '@')").as("replaced"),
+        length(col("p_name")).as("len"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("translated"))
+      .orderBy(col("p_partkey"))
+
+  /** I2 — datetime suite over orders. Spark dayofweek is Sun=1; the oracle
+    * adds +1 to DuckDB's Sun=0 (SURVEY §5.3.6).
+    */
+  def fnDateSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_orderdate"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate")).as("days_to_2000"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  /** I3 — math suite. floor/ceil normalized to BIGINT on both engines;
+    * % kept to same-sign operands so truncated vs floored mod agree.
+    */
+  def fnMathSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+        round(log(col("l_extendedprice")), 6).as("ln_p"),
+        round(log10(col("l_extendedprice")), 6).as("log10_p"),
+        round(pow(col("l_quantity"), 2), 6).as("qty_sq"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        round(abs(col("l_discount") - lit(0.05)), 6).as("abs_d"),
+        (col("l_quantity") % 7).as("qty_mod7"),
+        signum(col("l_discount") - lit(0.05)).as("sgn"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** I4 — CASE WHEN tiers + coalesce/nullif/greatest/least. */
+  def fnConditional(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("tier"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("X")).as("status_x"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("gmax"),
+        least(col("o_totalprice"), lit(100000.0)).as("lmin"))
+      .orderBy(col("o_orderkey"))
+
+  /** I5 — cast matrix: double→decimal, int→string, trim-cast string→int,
+    * decimal add/multiply (division avoided: precision rules differ).
+    */
+  def fnCastDecimal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+        col("o_custkey").cast("string").as("cust_str"),
+        trim(lit("  42 ")).cast("int").as("answer"),
+        (Cols.dec2(col("o_totalprice")) * lit(2).cast("decimal(3,0)"))
+          .cast("decimal(18,2)").as("doubled"),
+        (Cols.dec2(col("o_totalprice")) + Cols.dec2(col("o_totalprice")))
+          .cast("decimal(18,2)").as("summed"))
+      .orderBy(col("o_orderkey"))
+
+  /** I6 — hashing: md5 + sha2-256 hex digests of document text. */
+  def fnHashMd5(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("h_md5"),
+        sha2(col("text").cast("binary"), 256).as("h_sha256"))
+      .withColumn("prefix", substring(col("h_md5"), 1, 2))
+      .orderBy(col("doc_id"))
+
+  /** I7 — JSON extraction + bucketed aggregation over `props`. */
+  def fnJsonSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("bucket"))
+
+  /** K1 — Scala UDF: logistic score with fixed μ/σ. v2 path is a codegen'd
+    * Catalyst Expression; a black-box UDF is the contract surface here.
+    */
+  def udfScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val logistic = udf((p: Double) => 1.0 / (1.0 + math.exp(-(p - 100000.0) / 50000.0)))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        round(logistic(col("o_totalprice")), 6).as("score"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** K2 buffer: exact decimal sums of price*qty and qty. */
+  private type Buf = (java.math.BigDecimal, java.math.BigDecimal)
+
+  /** K2 — typed Aggregator: quantity-weighted average price. The buffer
+    * holds exact decimals so partial-merge order can't change the result;
+    * the single double division happens once in finish().
+    */
+  object WeightedAvgPrice extends Aggregator[(Double, Double), Buf, Double] {
+    private def d2(x: Double) =
+      java.math.BigDecimal.valueOf(x).setScale(2, java.math.RoundingMode.HALF_UP)
+    def zero: Buf = (java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO)
+    def reduce(b: Buf, in: (Double, Double)): Buf = {
+      val (price, qty) = in
+      (b._1.add(d2(price).multiply(d2(qty))), b._2.add(d2(qty)))
+    }
+    def merge(a: Buf, b: Buf): Buf = (a._1.add(b._1), a._2.add(b._2))
+    def finish(b: Buf): Double =
+      if (b._2.signum == 0) 0.0 else b._1.doubleValue() / b._2.doubleValue()
+    def bufferEncoder: Encoder[Buf] = Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** K2 — weighted-average price per brand via the typed Aggregator. */
+  def udafWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavg = udaf(WeightedAvgPrice)
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6).as("wavg_price"))
+      .orderBy(col("p_brand"))
+  }
+}

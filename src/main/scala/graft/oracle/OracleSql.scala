@@ -283,5 +283,86 @@ object OracleSql {
         |SELECT s_suppkey, s_name, total_rev FROM supplier JOIN rev ON s_suppkey = l_suppkey
         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin.replace("\n", " "),
+
+    // ── scalar function suites ──
+    "fn_string_suite" ->
+      """SELECT p_partkey,
+        |upper(p_name) AS up, lower(p_brand) AS lo,
+        |substring(p_name, 1, 5) AS sub5,
+        |trim('  ' || p_name || '  ') AS trimmed,
+        |lpad(p_brand, 10, '*') AS lpadded,
+        |concat_ws('/', p_name, p_type) AS joined,
+        |replace(p_name, 'a', '@') AS replaced,
+        |CAST(length(p_name) AS INT) AS len,
+        |CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+        |regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+        |translate(p_type, 'AEIOU', 'aeiou') AS translated
+        |FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "fn_date_suite" ->
+      """SELECT o_orderkey, o_orderdate,
+        |CAST(year(o_orderdate) AS INT) AS y,
+        |CAST(month(o_orderdate) AS INT) AS m,
+        |CAST(day(o_orderdate) AS INT) AS d,
+        |CAST(quarter(o_orderdate) AS INT) AS q,
+        |date_trunc('month', o_orderdate) AS month_start,
+        |o_orderdate + INTERVAL 30 DAY AS plus30,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_2000,
+        |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "fn_math_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round(sqrt(l_extendedprice), 6) AS sqrt_p,
+        |round(ln(l_extendedprice), 6) AS ln_p,
+        |round(log10(l_extendedprice), 6) AS log10_p,
+        |round(pow(l_quantity, 2), 6) AS qty_sq,
+        |CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        |CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |round(abs(l_discount - 0.05), 6) AS abs_d,
+        |l_quantity % 7 AS qty_mod7,
+        |CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
+
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_totalprice < 50000 THEN 'low'
+        |WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS tier,
+        |COALESCE(NULLIF(o_orderstatus, 'O'), 'X') AS status_x,
+        |greatest(o_totalprice, 100000.0) AS gmax,
+        |least(o_totalprice, 100000.0) AS lmin
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "fn_cast_decimal" ->
+      """SELECT o_orderkey,
+        |CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+        |CAST(o_custkey AS VARCHAR) AS cust_str,
+        |CAST(TRIM('  42 ') AS INT) AS answer,
+        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(18,2)) AS doubled,
+        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS summed
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "fn_hash_md5" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+        |substring(md5(text), 1, 2) AS prefix
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "fn_json_suite" ->
+      """WITH j AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |SELECT k % 10 AS bucket, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " "),
+
+    // ── UDF / UDAF ──
+    "udf_score" ->
+      """SELECT o_orderkey, o_totalprice,
+        |round(1.0 / (1.0 + exp(-(o_totalprice - 100000.0) / 50000.0)), 6) AS score
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "udaf_weighted_avg" ->
+      """SELECT p_brand,
+        |round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |/ CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS wavg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "),
   )
 }

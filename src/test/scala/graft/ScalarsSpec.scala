@@ -1,0 +1,49 @@
+package graft
+
+class ScalarsSpec extends SparkSpec {
+
+  test("I1 fn_string_suite: trimmed round-trips, brand_num is digits") {
+    val df = run("fn_string_suite")
+    assert(df.where("trimmed LIKE ' %' OR trimmed LIKE '% '").count() == 0)
+    assert(df.where("brand_num NOT RLIKE '^[0-9]+$'").count() == 0)
+    assert(df.where("n_words < 1").count() == 0)
+  }
+
+  test("I2 fn_date_suite: dow in 1..7, quarter consistent with month") {
+    val df = run("fn_date_suite")
+    assert(df.where("dow < 1 OR dow > 7").count() == 0)
+    assert(df.where("q <> cast((m + 2) / 3 as int)").count() == 0)
+  }
+
+  test("I3 fn_math_suite: floor <= ceil, mod in range") {
+    val df = run("fn_math_suite")
+    assert(df.where("floor_p > ceil_p").count() == 0)
+    assert(df.where("qty_mod7 < 0 OR qty_mod7 >= 7").count() == 0)
+  }
+
+  test("I6 fn_hash_md5: 32/64 hex chars, prefix matches") {
+    val df = run("fn_hash_md5")
+    assert(df.where("length(h_md5) <> 32 OR length(h_sha256) <> 64").count() == 0)
+    assert(df.where("substring(h_md5, 1, 2) <> prefix").count() == 0)
+  }
+
+  test("K1 udf_score: logistic in (0,1), monotone in price") {
+    val df = run("udf_score")
+    assert(df.where("score <= 0 OR score >= 1").count() == 0)
+  }
+
+  test("K2 udaf_weighted_avg: bounded by min/max price per brand") {
+    val w = run("udaf_weighted_avg")
+    val bounds = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        org.apache.spark.sql.functions.min("l_extendedprice").as("lo"),
+        org.apache.spark.sql.functions.max("l_extendedprice").as("hi"))
+    val bad = w.join(bounds, "p_brand")
+      .where("wavg_price < lo OR wavg_price > hi").count()
+    assert(bad == 0)
+  }
+}
