@@ -63,5 +63,32 @@ object Queries {
     // UDF / UDAF
     "udf_score"             -> (Scalars.udfScore _),
     "udaf_weighted_avg"     -> (Scalars.udafWeightedAvg _),
+    // array / vector
+    "arr_scalar_suite"      -> (VectorText.arrScalarSuite _),
+    "vec_cosine_pairs"      -> (VectorText.vecCosinePairs _),
+    "vec_knn_topk"          -> (VectorText.vecKnnTopk _),
+    "vec_centroid_by_label" -> (VectorText.vecCentroidByLabel _),
+    // text
+    "text_token_explode"    -> (VectorText.textTokenExplode _),
+    "text_wordcount"        -> (VectorText.textWordcount _),
+    "text_jaccard_pairs"    -> (VectorText.textJaccardPairs _),
+    "text_exact_dedup"      -> (VectorText.textExactDedup _),
+    "text_tfidf_top"        -> (VectorText.textTfidfTop _),
+    "text_lang_stats"       -> (VectorText.textLangStats _),
+    // dedup family
+    "dedup_minhash_sig"     -> (Dedup.minhashSig _),
+    "dedup_minhash_pairs"   -> (Dedup.minhashPairs _),
+    "dedup_simhash"         -> (Dedup.simhash _),
+    "dedup_embedding_topk"  -> (Dedup.embeddingTopk _),
+    // similarity search
+    "ann_lsh_bucket"        -> (Similarity.annLshBucket _),
+    // text analysis
+    "text_lang_id"          -> (TextAnalysis.langId _),
+    "text_quality_score"    -> (TextAnalysis.qualityScore _),
+    "text_token_count"      -> (TextAnalysis.tokenCount _),
+    "text_fingerprint"      -> (TextAnalysis.fingerprint _),
+    // multimodal
+    "mm_binary_stats"       -> (Multimodal.binaryStats _),
+    "mm_decode_features"    -> (Multimodal.decodeFeatures _),
   )
 }

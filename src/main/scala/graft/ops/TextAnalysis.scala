@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting, plus the
+  * bucketed ANN similarity search.
+  */
+object TextAnalysis {
+
+  /** Per-language keyword lists for the overlap scorer. The corpus shares
+    * one vocabulary across langs (FIXTURES), so prediction accuracy is not
+    * the point — deterministic scoring + argmax semantics are.
+    */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "es" -> Seq("data", "table", "row", "column"),
+    "de" -> Seq("key", "value", "hash", "sort"),
+    "fr" -> Seq("join", "merge", "group", "agg"),
+    "zh" -> Seq("scan", "filter", "query", "stream"))
+
+  /** text_lang_id — n-gram-overlap language scorer with first-max argmax. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    def score(words: Seq[String]): Column =
+      size(array_intersect(array_distinct(split(col("text"), " ")),
+        array(words.map(lit): _*)))
+    val scored = Tables.documents(spark, sfDir)
+      .select(Seq(col("doc_id"), col("lang")) ++
+        langWords.map { case (l, ws) => score(ws).as(s"score_$l") }: _*)
+    val langs = langWords.map(_._1)
+    // first max in fixed language order (en, es, de, fr, zh)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), rest) =>
+        val geAll = langs.drop(i + 1)
+          .map(o => col(s"score_$l") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(geAll, l).otherwise(rest)
+    }
+    scored
+      .withColumn("pred", pred)
+      .withColumn("correct", (col("pred") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_quality_score — length / stopword-ratio heuristics, 6 dp. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a")
+    Tables.documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_stop",
+        size(expr(s"filter(t, x -> x IN (${stop.map(s => s"'$s'").mkString(",")}))")))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 6)
+          .as("avg_token_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        round(least(lit(1.0), col("n_tokens") / lit(50.0)) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_token_count — whitespace tokens, regex (BPE-ish) tokens, and the
+    * chars/4 estimator.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("bigint").as("est_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** text_fingerprint — document fingerprints: full-text md5, head-shingle
+    * md5, and the minimum 5-token rolling-window hash (winnowing-style).
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_full"),
+        md5(concat_ws(" ", slice(col("t"), 1, 8)).cast("binary")).as("fp_head"),
+        expr(
+          """CASE WHEN size(t) < 5 THEN md5(CAST(text AS BINARY))
+            |ELSE array_min(transform(sequence(1, size(t) - 4),
+            |  i -> md5(CAST(concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+            |    element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)) AS BINARY))))
+            |END""".stripMargin).as("fp_min_shingle"))
+      .orderBy(col("doc_id"))
+}

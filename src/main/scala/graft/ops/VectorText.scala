@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Array / vector / text operators (SURVEY §2.J) — the LLM-pipeline north
+  * star. All float outputs rounded to 4 dp (§5.3.3); sums over arrays run
+  * in array order (deterministic, engine-independent).
+  *
+  * 100 TB notes: candidate scopes (`vec_id < k`, `doc_id < k`) are explicit
+  * bounds so the scale-out swap is LSH/IVF blocking (see Similarity/Dedup),
+  * not a query rewrite. Cross joins are always query-side-bounded and the
+  * small side broadcast.
+  */
+object VectorText {
+
+  private val dotExpr =
+    "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** J1 — scalar reductions over the embedding array via higher-order fns. */
+  def arrScalarSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_elem"),
+        round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("sum_all"),
+        round(array_min(col("embedding")).cast("double"), 4).as("min_e"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_e"),
+        size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
+        round(expr("aggregate(slice(embedding, 2, 3), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("sum_2_4"))
+      .orderBy(col("vec_id"))
+
+  /** J2 — pairwise cosine (≡ dot: vectors are unit-norm) for a bounded set. */
+  def vecCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 30)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(expr(dotExpr), 4).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** J3 — exact brute-force kNN: 10 broadcast query vectors against the
+    * full corpus, ranked per query. The 100 TB path swaps the corpus scan
+    * for an LSH/IVF-pruned candidate set (see Similarity.annLshBucket).
+    */
+  def vecKnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val c = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val w = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
+    c.join(broadcast(q), col("a_id") =!= col("b_id"))
+      .withColumn("sim_raw", expr(dotExpr))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("a_id"), col("b_id"), round(col("sim_raw"), 4).as("sim"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** J4 — per-(label, dimension) centroid via posexplode (long format). */
+  def vecCentroidByLabel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("comp").cast("double")), 4).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
+  /** J5 — generator/UDTF shape: (doc_id, pos, token) via posexplode. */
+  def textTokenExplode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** J6 — word count, top-20 by (count DESC, word). */
+  def textWordcount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(20)
+
+  /** J7 — token-set Jaccard for bounded doc pairs (exact near-dup check). */
+  def textJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir).where(col("doc_id") < 10)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+    val b = t.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** J8 — exact dedup stats: row count vs distinct-md5 count per source. */
+  def textExactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+      .orderBy(col("source"))
+
+  /** J9 — tf·idf argmax term per doc; idf = ln(N/df) rounded 6 dp. */
+  def textTfidfTop(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 50)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("w"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("idf"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** J10 — corpus stats per (lang, source). */
+  def textLangStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        sum(size(split(col("text"), " "))).as("total_tokens"))
+      .orderBy(col("lang"), col("source"))
+}

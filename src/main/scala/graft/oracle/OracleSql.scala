@@ -20,6 +20,48 @@ object OracleSql {
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
       "value, props FROM events) "
 
+  /** Shared shingle CTE body (3-word shingles, distinct, as (doc_id, s)). */
+  private def shingleCte(whereClause: String): String =
+    s"d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents $whereClause), " +
+      "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE list_transform(range(1, len(t) - 1), i -> t[CAST(i AS INT)] || ' ' || " +
+      "t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2]) END)) AS s FROM d)"
+
+  private val sigSelect =
+    "SELECT doc_id, min(md5('0|' || s)) AS s0, min(md5('1|' || s)) AS s1, " +
+      "min(md5('2|' || s)) AS s2, min(md5('3|' || s)) AS s3 FROM sh GROUP BY doc_id"
+
+  /** 16-bit simhash SQL, generated to mirror Dedup.simhash exactly. */
+  private val simhashSql: String = {
+    val bitCases = (1 to 16).map(j =>
+      s"SUM(CASE WHEN substring(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val simExpr = (1 to 16).map(j => s"(CASE WHEN b$j > 0 THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
+    "WITH tok AS (SELECT doc_id, md5(w) AS h FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), " +
+      s"sums AS (SELECT doc_id, $bitCases FROM tok GROUP BY doc_id) " +
+      s"SELECT doc_id, CAST($simExpr AS INT) AS simhash FROM sums ORDER BY doc_id"
+  }
+
+  /** Language-ID SQL, generated from the same lists as TextAnalysis.langId. */
+  private val langIdSql: String = {
+    val langs = graft.ops.TextAnalysis.langWords
+    val names = langs.map(_._1)
+    val scoreCols = langs.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, x -> list_contains([$lst], x))) AS INT) AS score_$l"
+    }.mkString(", ")
+    val predCase = names.init.zipWithIndex.map { case (l, i) =>
+      val conds = names.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${names.last}' END")
+    "WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+      s"s1 AS (SELECT doc_id, lang, $scoreCols FROM t), " +
+      s"s2 AS (SELECT *, $predCase AS pred FROM s1) " +
+      "SELECT doc_id, lang, " + names.map(l => s"score_$l").mkString(", ") +
+      ", pred, CAST(pred = lang AS INT) AS correct FROM s2 ORDER BY doc_id"
+  }
+
   val all: Map[String, String] = Map(
     "scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
@@ -364,5 +406,162 @@ object OracleSql {
         |/ CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS wavg_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "),
+
+    // ── array / vector ──
+    "arr_scalar_suite" ->
+      """SELECT vec_id,
+        |CAST(len(embedding) AS INT) AS dim,
+        |round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+        |round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,
+        |round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_e,
+        |round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_e,
+        |CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |round(list_sum(list_transform(embedding[2:4], x -> CAST(x AS DOUBLE))), 4) AS sum_2_4
+        |FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
+    "vec_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
+
+    "vec_knn_topk" ->
+      """SELECT a_id, b_id, round(sim_raw, 4) AS sim, rn FROM (
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw,
+        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) t
+        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin.replace("\n", " "),
+
+    "vec_centroid_by_label" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) AS centroid, COUNT(*) AS n
+        |FROM embeddings, range(1, 65) t(i) GROUP BY label, i ORDER BY label, dim""".stripMargin.replace("\n", " "),
+
+    // ── text ──
+    "text_token_explode" ->
+      """SELECT doc_id, CAST(generate_subscripts(tokens, 1) - 1 AS INT) AS pos, unnest(tokens) AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id, pos""".stripMargin.replace("\n", " "),
+
+    "text_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin.replace("\n", " "),
+
+    "text_jaccard_pairs" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 10),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ni
+        |FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |CAST(COALESCE(i.ni, 0) AS INT) AS inter,
+        |CAST(a.n + b.n - COALESCE(i.ni, 0) AS INT) AS uni,
+        |round(CAST(COALESCE(i.ni, 0) AS DOUBLE) / (a.n + b.n - COALESCE(i.ni, 0)), 4) AS jaccard
+        |FROM cnt a JOIN cnt b ON a.doc_id < b.doc_id
+        |LEFT JOIN inter i ON i.a_id = a.doc_id AND i.b_id = b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
+
+    "text_exact_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+
+    "text_tfidf_top" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 50),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+        |n AS (SELECT COUNT(*) AS n_docs FROM docs)
+        |SELECT doc_id, term, tf, idf, round(tfidf, 6) AS tfidf FROM (
+        |SELECT tf.doc_id, tf.w AS term, tf.tf,
+        |round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS idf,
+        |tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+        |ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
+        |tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC, tf.w) AS rn
+        |FROM tf JOIN df ON tf.w = df.w CROSS JOIN n) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_lang_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+        |SUM(len(string_split(text, ' '))) AS total_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin.replace("\n", " "),
+
+    // ── dedup family (md5-based signatures: bit-identical cross-engine) ──
+    "dedup_minhash_sig" ->
+      (s"WITH ${shingleCte("")} $sigSelect ORDER BY doc_id"),
+
+    "dedup_minhash_pairs" ->
+      (s"WITH ${shingleCte("WHERE doc_id < 200")}, " +
+        s"sig AS ($sigSelect), " +
+        "band AS (SELECT doc_id, md5(s0 || s1) AS b FROM sig UNION ALL SELECT doc_id, md5(s2 || s3) FROM sig), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM band x JOIN band y ON x.b = y.b AND x.doc_id < y.doc_id), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni FROM cand c JOIN sh x ON x.doc_id = c.a_id " +
+        "JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s GROUP BY c.a_id, c.b_id) " +
+        "SELECT i.a_id, i.b_id, round(CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni), 4) AS jaccard " +
+        "FROM inter i JOIN cnt ca ON ca.doc_id = i.a_id JOIN cnt cb ON cb.doc_id = i.b_id " +
+        "WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8 ORDER BY a_id, b_id"),
+
+    "dedup_simhash" -> simhashSql,
+
+    "dedup_embedding_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300)
+        |SELECT a_id, b_id, round(sim_raw, 4) AS sim FROM (
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, list_dot_product(a.v, b.v) AS sim_raw
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY sim_raw DESC, a_id, b_id LIMIT 20) t
+        |ORDER BY sim_raw DESC, a_id, b_id""".stripMargin.replace("\n", " "),
+
+    // ── similarity search ──
+    "ann_lsh_bucket" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |+ (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS INT) AS bucket
+        |FROM embeddings)
+        |SELECT a_id, bucket, b_id, round(sim_raw, 4) AS sim, rn FROM (
+        |SELECT a.vec_id AS a_id, a.bucket AS bucket, b.vec_id AS b_id,
+        |list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw,
+        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < 50 AND b.vec_id <> a.vec_id) t
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin.replace("\n", " "),
+
+    // ── text analysis ──
+    "text_lang_id" -> langIdSql,
+
+    "text_quality_score" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, n_chars, CAST(len(t) AS INT) AS n_tokens,
+        |CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS INT) AS n_stop FROM d)
+        |SELECT doc_id, n_tokens,
+        |round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+        |round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |round(least(1.0, n_tokens / 50.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+        |CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, md5(text) AS fp_full,
+        |md5(array_to_string(t[1:8], ' ')) AS fp_head,
+        |CASE WHEN len(t) < 5 THEN md5(text) ELSE list_min(list_transform(range(1, len(t) - 3),
+        |i -> md5(t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2]
+        ||| ' ' || t[CAST(i AS INT) + 3] || ' ' || t[CAST(i AS INT) + 4]))) END AS fp_min_shingle
+        |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // ── multimodal (binary column plumbing) ──
+    "mm_binary_stats" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |hex(encode(substring(text, 1, 8))) AS hex_head,
+        |CAST(64 + octet_length(encode(text)) % 64 AS INT) AS fake_w,
+        |CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS fake_h
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
   )
 }

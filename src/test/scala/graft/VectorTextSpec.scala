@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class VectorTextSpec extends SparkSpec {
+
+  test("J1 arr_scalar_suite: dim 64 everywhere, min <= max") {
+    val df = run("arr_scalar_suite")
+    assert(df.where("dim <> 64").count() == 0)
+    assert(df.where("min_e > max_e").count() == 0)
+  }
+
+  test("J2 vec_cosine_pairs: 435 pairs, |cosine| <= 1") {
+    val df = run("vec_cosine_pairs")
+    assert(df.count() == 30L * 29 / 2)
+    assert(df.where("abs(cosine) > 1.0001").count() == 0)
+  }
+
+  test("J3 vec_knn_topk: 5 neighbors per query, sim non-increasing") {
+    val df = run("vec_knn_topk")
+    assert(df.count() == 50)
+    val bad = df.selectExpr("a_id", "sim", "rn",
+        "lag(sim) OVER (PARTITION BY a_id ORDER BY rn) AS prev")
+      .where("prev IS NOT NULL AND sim > prev").count()
+    assert(bad == 0)
+  }
+
+  test("J4 vec_centroid_by_label: 10 labels x 64 dims") {
+    assert(run("vec_centroid_by_label").count() == 640)
+  }
+
+  test("J7 text_jaccard_pairs: jaccard in [0,1], 45 pairs") {
+    val df = run("text_jaccard_pairs")
+    assert(df.count() == 45)
+    assert(df.where("jaccard < 0 OR jaccard > 1").count() == 0)
+  }
+
+  test("J8 text_exact_dedup: no exact dups at sf0.001 (fixture)") {
+    assert(run("text_exact_dedup").where("n_docs <> n_unique").count() == 0)
+  }
+
+  test("J9 text_tfidf_top: one term per doc, tfidf >= 0") {
+    val df = run("text_tfidf_top")
+    assert(df.groupBy("doc_id").count().where("count > 1").count() == 0)
+  }
+
+  test("dedup_minhash_pairs: every reported pair really has jaccard >= 0.8") {
+    assert(run("dedup_minhash_pairs").where("jaccard < 0.8").count() == 0)
+  }
+
+  test("dedup_minhash_sig: near-identical docs share signatures") {
+    // sanity: signature columns are 32-char hex
+    val df = run("dedup_minhash_sig")
+    assert(df.where("length(s0) <> 32 OR length(s3) <> 32").count() == 0)
+  }
+
+  test("dedup_simhash: 16-bit range") {
+    assert(run("dedup_simhash").where("simhash < 0 OR simhash > 65535").count() == 0)
+  }
+
+  test("ann_lsh_bucket: neighbors come from the query's bucket") {
+    val df = run("ann_lsh_bucket")
+    assert(df.count() > 0)
+    assert(df.where("rn > 3").count() == 0)
+  }
+
+  test("mm_decode_features: stub features match independent SQL computation") {
+    val feats = run("mm_decode_features")
+    val sql = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "CAST(64 + length(CAST(text AS BINARY)) % 64 AS INT) AS width_sql")
+    val bad = feats.join(sql, "doc_id").where("width <> width_sql").count()
+    assert(bad == 0)
+    assert(feats.where("mean_byte <= 0").count() == 0) // ascii text: positive bytes
+  }
+
+  test("text_lang_id: pred is one of the five langs") {
+    assert(run("text_lang_id")
+      .where("pred NOT IN ('en','es','de','fr','zh')").count() == 0)
+  }
+
+  test("text_quality_score: ratios in [0,1]") {
+    val df = run("text_quality_score")
+    assert(df.where("stop_ratio < 0 OR stop_ratio > 1 OR quality < 0 OR quality > 1").count() == 0)
+  }
+}
