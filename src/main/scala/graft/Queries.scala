@@ -90,5 +90,15 @@ object Queries {
     // multimodal
     "mm_binary_stats"       -> (Multimodal.binaryStats _),
     "mm_decode_features"    -> (Multimodal.decodeFeatures _),
+    // streaming / time-series (batch semantics; stream twins in tests)
+    "stream_tumbling_1h"    -> (Streaming.streamTumbling1h _),
+    "stream_sliding_1h_15m" -> (Streaming.streamSliding1h15m _),
+    "stream_session_30m"    -> (Streaming.streamSession30m _),
+    "stream_dau_retention"  -> (Streaming.streamDauRetention _),
+    "stream_funnel"         -> (Streaming.streamFunnel _),
+    "stream_watermark_late" -> (Streaming.streamWatermarkLate _),
+    // event joins
+    "join_range_funnel"     -> (Streaming.joinRangeFunnel _),
+    "join_asof"             -> (Streaming.joinAsof _),
   )
 }

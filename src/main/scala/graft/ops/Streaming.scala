@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / streaming operators (SURVEY §2.L) plus the event joins
+  * C8 (range funnel) and C9 (as-of).
+  *
+  * Every aggregation is a `DataFrame => DataFrame` function of the
+  * normalized events relation, so the identical code runs in batch (the
+  * oracle-checked contract below) and under `readStream` (exercised with
+  * MemoryStream in StreamingSpec). Batch window-start alignment is the
+  * epoch — same convention DuckDB's time_bucket uses for sub-day buckets.
+  *
+  * 100 TB notes: all stateful shapes key by user_id (state bounded per
+  * key, hash-exchange on the key); the as-of join is a sorted single-pass
+  * window, NOT a join — no candidate explosion on high-frequency users.
+  */
+object Streaming {
+
+  // ── shared batch/stream aggregation bodies ──
+
+  /** 1h tumbling count + exact decimal sum. */
+  def tumblingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(Cols.dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+
+  /** 1h windows sliding every 15 min. */
+  def slidingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(Cols.dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+
+  /** Per-user session windows with a 30-minute gap (end = last + gap). */
+  def sessionAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(Cols.dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+
+  /** Watermarked tumbling agg per event type — the L6 streaming shape. */
+  def watermarkedAgg(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  // ── batch contract queries ──
+
+  /** L1 — tumbling 1h windows. */
+  def streamTumbling1h(spark: SparkSession, sfDir: String): DataFrame =
+    tumblingAgg(Tables.events(spark, sfDir))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"))
+
+  /** L2 — sliding 1h/15m windows (edge windows before the first event's
+    * hour exist by definition — do not filter them).
+    */
+  def streamSliding1h15m(spark: SparkSession, sfDir: String): DataFrame =
+    slidingAgg(Tables.events(spark, sfDir))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"))
+
+  /** L3 — session windows, 30-min gap, Spark convention end = last + gap. */
+  def streamSession30m(spark: SparkSession, sfDir: String): DataFrame =
+    sessionAgg(Tables.events(spark, sfDir))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** L4 — daily active users + next-day retention. */
+  def streamDauRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = d.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val ret = d.as("a")
+      .join(d.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.day") === col("a.day") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("retained"))
+    dau.join(ret, Seq("day"), "left")
+      .select(col("day"), col("dau"), coalesce(col("retained"), lit(0L)).as("retained"))
+      .orderBy(col("day"))
+  }
+
+  /** L5 — signup→purchase conversion funnel per user. */
+  def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val users = ev.select(col("user_id")).distinct()
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+    val purch = ev.where(col("event_type") === "purchase").as("e")
+      .join(signup.as("s"), col("e.user_id") === col("s.user_id"))
+      .where(col("e.ts") >= col("s.first_signup"))
+      .groupBy(col("e.user_id").as("user_id")).agg(count(lit(1)).as("n_purchases"))
+    users
+      .join(signup, Seq("user_id"), "left")
+      .join(purch, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_signup"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        when(col("first_signup").isNotNull && coalesce(col("n_purchases"), lit(0L)) > 0, 1)
+          .otherwise(0).cast("int").as("converted"))
+      .orderBy(col("user_id"))
+  }
+
+  /** L6 — watermarked agg as a batch query (watermark is a no-op in batch;
+    * the streaming semantics — late-event drop — are MemoryStream-tested).
+    * No SQL oracle by design (SURVEY L6).
+    */
+  def streamWatermarkLate(spark: SparkSession, sfDir: String): DataFrame =
+    watermarkedAgg(Tables.events(spark, sfDir))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // ── event joins ──
+
+  /** C8 — theta/range join: view→purchase pairs within 5 minutes, same
+    * user. Equi on user_id carries the shuffle; the range conjunct is a
+    * post-join filter on the sort-merge pair stream.
+    */
+  def joinRangeFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"), col("ts_us").as("v_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+    v.join(p, Seq("user_id"))
+      .where(col("p_ts").between(col("v_ts"), col("v_ts") + lit(300000000L)))
+      .select(col("user_id"), col("v_id"), col("p_id"),
+        (col("p_ts") - col("v_ts")).as("gap_us"))
+      .orderBy(col("user_id"), col("v_id"), col("p_id"))
+  }
+
+  /** C9 — as-of join: most recent prior-or-equal signup per event.
+    * Implemented as a single sorted window pass (last signup-ts carried
+    * forward), NOT a join — the scalable form: state per user is one
+    * value, no prior-signup candidate explosion. DuckDB's native ASOF
+    * LEFT JOIN is the oracle.
+    */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_sign"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("event_type") === "signup", col("ts_us")).as("s_ts_raw"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("is_sign"))
+      .withColumn("signup_ts_us", last(col("s_ts_raw"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("signup_ts_us"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -556,6 +556,63 @@ object OracleSql {
         ||| ' ' || t[CAST(i AS INT) + 3] || ' ' || t[CAST(i AS INT) + 4]))) END AS fp_min_shingle
         |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+    // ── streaming / time-series (batch semantics) ──
+    "stream_tumbling_1h" ->
+      (EV + """SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM ev) w
+        |GROUP BY window_start ORDER BY window_start""".stripMargin.replace("\n", " ")),
+
+    "stream_sliding_1h_15m" ->
+      (EV + """SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start, value
+        |FROM ev, range(0, 4) t(i)) w
+        |GROUP BY window_start ORDER BY window_start""".stripMargin.replace("\n", " ")),
+
+    "stream_session_30m" ->
+      (EV + """, l AS (SELECT user_id, ts, value,
+        |CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |THEN 1 ELSE 0 END AS new_s FROM ev),
+        |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL '30 minutes' AS session_end,
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")),
+
+    "stream_dau_retention" ->
+      (EV + """, d AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM ev),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM d GROUP BY day),
+        |ret AS (SELECT a.day, COUNT(*) AS retained FROM d a JOIN d b
+        |ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY GROUP BY a.day)
+        |SELECT dau.day AS day, dau.dau, COALESCE(ret.retained, 0) AS retained
+        |FROM dau LEFT JOIN ret ON ret.day = dau.day ORDER BY dau.day""".stripMargin.replace("\n", " ")),
+
+    "stream_funnel" ->
+      (EV + """, u AS (SELECT DISTINCT user_id FROM ev),
+        |s AS (SELECT user_id, MIN(ts) AS first_signup FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, COUNT(*) AS n_purchases FROM ev e JOIN s ON s.user_id = e.user_id
+        |WHERE e.event_type = 'purchase' AND e.ts >= s.first_signup GROUP BY e.user_id)
+        |SELECT u.user_id AS user_id, s.first_signup, COALESCE(p.n_purchases, 0) AS n_purchases,
+        |CAST(CASE WHEN s.first_signup IS NOT NULL AND COALESCE(p.n_purchases, 0) > 0 THEN 1 ELSE 0 END AS INT) AS converted
+        |FROM u LEFT JOIN s ON s.user_id = u.user_id LEFT JOIN p ON p.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin.replace("\n", " ")),
+
+    // ── event joins ──
+    "join_range_funnel" ->
+      (EV + """SELECT v.user_id AS user_id, v.event_id AS v_id, p.event_id AS p_id, p.ts_us - v.ts_us AS gap_us
+        |FROM (SELECT * FROM ev WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |ON p.user_id = v.user_id AND p.ts_us BETWEEN v.ts_us AND v.ts_us + 300000000
+        |ORDER BY v.user_id, v_id, p_id""".stripMargin.replace("\n", " ")),
+
+    "join_asof" ->
+      (EV + """SELECT e.event_id, e.user_id, e.ts_us, s.ts_us AS signup_ts_us
+        |FROM ev e ASOF LEFT JOIN (SELECT user_id, ts_us FROM ev WHERE event_type = 'signup') s
+        |ON e.user_id = s.user_id AND s.ts_us <= e.ts_us
+        |ORDER BY e.event_id""".stripMargin.replace("\n", " ")),
+
     // ── multimodal (binary column plumbing) ──
     "mm_binary_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

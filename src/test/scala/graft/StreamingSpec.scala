@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, user_id: Long, value: Double, event_type: String)
+
+/** Structured Streaming twins (SURVEY §3.3, §5.2-1): the SAME aggregation
+  * functions that back the batch contract queries, driven by MemoryStream
+  * micro-batches, including watermark/late-data semantics (L6).
+  */
+class StreamingSpec extends SparkSpec {
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  private def t(str: String) = Timestamp.valueOf(str)
+
+  test("L1 twin: streaming tumbling agg equals batch on identical data") {
+    implicit val ctx = s.sqlContext
+    val data = Seq(
+      Ev(t("2024-01-01 00:05:00"), 1, 10.0, "view"),
+      Ev(t("2024-01-01 00:55:00"), 2, 5.5, "click"),
+      Ev(t("2024-01-01 01:30:00"), 1, 2.25, "view"))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.tumblingAgg(ms.toDF()).writeStream
+      .format("memory").queryName("t_tumble").outputMode("complete").start()
+    ms.addData(data: _*)
+    q.processAllAvailable()
+    val streamed = s.table("t_tumble")
+      .selectExpr("window.start AS ws", "n", "sum_value").collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getDecimal(2).toString)).toSet
+    q.stop()
+    val batch = Streaming.tumblingAgg(data.toDF())
+      .selectExpr("window.start AS ws", "n", "sum_value").collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getDecimal(2).toString)).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2) // hour 0 (2 events), hour 1 (1 event)
+  }
+
+  test("L6 watermark: late event beyond watermark is dropped (append mode)") {
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.watermarkedAgg(ms.toDF()).writeStream
+      .format("memory").queryName("t_wm").outputMode("append").start()
+    // batch 1: one event in hour 0, one in hour 1 → watermark becomes 01:20
+    ms.addData(Ev(t("2024-01-01 00:05:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 01:30:00"), 1, 1.0, "view"))
+    q.processAllAvailable()
+    // batch 2: watermark 01:20 > hour-0 end → hour-0 window finalized (n=1)
+    ms.addData(Ev(t("2024-01-01 02:30:00"), 1, 1.0, "view"))
+    q.processAllAvailable()
+    // batch 3: late hour-0 event, far behind watermark (02:20) → dropped
+    ms.addData(Ev(t("2024-01-01 00:20:00"), 1, 999.0, "view"))
+    q.processAllAvailable()
+    val rows = s.table("t_wm")
+      .selectExpr("window.start AS ws", "event_type", "n").collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    q.stop()
+    val hour0 = rows.filter(_._1.startsWith("2024-01-01 00:"))
+    assert(hour0.length == 1, s"hour-0 emitted once, got: ${rows.mkString(", ")}")
+    assert(hour0.head._3 == 1, "late event must NOT be counted")
+  }
+
+  test("L3 twin: streaming session windows close at watermark and match batch") {
+    implicit val ctx = s.sqlContext
+    val early = Seq(
+      Ev(t("2024-01-01 00:00:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 00:10:00"), 1, 2.0, "view"),
+      Ev(t("2024-01-01 01:00:00"), 1, 3.0, "view"))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.sessionAgg(ms.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("t_sess").outputMode("append").start()
+    ms.addData(early: _*)
+    q.processAllAvailable()
+    // push watermark far ahead so both user-1 sessions close
+    ms.addData(Ev(t("2024-01-01 05:00:00"), 2, 0.0, "view"))
+    q.processAllAvailable()
+    val streamed = s.table("t_sess").where("user_id = 1")
+      .selectExpr("session_window.start AS ss", "session_window.end AS se", "n", "sum_value")
+      .collect().map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2))).toSet
+    q.stop()
+    val batch = Streaming.sessionAgg(early.toDF())
+      .selectExpr("session_window.start AS ss", "session_window.end AS se", "n", "sum_value")
+      .collect().map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2) // [00:00,00:40) with 2 events; [01:00,01:30) with 1
+  }
+
+  test("C9 join_asof: signup events match themselves; non-signup carry last") {
+    val df = run("join_asof")
+    val ev = Tables.events(spark, sf)
+    val selfMatch = df.join(
+        ev.where("event_type = 'signup'").select("event_id"), "event_id")
+      .where("signup_ts_us <> ts_us").count()
+    assert(selfMatch == 0, "a signup's as-of match is itself")
+    assert(df.count() == ev.count())
+  }
+
+  test("C8 join_range_funnel: gaps within [0, 5 min]") {
+    val df = run("join_range_funnel")
+    assert(df.where("gap_us < 0 OR gap_us > 300000000").count() == 0)
+  }
+}
