@@ -53,14 +53,21 @@ object Tables {
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  @volatile private var registeredFor: Option[(SparkSession, String)] = None
+
   /** Registers every table as a temp view so `spark.sql` queries (D-series,
-    * E6, …) and DataFrame queries are interchangeable. Idempotent.
+    * E6, …) and DataFrame queries are interchangeable. Memoized per
+    * (session, sfDir): re-registration would re-read 10 parquet footers per
+    * SQL query for nothing.
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { n =>
-      load(spark, sfDir, n).createOrReplaceTempView(n)
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (!registeredFor.contains((spark, sfDir))) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { n =>
+        load(spark, sfDir, n).createOrReplaceTempView(n)
+      }
+      events(spark, sfDir).createOrReplaceTempView("events")
+      registeredFor = Some((spark, sfDir))
     }
-    events(spark, sfDir).createOrReplaceTempView("events")
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan quality gates (SURVEY §4, the 100 TB design contract):
+  * pushdown, pruning, broadcast, top-k, partial aggregation. These are the
+  * properties that decide whether a plan survives a 1000× scale-up, so they
+  * are asserted, not just eyeballed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executed(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("A1: shipdate predicate and projection reach the parquet scan") {
+    val plan = executed("scan_filter_project")
+    assert(plan.contains("PushedFilters: ["), "no pushed filters")
+    assert(plan.contains("l_shipdate"), "shipdate not in scan")
+    // pruned read schema: none of the unused money columns are read
+    assert(!plan.contains("l_tax"), s"l_tax should be pruned:\n$plan")
+  }
+
+  test("C3: star join broadcasts the dim chain, no cartesian product") {
+    val plan = executed("join_multiway_star")
+    assert(plan.contains("BroadcastHashJoin"), "dims should broadcast")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in star join")
+  }
+
+  test("G2: global top-k is TakeOrderedAndProject, not a full sort") {
+    val plan = executed("limit_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("E1: hash aggregation runs partial then final (map-side combine)") {
+    val plan = executed("agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("J3: bounded kNN uses broadcast nested loop, never cartesian") {
+    val plan = executed("vec_knn_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no cartesian for kNN")
+  }
+
+  test("C9: as-of join plans as window, not join") {
+    val plan = executed("join_asof")
+    assert(plan.contains("Window") || plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Join"), s"as-of must be join-free:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan-agg path of E1") {
+    val df = run("agg_pricing_summary")
+    df.collect() // AQE: codegen stages only visible in the final executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd stages render as "*(n) Operator" in the final plan
+    assert(plan.contains("isFinalPlan=true") && plan.contains("*("),
+      s"codegen missing:\n$plan")
+  }
+
+  test("A4: partitioned parquet write round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_write").toString
+    Tables.orders(spark, sf)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1500)
+    assert(back.select("o_orderstatus").distinct().count() == 3)
+    // partition pruning: reading one status folder touches one partition
+    val pruned = back.where("o_orderstatus = 'F'")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0 && scan.contains("PartitionFilters"))
+  }
+}
