@@ -62,6 +62,7 @@ object Queries {
     "fn_json_suite"         -> (Scalars.fnJsonSuite _),
     // UDF / UDAF
     "udf_score"             -> (Scalars.udfScore _),
+    "expr_score_native"     -> (Scalars.exprScoreNative _),
     "udaf_weighted_avg"     -> (Scalars.udafWeightedAvg _),
     // array / vector
     "arr_scalar_suite"      -> (VectorText.arrScalarSuite _),

@@ -125,6 +125,18 @@ object Scalars {
       .orderBy(col("o_orderkey"))
   }
 
+  /** K1 v2 — the same logistic score as a native codegen'd Catalyst
+    * Expression (graft.functions.LogisticScore): no UDF serialization
+    * boundary, inlined into whole-stage codegen.
+    */
+  def exprScoreNative(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.LogisticScore.register(spark)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        round(expr("graft_logistic(o_totalprice)"), 6).as("score"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** K2 buffer: exact decimal sums of price*qty and qty. */
   private type Buf = (java.math.BigDecimal, java.math.BigDecimal)
 

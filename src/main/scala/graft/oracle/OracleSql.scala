@@ -400,6 +400,11 @@ object OracleSql {
         |round(1.0 / (1.0 + exp(-(o_totalprice - 100000.0) / 50000.0)), 6) AS score
         |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
+    "expr_score_native" ->
+      """SELECT o_orderkey, o_totalprice,
+        |round(1.0 / (1.0 + exp(-(o_totalprice - 100000.0) / 50000.0)), 6) AS score
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
     "udaf_weighted_avg" ->
       """SELECT p_brand,
         |round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)

@@ -32,6 +32,26 @@ class ScalarsSpec extends SparkSpec {
     assert(df.where("score <= 0 OR score >= 1").count() == 0)
   }
 
+  test("K1v2 expr_score_native: matches the UDF version, no ScalaUDF in plan") {
+    val native = run("expr_score_native")
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "native expression must not plan a UDF")
+    val bad = native.alias("n")
+      .join(run("udf_score").alias("u"), "o_orderkey")
+      .where("n.score <> u.score").count()
+    assert(bad == 0, "native and UDF logistic scores must agree")
+  }
+
+  test("K1v2 GraftExtensions: injectFunction registers graft_logistic") {
+    val ext = new graft.functions.GraftExtensions
+    // smoke: applying the extension to a builder-created session would
+    // register the function; here we verify the registry path directly.
+    graft.functions.LogisticScore.register(spark)
+    val r = spark.sql("SELECT round(graft_logistic(100000.0), 6) AS s").head().getDouble(0)
+    assert(r == 0.5)
+    assert(ext != null)
+  }
+
   test("K2 udaf_weighted_avg: bounded by min/max price per brand") {
     val w = run("udaf_weighted_avg")
     val bounds = Tables.lineitem(spark, sf)
