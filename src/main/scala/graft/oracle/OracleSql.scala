@@ -578,7 +578,7 @@ object OracleSql {
     "stream_session_30m" ->
       (EV + """, l AS (SELECT user_id, ts, value,
         |CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
         |THEN 1 ELSE 0 END AS new_s FROM ev),
         |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based laws (SURVEY §5.2-1) run through the actual engine
+  * operators on generated data. scalacheck drives generation; each law
+  * executes real Spark plans, so these are engine properties, not model
+  * properties.
+  */
+class PropertiesSpec extends SparkSpec {
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val smallMultiset: Gen[List[Int]] =
+    Gen.listOfN(12, Gen.choose(0, 4))
+
+  test("H-law: exceptAll + intersectAll partition the left multiset") {
+    check(Prop.forAll(smallMultiset, smallMultiset) { (a, b) =>
+      val da = a.toDF("v")
+      val db = b.toDF("v")
+      val ex = da.exceptAll(db).count()
+      val in = da.intersectAll(db).count()
+      ex + in == a.length
+    })
+  }
+
+  test("H-law: multiset counts match the min/max model") {
+    check(Prop.forAll(smallMultiset, smallMultiset) { (a, b) =>
+      val da = a.toDF("v")
+      val db = b.toDF("v")
+      val cntA = a.groupBy(identity).view.mapValues(_.size).toMap
+      val cntB = b.groupBy(identity).view.mapValues(_.size).toMap
+      val modelEx = cntA.map { case (k, n) => math.max(n - cntB.getOrElse(k, 0), 0) }.sum
+      val modelIn = cntA.map { case (k, n) => math.min(n, cntB.getOrElse(k, 0)) }.sum
+      da.exceptAll(db).count() == modelEx && da.intersectAll(db).count() == modelIn
+    })
+  }
+
+  test("F-law: running total over full partition equals group sum") {
+    val gen = Gen.listOfN(10, Gen.zip(Gen.choose(0, 2), Gen.choose(1, 100)))
+    check(Prop.forAll(gen) { xs =>
+      val df = xs.zipWithIndex.map { case ((g, v), i) => (g, i, v) }
+        .toDF("g", "seq", "v")
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("g").orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last = df.withColumn("rt", sum("v").over(w))
+        .groupBy("g").agg(max("rt").as("rt_final"), sum("v").as("total"))
+      last.where("rt_final <> total").count() == 0
+    })
+  }
+
+  test("J-law: engine dot product is symmetric and matches model") {
+    val vec = Gen.listOfN(6, Gen.choose(-5, 5).map(_.toFloat))
+    check(Prop.forAll(vec, vec) { (a, b) =>
+      val df = Seq((a, b)).toDF("a_emb", "b_emb")
+      import org.apache.spark.sql.functions.expr
+      val d = "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      val fwd = df.select(expr(d)).head().getDouble(0)
+      val rev = df.selectExpr("b_emb AS a_emb", "a_emb AS b_emb")
+        .select(expr(d)).head().getDouble(0)
+      val model = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      fwd == rev && math.abs(fwd - model) < 1e-9
+    })
+  }
+
+  test("L-law: session count = 1 + gaps >= 30min (single user)") {
+    // strictly increasing minute offsets over a day
+    val gaps = Gen.listOfN(8, Gen.choose(1, 70))
+    check(Prop.forAll(gaps) { gs =>
+      val times = gs.scanLeft(0)(_ + _) // minutes since base
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val rows = times.map(m =>
+        (new java.sql.Timestamp(base.getTime + m * 60000L), 1L, 1.0))
+      val df = rows.toDF("ts", "user_id", "value")
+      val sessions = graft.ops.Streaming.sessionAgg(df).count()
+      // Spark merges an event landing exactly at prev + gap into the
+      // session (found by this property!): new session iff gap is STRICTLY
+      // greater than the threshold.
+      val model = 1 + times.sliding(2).count {
+        case Seq(x, y) => (y - x) > 30
+        case _         => false
+      }
+      sessions == model
+    })
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink coverage beyond the parquet contract path (SURVEY §2.A):
+  * CSV and JSON round-trips with explicit schemas, and bucketed tables
+  * joining without a shuffle — the co-located-join story that matters at
+  * 100 TB (bucket pruning replaces the exchange).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("CSV sink+source round-trip preserves rows and exact decimal totals") {
+    val dir = tmp("graft_csv")
+    val orders = Tables.orders(spark, sf)
+    orders.write.mode("overwrite").option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(dir)
+    val back = spark.read.option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .schema(orders.schema).csv(dir)
+    assert(back.count() == 1500)
+    val a = orders.agg(sum(expr("cast(o_totalprice as decimal(12,2))"))).head().get(0)
+    val b = back.agg(sum(expr("cast(o_totalprice as decimal(12,2))"))).head().get(0)
+    assert(a == b, s"CSV round-trip changed totals: $a vs $b")
+  }
+
+  test("JSON sink+source round-trip preserves rows and keys") {
+    val dir = tmp("graft_json")
+    val nation = Tables.nation(spark, sf)
+    nation.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(nation.schema).json(dir)
+    assert(back.count() == 25)
+    assert(back.select("n_nationkey").distinct().count() == 25)
+  }
+
+  test("bucketed tables join without an Exchange (co-located join)") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val p = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    // disable auto-broadcast so the planner must use the bucketing (at
+    // 100 TB neither side would broadcast — this simulates that shape)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == li.count()) // every lineitem has its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
