@@ -78,6 +78,8 @@ object Queries {
     "text_lang_stats"       -> (VectorText.textLangStats _),
     // dedup family
     "dedup_minhash_sig"     -> (Dedup.minhashSig _),
+    "dedup_minhash_sig_agg" -> (Dedup.minhashSigAgg _),
+    "join_skew_salted"      -> (Relational.joinSkewSalted _),
     "dedup_minhash_pairs"   -> (Dedup.minhashPairs _),
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_embedding_topk"  -> (Dedup.embeddingTopk _),

@@ -44,6 +44,23 @@ object Dedup {
     signatures(shingles(spark, sfDir, Int.MaxValue))
       .orderBy(col("doc_id"))
 
+  /** dedup_minhash_sig_agg — identical signatures computed by the custom
+    * mergeable TypedImperativeAggregate (graft.functions.MinHashSketch):
+    * k hashes in ONE buffer per group; at scale the shuffle carries 4
+    * strings per doc instead of 4 separate min-agg states. Oracle: the
+    * same SQL as dedup_minhash_sig — results are bit-identical.
+    */
+  def minhashSigAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.MinHashSketch.register(spark)
+    shingles(spark, sfDir, Int.MaxValue)
+      .groupBy(col("doc_id"))
+      .agg(expr("graft_minhash(s)").as("sigs"))
+      .select(col("doc_id"),
+        col("sigs").getItem(0).as("s0"), col("sigs").getItem(1).as("s1"),
+        col("sigs").getItem(2).as("s2"), col("sigs").getItem(3).as("s3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_minhash_pairs — LSH banding (b=2 bands × r=2 rows) → candidate
     * pairs → exact shingle-Jaccard verification ≥ 0.8.
     */

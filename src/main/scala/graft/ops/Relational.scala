@@ -224,6 +224,35 @@ object Relational {
       .orderBy(col("tag"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Skew-mitigated join via explicit salting: ~70% of left rows share one
+    * hot key; the left side carries a deterministic salt and the right side
+    * is replicated once per salt value, so the hot key fans out over S
+    * reducers instead of one. Result is row-identical to the unsalted join
+    * (the oracle runs the plain join).
+    *
+    * 100 TB note: AQE's skew-join split handles this automatically for
+    * sort-merge joins; explicit salting remains the tool for stream-stream
+    * joins and aggregation skew where AQE can't re-plan.
+    */
+  def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = 8
+    val left = Tables.lineitem(spark, sfDir).select(
+      when(col("l_linenumber") <= 5, 0L).otherwise(col("l_orderkey") % 50)
+        .as("skew_key"),
+      col("l_quantity"),
+      (col("l_orderkey") % S).cast("int").as("salt"))
+    val right = Tables.part(spark, sfDir)
+      .where(col("p_partkey") < 50)
+      .select(col("p_partkey").as("skew_key"), col("p_retailprice"))
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+    left.join(right, Seq("skew_key", "salt"))
+      .groupBy(col("skew_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(Cols.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+        max(col("p_retailprice")).as("dim_price"))
+      .orderBy(col("skew_key"))
+  }
+
   // ──────────────────── subqueries / CTE via SQL (§2.D) ───────────────────
   // The SQL text is shared verbatim with the DuckDB oracle (OracleSql), so
   // Catalyst's decorrelation (RewriteCorrelatedScalarSubquery) is exercised

@@ -496,6 +496,19 @@ object OracleSql {
     "dedup_minhash_sig" ->
       (s"WITH ${shingleCte("")} $sigSelect ORDER BY doc_id"),
 
+    // same oracle as dedup_minhash_sig: the custom TypedImperativeAggregate
+    // must produce bit-identical signatures
+    "dedup_minhash_sig_agg" ->
+      (s"WITH ${shingleCte("")} $sigSelect ORDER BY doc_id"),
+
+    "join_skew_salted" ->
+      """SELECT skew_key, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |MAX(p_retailprice) AS dim_price
+        |FROM (SELECT CAST(CASE WHEN l_linenumber <= 5 THEN 0 ELSE l_orderkey % 50 END AS BIGINT) AS skew_key, l_quantity FROM lineitem) l
+        |JOIN (SELECT p_partkey AS skew_key, p_retailprice FROM part WHERE p_partkey < 50) r USING (skew_key)
+        |GROUP BY skew_key ORDER BY skew_key""".stripMargin.replace("\n", " "),
+
     "dedup_minhash_pairs" ->
       (s"WITH ${shingleCte("WHERE doc_id < 200")}, " +
         s"sig AS ($sigSelect), " +

@@ -85,6 +85,25 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() == 6)
   }
 
+  test("salted join equals unsalted join row-for-row") {
+    import org.apache.spark.sql.functions._
+    val plain = Tables.lineitem(spark, sf)
+      .select(when(col("l_linenumber") <= 5, 0L)
+        .otherwise(col("l_orderkey") % 50).as("skew_key"), col("l_quantity"))
+      .join(Tables.part(spark, sf).where(col("p_partkey") < 50)
+        .select(col("p_partkey").as("skew_key"), col("p_retailprice")), Seq("skew_key"))
+      .groupBy("skew_key").count()
+    val salted = run("join_skew_salted").select("skew_key", "n")
+    val diff = plain.withColumnRenamed("count", "n").exceptAll(salted).count()
+    assert(diff == 0)
+  }
+
+  test("minhash custom aggregate equals 4-way min aggregation") {
+    val a = run("dedup_minhash_sig")
+    val b = run("dedup_minhash_sig_agg")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("E3 agg_multi_distinct: distinct counts bounded by dims") {
     val df = run("agg_multi_distinct")
     assert(df.where("n_parts > 200 OR n_supps > 10").count() == 0) // sf0.001 dims

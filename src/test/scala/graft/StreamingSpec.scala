@@ -87,6 +87,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 2) // [00:00,00:40) with 2 events; [01:00,01:30) with 1
   }
 
+  test("custom state: flatMapGroupsWithState keeps per-user running counts") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    val counted = ms.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          Iterator((uid, n))
+        })
+      .toDF("user_id", "n")
+    val q = counted.writeStream.format("memory")
+      .queryName("t_state").outputMode("update").start()
+    ms.addData(Ev(t("2024-01-01 00:01:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 00:02:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 00:03:00"), 2, 1.0, "view"))
+    q.processAllAvailable()
+    ms.addData(Ev(t("2024-01-01 00:04:00"), 1, 1.0, "view"))
+    q.processAllAvailable()
+    val byBatch = s.table("t_state").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    // state carried across micro-batches: user 1 reaches 3 in batch 2
+    assert(byBatch.contains((1L, 2L)) && byBatch.contains((1L, 3L)))
+    assert(byBatch.contains((2L, 1L)))
+  }
+
   test("C9 join_asof: signup events match themselves; non-signup carry last") {
     val df = run("join_asof")
     val ev = Tables.events(spark, sf)
