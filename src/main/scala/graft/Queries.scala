@@ -85,6 +85,7 @@ object Queries {
     "dedup_embedding_topk"  -> (Dedup.embeddingTopk _),
     // similarity search
     "ann_lsh_bucket"        -> (Similarity.annLshBucket _),
+    "ann_ivf_topk"          -> (Similarity.annIvfTopk _),
     // text analysis
     "text_lang_id"          -> (TextAnalysis.langId _),
     "text_quality_score"    -> (TextAnalysis.qualityScore _),

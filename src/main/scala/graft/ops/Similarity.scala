@@ -21,6 +21,58 @@ object Similarity {
       when(element_at(col(emb), i + 1) > 0f, math.pow(2, i).toInt).otherwise(0)
     }.reduce(_ + _).cast("int")
 
+  private val dotExpr =
+    "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** ann_ivf_topk — IVF (inverted-file) ANN: a coarse quantizer of 10
+    * centroids (per-label means, i.e. one supervised k-means M-step,
+    * components rounded 6 dp for cross-engine determinism), every vector
+    * assigned to its nearest centroid (inverted lists), queries probe the
+    * nprobe=2 nearest cells and search only those lists.
+    *
+    * 100 TB: centroids broadcast (10×64 doubles); the corpus is
+    * hash-partitioned by cell so a query touches 2/10 of the data; the
+    * full cross join never exists. Recall < 1 by design — the oracle
+    * replicates the algorithm, so results still hash-match.
+    */
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    // centroid per label, components rounded to 6 dp
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("comp").cast("double")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
+      .select(col("label").as("cell"), col("cvec"))
+    // vector→centroid dots (broadcast the 10 centroids)
+    val dots = e.crossJoin(broadcast(cent))
+      .withColumn("d", expr(
+        "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("d"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
+    val assigned = dots.withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1).select(col("vec_id"), col("embedding"), col("cell"))
+    val probe = dots.withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") <= 2 && col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("cell"))
+    // search only the probed cells' inverted lists
+    val qVec = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val cand = probe
+      .join(broadcast(qVec), "a_id")
+      .join(assigned.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("cell")), Seq("cell"))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("sim_raw", expr(dotExpr))
+    val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
+    cand.withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), round(col("sim_raw"), 4).as("sim"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   /** ann_lsh_bucket — top-3 same-bucket neighbors for each query vector. */
   def annLshBucket(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)

@@ -532,6 +532,25 @@ object OracleSql {
         |ORDER BY sim_raw DESC, a_id, b_id""".stripMargin.replace("\n", " "),
 
     // ── similarity search ──
+    "ann_ivf_topk" ->
+      """WITH comp AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+        |FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM comp GROUP BY label),
+        |dots AS (SELECT e.vec_id, e.embedding, c.cell,
+        |list_dot_product(CAST(e.embedding AS DOUBLE[]), cvec) AS d
+        |FROM embeddings e CROSS JOIN cent c),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn FROM dots),
+        |assigned AS (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+        |probe AS (SELECT vec_id AS a_id, cell FROM ranked WHERE rn <= 2 AND vec_id < 20),
+        |cand AS (SELECT p.a_id, b.vec_id AS b_id,
+        |list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw
+        |FROM probe p JOIN embeddings q ON q.vec_id = p.a_id
+        |JOIN assigned b ON b.cell = p.cell AND b.vec_id <> p.a_id)
+        |SELECT a_id, b_id, round(sim_raw, 4) AS sim, rn FROM
+        |(SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim_raw DESC, b_id) AS rn FROM cand) t
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin.replace("\n", " "),
+
     "ann_lsh_bucket" ->
       """WITH e AS (SELECT vec_id, embedding,
         |CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
