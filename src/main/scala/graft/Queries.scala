@@ -82,6 +82,7 @@ object Queries {
     "join_skew_salted"      -> (Relational.joinSkewSalted _),
     "dedup_minhash_pairs"   -> (Dedup.minhashPairs _),
     "dedup_simhash"         -> (Dedup.simhash _),
+    "dedup_exact_keep_first" -> (Dedup.exactKeepFirst _),
     "dedup_embedding_topk"  -> (Dedup.embeddingTopk _),
     // similarity search
     "ann_lsh_bucket"        -> (Similarity.annLshBucket _),

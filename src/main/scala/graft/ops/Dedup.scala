@@ -108,6 +108,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_exact_keep_first — the actual row-eliminating dedup: group by a
+    * content fingerprint (md5 of the first 8 tokens — the corpus has no
+    * full-text dups, so prefix fingerprints make collisions real), keep the
+    * lowest doc_id of each group. At 100 TB this is one hash shuffle on the
+    * fingerprint; WindowGroupLimit prunes each group to its first row
+    * before the final sort.
+    */
+  def exactKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("fp", fp)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_embedding_topk — the 20 most-similar embedding pairs (cosine ≡
     * dot, unit-norm corpus): the verification stage of embedding near-dup.
     */

@@ -523,6 +523,13 @@ object OracleSql {
 
     "dedup_simhash" -> simhashSql,
 
+    "dedup_exact_keep_first" ->
+      """SELECT doc_id, fp FROM (SELECT doc_id,
+        |md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp,
+        |ROW_NUMBER() OVER (PARTITION BY md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+        |ORDER BY doc_id) AS rn FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     "dedup_embedding_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300)
         |SELECT a_id, b_id, round(sim_raw, 4) AS sim FROM (

@@ -87,6 +87,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 2) // [00:00,00:40) with 2 events; [01:00,01:30) with 1
   }
 
+  test("streaming parquet file sink with checkpoint round-trips") {
+    implicit val ctx = s.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    ms.addData(Ev(t("2024-01-01 00:01:00"), 1, 1.5, "view"),
+      Ev(t("2024-01-01 00:02:00"), 2, 2.5, "click"))
+    q.processAllAvailable()
+    ms.addData(Ev(t("2024-01-01 00:03:00"), 3, 3.5, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val back = s.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.selectExpr("sum(value)").head().getDouble(0) == 7.5)
+  }
+
   test("custom state: flatMapGroupsWithState keeps per-user running counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val ctx = s.sqlContext
