@@ -7,6 +7,12 @@ class RelationalSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
+  test("contract: only the declared exclusions lack an oracle (SURVEY §7.3)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("agg_approx_hll", "mm_decode_features", "stream_watermark_late"),
+      s"unexpected oracle-less queries: $noOracle")
+  }
+
   test("A1 scan_filter_project: rows in range, revenue decimal") {
     val df = run("scan_filter_project")
     val n = df.count()
