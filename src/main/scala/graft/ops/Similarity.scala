@@ -52,10 +52,11 @@ object Similarity {
           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
       .select(col("vec_id"), col("embedding"), col("cell"), col("d"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    val assigned = dots.withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1).select(col("vec_id"), col("embedding"), col("cell"))
-    val probe = dots.withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") <= 2 && col("vec_id") < 20)
+    // one ranking pass feeds both the inverted lists and the probe list
+    val ranked = dots.withColumn("rn", row_number().over(wAssign))
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probe = ranked.where(col("rn") <= 2 && col("vec_id") < 20)
       .select(col("vec_id").as("a_id"), col("cell"))
     // search only the probed cells' inverted lists
     val qVec = e.where(col("vec_id") < 20)
