@@ -35,6 +35,7 @@ object Queries {
     "agg_grouping_sets"     -> (Aggregates.aggGroupingSets _),
     "agg_stats"             -> (Aggregates.aggStats _),
     "agg_collect_sorted"    -> (Aggregates.aggCollectSorted _),
+    "agg_percentiles"       -> (Aggregates.aggPercentiles _),
     "agg_approx_hll"        -> (Aggregates.aggApproxHll _),
     "pivot_event_type"      -> (Aggregates.pivotEventType _),
     // windows
@@ -92,6 +93,7 @@ object Queries {
     "text_quality_score"    -> (TextAnalysis.qualityScore _),
     "text_token_count"      -> (TextAnalysis.tokenCount _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
+    "text_levenshtein_pairs" -> (TextAnalysis.levenshteinPairs _),
     // multimodal
     "mm_binary_stats"       -> (Multimodal.binaryStats _),
     "mm_decode_features"    -> (Multimodal.decodeFeatures _),

@@ -112,6 +112,20 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** agg_percentiles — exact interpolated percentiles per group (both
+    * engines use the standard (n-1)·p interpolation), rounded 6 dp.
+    * 100 TB note: exact percentile sorts per group; the approximate path
+    * for huge groups is percentile_approx / t-digest (the E9 pattern).
+    */
+  def aggPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */
   def pivotEventType(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("view", "click", "purchase", "signup", "error")

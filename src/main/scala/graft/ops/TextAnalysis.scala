@@ -74,6 +74,21 @@ object TextAnalysis {
         ceil(col("n_chars") / lit(4.0)).cast("bigint").as("est_bpe"))
       .orderBy(col("doc_id"))
 
+  /** text_levenshtein_pairs — fuzzy near-dup via edit distance on bounded
+    * 40-char prefixes (Levenshtein is O(n·m); real pipelines run it only
+    * on blocking-survivor pairs, exactly as bounded here).
+    */
+  def levenshteinPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir).where(col("doc_id") < 8)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    val a = t.select(col("doc_id").as("a_id"), col("prefix").as("a_p"))
+    val b = t.select(col("doc_id").as("b_id"), col("prefix").as("b_p"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_p"), col("b_p")).as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** text_fingerprint — document fingerprints: full-text md5, head-shingle
     * md5, and the minimum 5-token rolling-window hash (winnowing-style).
     */

@@ -274,6 +274,13 @@ object OracleSql {
       """SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
 
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        |round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |round(quantile_cont(l_quantity, 0.25), 6) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
     "pivot_event_type" ->
       """SELECT user_id,
         |COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
@@ -590,6 +597,13 @@ object OracleSql {
         |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
         |CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_levenshtein_pairs" ->
+      """WITH t AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents WHERE doc_id < 8)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
 
     "text_fingerprint" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)

@@ -135,6 +135,49 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch.contains((2L, 1L)))
   }
 
+  test("streaming exact dedup: dropDuplicates removes cross-batch repeats") {
+    implicit val ctx = s.sqlContext
+    case class IdEv(event_id: Long, ts: Timestamp, value: Double)
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = ms.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("t_dedup").outputMode("append").start()
+    ms.addData((1L, t("2024-01-01 00:01:00"), 1.0), (2L, t("2024-01-01 00:02:00"), 2.0))
+    q.processAllAvailable()
+    // same event_id again in a later batch → state suppresses it
+    ms.addData((1L, t("2024-01-01 00:10:00"), 99.0), (3L, t("2024-01-01 00:11:00"), 3.0))
+    q.processAllAvailable()
+    val ids = s.table("t_dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
+  }
+
+  test("stream-stream join: views joined to purchases within 5 minutes") {
+    implicit val ctx = s.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val v = views.toDF().selectExpr("user_id", "ts AS v_ts")
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases.toDF().selectExpr("user_id AS p_user", "ts AS p_ts")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = v.join(p,
+      org.apache.spark.sql.functions.expr(
+        "user_id = p_user AND p_ts BETWEEN v_ts AND v_ts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory")
+      .queryName("t_ssjoin").outputMode("append").start()
+    views.addData(Ev(t("2024-01-01 00:00:00"), 1, 0.0, "view"),
+      Ev(t("2024-01-01 00:20:00"), 2, 0.0, "view"))
+    purchases.addData(
+      Ev(t("2024-01-01 00:03:00"), 1, 9.99, "purchase"),  // within 5 min of user 1's view
+      Ev(t("2024-01-01 00:40:00"), 2, 5.00, "purchase"))  // too late for user 2's view
+    q.processAllAvailable()
+    val rows = s.table("t_ssjoin").select("user_id").collect().map(_.getLong(0))
+    q.stop()
+    assert(rows.sameElements(Array(1L)), s"got ${rows.mkString(",")}")
+  }
+
   test("C9 join_asof: signup events match themselves; non-signup carry last") {
     val df = run("join_asof")
     val ev = Tables.events(spark, sf)
