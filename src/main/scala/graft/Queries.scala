@@ -94,6 +94,7 @@ object Queries {
     "text_token_count"      -> (TextAnalysis.tokenCount _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
     "text_levenshtein_pairs" -> (TextAnalysis.levenshteinPairs _),
+    "text_shingle_generate" -> (TextAnalysis.shingleGenerate _),
     // multimodal
     "mm_binary_stats"       -> (Multimodal.binaryStats _),
     "mm_decode_features"    -> (Multimodal.decodeFeatures _),

@@ -74,6 +74,18 @@ object TextAnalysis {
         ceil(col("n_chars") / lit(4.0)).cast("bigint").as("est_bpe"))
       .orderBy(col("doc_id"))
 
+  /** text_shingle_generate — (doc_id, pos, shingle) rows via the custom
+    * Catalyst Generator (graft.functions.ShingleGenerator), the UDTF v2
+    * path of SURVEY §2.K3. Oracle recomputes the same shingles in SQL.
+    */
+  def shingleGenerate(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.ShingleGenerator.register(spark)
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 15)
+      .select(col("doc_id"), expr("graft_shingles(text)").as(Seq("pos", "shingle")))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** text_levenshtein_pairs — fuzzy near-dup via edit distance on bounded
     * 40-char prefixes (Levenshtein is O(n·m); real pipelines run it only
     * on blocking-survivor pairs, exactly as bounded here).

@@ -598,6 +598,13 @@ object OracleSql {
         |CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+    "text_shingle_generate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 15),
+        |s AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |ELSE list_transform(range(1, len(t) - 1), i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2]) END AS sl FROM d)
+        |SELECT doc_id, CAST(generate_subscripts(sl, 1) - 1 AS INT) AS pos, unnest(sl) AS shingle
+        |FROM s ORDER BY doc_id, pos""".stripMargin.replace("\n", " "),
+
     "text_levenshtein_pairs" ->
       """WITH t AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM documents WHERE doc_id < 8)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,

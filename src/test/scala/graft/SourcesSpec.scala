@@ -35,6 +35,15 @@ class SourcesSpec extends SparkSpec {
     assert(back.select("n_nationkey").distinct().count() == 25)
   }
 
+  test("ORC sink+source round-trip preserves rows and schema") {
+    val dir = tmp("graft_orc")
+    val li = Tables.lineitem(spark, sf)
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 6000)
+    assert(back.schema == li.schema)
+  }
+
   test("bucketed tables join without an Exchange (co-located join)") {
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_quantity")
