@@ -52,19 +52,21 @@ object Similarity {
           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
       .select(col("vec_id"), col("embedding"), col("cell"), col("d"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    // one ranking pass feeds both the inverted lists and the probe list
-    val ranked = dots.withColumn("rn", row_number().over(wAssign))
+    // One ranking pass feeds both the inverted lists and the probe list;
+    // materialized once — building the IVF index IS a materialization step
+    // (at 100 TB: write assignments bucketed by cell, reuse across queries).
+    val ranked = dots.withColumn("rn", row_number().over(wAssign)).persist()
     val assigned = ranked.where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val probe = ranked.where(col("rn") <= 2 && col("vec_id") < 20)
       .select(col("vec_id").as("a_id"), col("cell"))
-    // search only the probed cells' inverted lists
+    // search only the probed cells' inverted lists; the probe×query side is
+    // nprobe×|queries| rows → broadcast it so the corpus never shuffles
     val qVec = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val cand = probe
-      .join(broadcast(qVec), "a_id")
-      .join(assigned.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("cell")), Seq("cell"))
+    val cand = assigned
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
+      .join(broadcast(probe.join(qVec, "a_id")), Seq("cell"))
       .where(col("a_id") =!= col("b_id"))
       .withColumn("sim_raw", expr(dotExpr))
     val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
