@@ -106,6 +106,24 @@ class StreamingSpec extends SparkSpec {
     assert(back.selectExpr("sum(value)").head().getDouble(0) == 7.5)
   }
 
+  test("foreachBatch sink: custom handler sees each micro-batch exactly once") {
+    implicit val ctx = s.sqlContext
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => {
+        seen.synchronized { seen += ((id, df.count())) }; ()
+      })
+      .start()
+    ms.addData(Ev(t("2024-01-01 00:01:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 00:02:00"), 2, 2.0, "view"))
+    q.processAllAvailable()
+    ms.addData(Ev(t("2024-01-01 00:03:00"), 3, 3.0, "view"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.map(_._2).toList == List(2L, 1L), seen.mkString(","))
+  }
+
   test("custom state: flatMapGroupsWithState keeps per-user running counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val ctx = s.sqlContext
