@@ -56,6 +56,8 @@ object Queries {
     // scalar function suites
     "fn_string_suite"       -> (Scalars.fnStringSuite _),
     "fn_date_suite"         -> (Scalars.fnDateSuite _),
+    "fn_date_extra"         -> (Scalars.fnDateExtra _),
+    "arr_transform_suite"   -> (Scalars.arrTransformSuite _),
     "fn_math_suite"         -> (Scalars.fnMathSuite _),
     "fn_conditional"        -> (Scalars.fnConditional _),
     "fn_cast_decimal"       -> (Scalars.fnCastDecimal _),

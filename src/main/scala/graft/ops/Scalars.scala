@@ -49,6 +49,36 @@ object Scalars {
         dayofweek(col("o_orderdate")).as("dow"))
       .orderBy(col("o_orderkey"))
 
+  /** fn_date_extra — calendar arithmetic: add_months (end-of-month
+    * clamping), last_day, quarter truncation, epoch extraction.
+    */
+  def fnDateExtra(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_trunc("quarter", col("o_orderdate")).as("quarter_start"),
+        unix_timestamp(col("o_orderdate").cast("timestamp")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  /** arr_transform_suite — array manipulation beyond reductions: sort,
+    * reverse, position, containment, flatten, ranges.
+    */
+  def arrTransformSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+      .select(
+        col("l_orderkey"),
+        col("lns"),
+        reverse(col("lns")).as("lns_desc"),
+        array_position(col("lns"), 1).cast("int").as("pos_of_1"),
+        array_contains(col("lns"), 3).as("has_3"),
+        flatten(array(col("lns"), col("lns"))).as("doubled"),
+        sequence(lit(1), size(col("lns"))).as("idx"))
+      .orderBy(col("l_orderkey"))
+
   /** I3 — math suite. floor/ceil normalized to BIGINT on both engines;
     * % kept to same-sign operands so truncated vs floored mod agree.
     */

@@ -360,6 +360,25 @@ object OracleSql {
         |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
         |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
+    "fn_date_extra" ->
+      """SELECT o_orderkey,
+        |o_orderdate + INTERVAL 3 MONTH AS plus3m,
+        |CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |date_trunc('quarter', o_orderdate) AS quarter_start,
+        |epoch(o_orderdate) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    "arr_transform_suite" ->
+      """WITH a AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
+        |FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, lns,
+        |list_reverse(lns) AS lns_desc,
+        |CAST(list_position(lns, 1) AS INT) AS pos_of_1,
+        |list_contains(lns, 3) AS has_3,
+        |flatten([lns, lns]) AS doubled,
+        |range(1, len(lns) + 1) AS idx
+        |FROM a ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
+
     "fn_math_suite" ->
       """SELECT l_orderkey, l_linenumber,
         |round(sqrt(l_extendedprice), 6) AS sqrt_p,
