@@ -110,5 +110,6 @@ object Queries {
     // event joins
     "join_range_funnel"     -> (Streaming.joinRangeFunnel _),
     "join_asof"             -> (Streaming.joinAsof _),
+    "join_asof_exec"        -> (Streaming.joinAsofExec _),
   )
 }

@@ -137,6 +137,22 @@ object Streaming {
       .orderBy(col("user_id"), col("v_id"), col("p_id"))
   }
 
+  /** C9 v2 — the same as-of join through the custom whole-operator path:
+    * AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec (graft.plans), a
+    * sorted-merge physical operator with one-row state per key. Same
+    * DuckDB ASOF oracle as join_asof.
+    */
+  def joinAsofExec(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val left = ev.select(col("event_id"), col("user_id"), col("ts_us"))
+    val right = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts_us").as("signup_ts_us"))
+    graft.plans.AsOf.join(spark, left, right,
+        "user_id", "ts_us", "s_user", "signup_ts_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("signup_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** C9 — as-of join: most recent prior-or-equal signup per event.
     * Implemented as a single sorted window pass (last signup-ts carried
     * forward), NOT a join — the scalable form: state per user is one

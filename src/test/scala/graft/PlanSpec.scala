@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
       s"codegen missing:\n$plan")
   }
 
+  test("C9v2: custom strategy plans AsOfJoinExec with clustered+sorted children") {
+    val plan = executed("join_asof_exec")
+    assert(plan.contains("AsOfJoin"), s"custom operator not planned:\n$plan")
+    // results agree with the window-based rewrite
+    val a = run("join_asof")
+    val b = run("join_asof_exec")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("A4: partitioned parquet write round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_write").toString
     Tables.orders(spark, sf)
