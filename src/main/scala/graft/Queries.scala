@@ -51,6 +51,8 @@ object Queries {
     "set_except_all"        -> (Relational.setExceptAll _),
     // subqueries / CTE
     "subquery_scalar_uncorr" -> (Relational.subqueryScalarUncorr _),
+    "subquery_in"           -> (Relational.subqueryIn _),
+    "agg_filter_clause"     -> (Relational.aggFilterClause _),
     "subquery_correlated"   -> (Relational.subqueryCorrelated _),
     "cte_reuse"             -> (Relational.cteReuse _),
     // scalar function suites

@@ -271,6 +271,18 @@ object Relational {
   def subqueryCorrelated(spark: SparkSession, sfDir: String): DataFrame =
     sqlQuery("subquery_correlated")(spark, sfDir)
 
+  /** agg_filter_clause — SQL FILTER (WHERE …) conditional aggregation;
+    * text shared verbatim with the oracle.
+    */
+  def aggFilterClause(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("agg_filter_clause")(spark, sfDir)
+
+  /** subquery_in — IN / NOT IN subqueries (keys are non-null, so 3-valued
+    * NOT IN semantics are safe); text shared verbatim with the oracle.
+    */
+  def subqueryIn(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("subquery_in")(spark, sfDir)
+
   /** D3 — CTE referenced twice (TPC-H Q15 shape). Spark inlines CTEs, so
     * the naive SQL scans lineitem twice; here the tiny per-supplier
     * aggregate is materialized once (persist) and reused by both the join

@@ -313,6 +313,22 @@ object OracleSql {
         |(SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 25)) i
         |ORDER BY tag, l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
 
+    // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
+    "agg_filter_clause" ->
+      """SELECT l_returnflag,
+        |COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS open_price,
+        |COUNT(*) AS n_all
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
+    "subquery_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
     // ── subqueries / CTE (shared text: runs verbatim in BOTH engines) ──
     "subquery_scalar_uncorr" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
