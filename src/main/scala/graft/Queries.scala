@@ -53,6 +53,8 @@ object Queries {
     "subquery_scalar_uncorr" -> (Relational.subqueryScalarUncorr _),
     "subquery_in"           -> (Relational.subqueryIn _),
     "agg_filter_clause"     -> (Relational.aggFilterClause _),
+    "agg_bool"              -> (Relational.aggBool _),
+    "fn_try_cast"           -> (Relational.fnTryCast _),
     "subquery_correlated"   -> (Relational.subqueryCorrelated _),
     "cte_reuse"             -> (Relational.cteReuse _),
     // scalar function suites

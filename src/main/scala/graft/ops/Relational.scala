@@ -271,6 +271,14 @@ object Relational {
   def subqueryCorrelated(spark: SparkSession, sfDir: String): DataFrame =
     sqlQuery("subquery_correlated")(spark, sfDir)
 
+  /** agg_bool — boolean aggregates (bool_and / bool_or); shared text. */
+  def aggBool(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("agg_bool")(spark, sfDir)
+
+  /** fn_try_cast — failure-safe casts (TRY_CAST → NULL); shared text. */
+  def fnTryCast(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("fn_try_cast")(spark, sfDir)
+
   /** agg_filter_clause — SQL FILTER (WHERE …) conditional aggregation;
     * text shared verbatim with the oracle.
     */

@@ -314,6 +314,23 @@ object OracleSql {
         |ORDER BY tag, l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
 
     // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        |bool_and(l_quantity > 0) AS all_pos_qty,
+        |bool_or(l_discount > 0.08) AS any_big_disc,
+        |bool_and(l_shipdate >= TIMESTAMP '1995-01-01') AS all_after_95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
+    "fn_try_cast" ->
+      """SELECT o_orderkey,
+        |TRY_CAST(o_orderstatus AS INT) AS status_as_int,
+        |TRY_CAST(CAST(o_custkey AS STRING) AS INT) AS cust_roundtrip,
+        |TRY_CAST('not a number' AS DOUBLE) AS bad_double,
+        |TRY_CAST('  77 ' AS INT) AS padded_int
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
+    // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
     "agg_filter_clause" ->
       """SELECT l_returnflag,
         |COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
