@@ -23,7 +23,7 @@ object Relational {
              col("l_shipdate") <  lit("1997-01-01").cast("timestamp_ntz"))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        Cols.revenue.as("revenue"),
+        Cols.revenue.cast("double").as("revenue"),
         col("l_shipdate"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
@@ -63,7 +63,7 @@ object Relational {
         count(disc).as("n_disc"),
         sum(when(disc.isNull, 1).otherwise(0)).as("n_zero_disc"),
         sum(coalesce(disc, lit(-1.0)).cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("disc_sum"))
+          .cast("double").as("disc_sum"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -80,7 +80,7 @@ object Relational {
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(Cols.dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total_spent"))
+        sum(Cols.dec2(col("o_totalprice"))).cast("double").as("total_spent"))
       .orderBy(col("c_custkey"))
 
   /** C2 — explicit broadcast of the small dim side (part): at 100 TB the
@@ -92,7 +92,7 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        sum(Cols.revenue).cast("decimal(18,4)").as("revenue"),
+        sum(Cols.revenue).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
 
@@ -110,7 +110,7 @@ object Relational {
         col("o_custkey") === col("c_custkey"))
       .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
-      .agg(sum(Cols.revenue).cast("decimal(18,4)").as("revenue"),
+      .agg(sum(Cols.revenue).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
 
@@ -123,7 +123,7 @@ object Relational {
       .agg(
         count(col("l_linenumber")).as("n_items"),
         coalesce(sum(Cols.dec2(col("l_quantity"))), lit(0))
-          .cast("decimal(18,2)").as("qty_sum"))
+          .cast("double").as("qty_sum"))
       .orderBy(col("o_orderkey"))
 
   /** C5 — full outer many-to-many on nationkey; both sides have unmatched
@@ -248,7 +248,7 @@ object Relational {
     left.join(right, Seq("skew_key", "salt"))
       .groupBy(col("skew_key"))
       .agg(count(lit(1)).as("n"),
-        sum(Cols.dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+        sum(Cols.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
         max(col("p_retailprice")).as("dim_price"))
       .orderBy(col("skew_key"))
   }
@@ -292,21 +292,23 @@ object Relational {
     sqlQuery("subquery_in")(spark, sfDir)
 
   /** D3 — CTE referenced twice (TPC-H Q15 shape). Spark inlines CTEs, so
-    * the naive SQL scans lineitem twice; here the tiny per-supplier
-    * aggregate is materialized once (persist) and reused by both the join
-    * and the MAX subquery — at 100 TB that halves the fact-table reads.
-    * Result is identical to the oracle's WITH-form.
+    * the naive SQL scans lineitem twice; here the per-supplier aggregate is
+    * computed once and the global MAX is attached via a window over that
+    * already-tiny relation (≤ #suppliers rows — dimension-sized even at
+    * 100 TB), so the fact table is read exactly once and nothing is
+    * persisted. Result is identical to the oracle's WITH-form.
     */
   def cteReuse(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rev = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_suppkey"))
       .agg(sum(Cols.revenue).cast("decimal(18,4)").as("total_rev"))
-      .persist()
-    val maxRev = rev.agg(max(col("total_rev")).as("mx"))
+      .withColumn("mx", max(col("total_rev")).over(Window.partitionBy()))
+      .where(col("total_rev") === col("mx"))
     Tables.supplier(spark, sfDir)
       .join(rev, col("s_suppkey") === col("l_suppkey"))
-      .join(broadcast(maxRev), col("total_rev") === col("mx"))
-      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
       .orderBy(col("s_suppkey"))
   }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -51,33 +51,47 @@ object Scalars {
 
   /** fn_date_extra — calendar arithmetic: add_months (end-of-month
     * clamping), last_day, quarter truncation, epoch extraction.
+    *
+    * DATE intermediates are cast to TIMESTAMP_NTZ on the wire (the driver's
+    * oracle path coerces DATE to datetime — date32 output would hash-fail),
+    * and epoch seconds are computed timezone-independently from the NTZ
+    * parts (unix_timestamp would silently depend on the session zone).
     */
   def fnDateExtra(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
         col("o_orderkey"),
-        add_months(col("o_orderdate"), 3).as("plus3m"),
-        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate"), 3).cast("timestamp_ntz").as("plus3m"),
+        last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"),
         date_trunc("quarter", col("o_orderdate")).as("quarter_start"),
-        unix_timestamp(col("o_orderdate").cast("timestamp")).as("epoch_s"))
+        (datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint") * 86400L +
+          hour(col("o_orderdate")) * 3600L +
+          minute(col("o_orderdate")) * 60L +
+          second(col("o_orderdate"))).as("epoch_s"))
       .orderBy(col("o_orderkey"))
 
   /** arr_transform_suite — array manipulation beyond reductions: sort,
-    * reverse, position, containment, flatten, ranges.
+    * reverse, position, containment, flatten, ranges. Array-typed results
+    * are serialized to CSV strings on the wire: the driver's comparator
+    * cannot hash array cells (VERDICT r1 — unhashable ndarray).
     */
-  def arrTransformSuite(spark: SparkSession, sfDir: String): DataFrame =
+  def arrTransformSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    def csv(c: Column): Column =
+      array_join(transform(c, x => x.cast("string")), ",")
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lns_arr"))
       .select(
         col("l_orderkey"),
-        col("lns"),
-        reverse(col("lns")).as("lns_desc"),
-        array_position(col("lns"), 1).cast("int").as("pos_of_1"),
-        array_contains(col("lns"), 3).as("has_3"),
-        flatten(array(col("lns"), col("lns"))).as("doubled"),
-        sequence(lit(1), size(col("lns"))).as("idx"))
+        csv(col("lns_arr")).as("lns"),
+        csv(reverse(col("lns_arr"))).as("lns_desc"),
+        array_position(col("lns_arr"), 1).cast("int").as("pos_of_1"),
+        array_contains(col("lns_arr"), 3).as("has_3"),
+        csv(flatten(array(col("lns_arr"), col("lns_arr")))).as("doubled"),
+        csv(sequence(lit(1), size(col("lns_arr")))).as("idx"))
       .orderBy(col("l_orderkey"))
+  }
 
   /** I3 — math suite. floor/ceil normalized to BIGINT on both engines;
     * % kept to same-sign operands so truncated vs floored mod agree.
@@ -111,19 +125,21 @@ object Scalars {
       .orderBy(col("o_orderkey"))
 
   /** I5 — cast matrix: double→decimal, int→string, trim-cast string→int,
-    * decimal add/multiply (division avoided: precision rules differ).
+    * decimal add/multiply (division avoided: precision rules differ). The
+    * decimal results are cast back to DOUBLE for the wire (internal math
+    * stays exact decimal; the driver's oracle path float-coerces DECIMAL).
     */
   def fnCastDecimal(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
         col("o_orderkey"),
-        col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+        col("o_totalprice").cast("decimal(12,2)").cast("double").as("price_dec"),
         col("o_custkey").cast("string").as("cust_str"),
         trim(lit("  42 ")).cast("int").as("answer"),
         (Cols.dec2(col("o_totalprice")) * lit(2).cast("decimal(3,0)"))
-          .cast("decimal(18,2)").as("doubled"),
+          .cast("decimal(18,2)").cast("double").as("doubled"),
         (Cols.dec2(col("o_totalprice")) + Cols.dec2(col("o_totalprice")))
-          .cast("decimal(18,2)").as("summed"))
+          .cast("decimal(18,2)").cast("double").as("summed"))
       .orderBy(col("o_orderkey"))
 
   /** I6 — hashing: md5 + sha2-256 hex digests of document text. */

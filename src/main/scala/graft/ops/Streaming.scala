@@ -26,19 +26,19 @@ object Streaming {
   def tumblingAgg(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"),
-        sum(Cols.dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+        sum(Cols.dec2(col("value"))).cast("double").as("sum_value"))
 
   /** 1h windows sliding every 15 min. */
   def slidingAgg(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"),
-        sum(Cols.dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+        sum(Cols.dec2(col("value"))).cast("double").as("sum_value"))
 
   /** Per-user session windows with a 30-minute gap (end = last + gap). */
   def sessionAgg(ev: DataFrame): DataFrame =
     ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"),
-        sum(Cols.dec2(col("value"))).cast("decimal(18,2)").as("sum_value"))
+        sum(Cols.dec2(col("value"))).cast("double").as("sum_value"))
 
   /** Watermarked tumbling agg per event type — the L6 streaming shape. */
   def watermarkedAgg(ev: DataFrame): DataFrame =

@@ -34,13 +34,18 @@ object VectorText {
         round(expr("aggregate(slice(embedding, 2, 3), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("sum_2_4"))
       .orderBy(col("vec_id"))
 
-  /** J2 — pairwise cosine (≡ dot: vectors are unit-norm) for a bounded set. */
+  /** J2 — pairwise cosine (≡ dot: vectors are unit-norm) for a bounded set.
+    * `+ 0.0` normalizes IEEE negative zero: Spark's round (BigDecimal) emits
+    * +0.0 where DuckDB's emits -0.0, and the driver's repr-hash sees them as
+    * different values (the sole r1 hash-miss on this query).
+    */
   def vecCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 30)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(expr(dotExpr), 4).as("cosine"))
+      .select(col("a_id"), col("b_id"),
+        (round(expr(dotExpr), 4) + lit(0.0)).as("cosine"))
       .orderBy(col("a_id"), col("b_id"))
   }
 

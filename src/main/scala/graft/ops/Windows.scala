@@ -38,7 +38,7 @@ object Windows {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         Cols.dec2(col("o_totalprice")).as("price2"))
       .withColumn("running_total",
-        sum(col("price2")).over(w).cast("decimal(18,2)"))
+        sum(col("price2")).over(w).cast("double"))
       .drop("price2")
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
@@ -64,7 +64,7 @@ object Windows {
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts_us"),
         Cols.dec2(col("value")).as("value2"))
-      .withColumn("sum_1h", sum(col("value2")).over(w).cast("decimal(18,2)"))
+      .withColumn("sum_1h", sum(col("value2")).over(w).cast("double"))
       .drop("value2")
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
@@ -99,7 +99,7 @@ object Windows {
       .withColumn("bottom_bal", last(col("c_acctbal")).over(wFull))
       .withColumn("spread",
         (Cols.dec2(col("top_bal")) - Cols.dec2(col("c_acctbal")))
-          .cast("decimal(18,2)"))
+          .cast("double"))
       .orderBy(col("c_nationkey"), desc("c_acctbal"), asc("c_custkey"))
   }
 }

@@ -65,7 +65,7 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS revenue,
+        |CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |l_shipdate FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -90,28 +90,28 @@ object OracleSql {
       """SELECT l_returnflag,
         |COUNT(*) AS n_all,
         |COUNT(NULLIF(l_discount, 0.0)) AS n_disc,
-        |SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_disc,
-        |CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), -1.0) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS disc_sum
+        |CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+        |CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), -1.0) AS DECIMAL(18,2))) AS DOUBLE) AS disc_sum
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     // ── joins ──
     "join_inner_equi" ->
       """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spent
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin.replace("\n", " "),
 
     "join_broadcast_dim" ->
       """SELECT p_brand,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "),
 
     "join_multiway_star" ->
       """SELECT n_name,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n_items
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         |JOIN customer ON c_nationkey = n_nationkey
@@ -123,7 +123,7 @@ object OracleSql {
 
     "join_left_outer" ->
       """SELECT o_orderkey, COUNT(l_linenumber) AS n_items,
-        |CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS qty_sum
+        |CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DOUBLE) AS qty_sum
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
@@ -150,10 +150,10 @@ object OracleSql {
     // ── aggregations ──
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(18,6)) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
         |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
         |ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
         |ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
@@ -173,7 +173,7 @@ object OracleSql {
       """SELECT l_returnflag,
         |COUNT(DISTINCT l_partkey) AS n_parts,
         |COUNT(DISTINCT l_suppkey) AS n_supps,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
@@ -203,7 +203,7 @@ object OracleSql {
     "win_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
-        |ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin.replace("\n", " "),
 
     "win_lead_lag" ->
@@ -216,7 +216,7 @@ object OracleSql {
     "win_range_frame" ->
       (EV + """SELECT user_id, event_id, ts_us,
         |CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts_us
-        |RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS sum_1h
+        |RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
         |FROM ev ORDER BY user_id, ts_us, event_id""".stripMargin.replace("\n", " ")),
 
     "win_ntile_pct" ->
@@ -231,7 +231,7 @@ object OracleSql {
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |FIRST_VALUE(c_acctbal) OVER w AS top_bal,
         |LAST_VALUE(c_acctbal) OVER w AS bottom_bal,
-        |CAST(CAST(FIRST_VALUE(c_acctbal) OVER w AS DECIMAL(12,2)) - CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS spread
+        |CAST(CAST(FIRST_VALUE(c_acctbal) OVER w AS DECIMAL(12,2)) - CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS spread
         |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
         |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin.replace("\n", " "),
@@ -239,7 +239,7 @@ object OracleSql {
     // ── grouping analytics / stats / pivot ──
     "agg_rollup" ->
       """SELECT r_name, n_name,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n_orders,
         |CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
         |FROM region JOIN nation ON n_regionkey = r_regionkey
@@ -250,14 +250,14 @@ object OracleSql {
 
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin.replace("\n", " "),
 
     // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text, see E6).
     "agg_grouping_sets" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
-        |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS bal_sum
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin.replace("\n", " "),
@@ -271,7 +271,7 @@ object OracleSql {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     "agg_collect_sorted" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
 
     "agg_percentiles" ->
@@ -335,7 +335,7 @@ object OracleSql {
       """SELECT l_returnflag,
         |COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
         |COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS open_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS open_price,
         |COUNT(*) AS n_all
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
@@ -362,7 +362,7 @@ object OracleSql {
       """WITH rev AS (SELECT l_suppkey,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS total_rev
         |FROM lineitem GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_rev FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev FROM supplier JOIN rev ON s_suppkey = l_suppkey
         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin.replace("\n", " "),
 
@@ -396,20 +396,20 @@ object OracleSql {
     "fn_date_extra" ->
       """SELECT o_orderkey,
         |o_orderdate + INTERVAL 3 MONTH AS plus3m,
-        |CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
         |date_trunc('quarter', o_orderdate) AS quarter_start,
-        |epoch(o_orderdate) AS epoch_s
+        |CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
     "arr_transform_suite" ->
       """WITH a AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
         |FROM lineitem GROUP BY l_orderkey)
-        |SELECT l_orderkey, lns,
-        |list_reverse(lns) AS lns_desc,
+        |SELECT l_orderkey, array_to_string(lns, ',') AS lns,
+        |array_to_string(list_reverse(lns), ',') AS lns_desc,
         |CAST(list_position(lns, 1) AS INT) AS pos_of_1,
         |list_contains(lns, 3) AS has_3,
-        |flatten([lns, lns]) AS doubled,
-        |range(1, len(lns) + 1) AS idx
+        |array_to_string(flatten([lns, lns]), ',') AS doubled,
+        |array_to_string(range(1, len(lns) + 1), ',') AS idx
         |FROM a ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
 
     "fn_math_suite" ->
@@ -436,11 +436,11 @@ object OracleSql {
 
     "fn_cast_decimal" ->
       """SELECT o_orderkey,
-        |CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
         |CAST(o_custkey AS VARCHAR) AS cust_str,
         |CAST(TRIM('  42 ') AS INT) AS answer,
-        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(18,2)) AS doubled,
-        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS summed
+        |CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(18,2)) AS DOUBLE) AS doubled,
+        |CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS DOUBLE) AS summed
         |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
     "fn_hash_md5" ->
@@ -486,7 +486,7 @@ object OracleSql {
     "vec_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
 
     "vec_knn_topk" ->
@@ -548,7 +548,7 @@ object OracleSql {
     "text_lang_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
-        |SUM(len(string_split(text, ' '))) AS total_tokens
+        |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin.replace("\n", " "),
 
     // ── dedup family (md5-based signatures: bit-identical cross-engine) ──
@@ -562,7 +562,7 @@ object OracleSql {
 
     "join_skew_salted" ->
       """SELECT skew_key, COUNT(*) AS n,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |MAX(p_retailprice) AS dim_price
         |FROM (SELECT CAST(CASE WHEN l_linenumber <= 5 THEN 0 ELSE l_orderkey % 50 END AS BIGINT) AS skew_key, l_quantity FROM lineitem) l
         |JOIN (SELECT p_partkey AS skew_key, p_retailprice FROM part WHERE p_partkey < 50) r USING (skew_key)
@@ -676,13 +676,13 @@ object OracleSql {
     // ── streaming / time-series (batch semantics) ──
     "stream_tumbling_1h" ->
       (EV + """SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
-        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM ev) w
         |GROUP BY window_start ORDER BY window_start""".stripMargin.replace("\n", " ")),
 
     "stream_sliding_1h_15m" ->
       (EV + """SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
-        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start, value
         |FROM ev, range(0, 4) t(i)) w
         |GROUP BY window_start ORDER BY window_start""".stripMargin.replace("\n", " ")),
@@ -695,7 +695,7 @@ object OracleSql {
         |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l)
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL '30 minutes' AS session_end,
-        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")),
 
     "stream_dau_retention" ->

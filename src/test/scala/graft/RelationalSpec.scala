@@ -13,11 +13,13 @@ class RelationalSpec extends SparkSpec {
       s"unexpected oracle-less queries: $noOracle")
   }
 
-  test("A1 scan_filter_project: rows in range, revenue decimal") {
+  test("A1 scan_filter_project: rows in range, revenue double on the wire") {
     val df = run("scan_filter_project")
     val n = df.count()
     assert(n > 0)
-    assert(df.schema("revenue").dataType.typeName == "decimal(18,4)")
+    // internal math is exact decimal (Cols.revenue); the wire type is DOUBLE
+    // per the driver-portability protocol (VERDICT r1)
+    assert(df.schema("revenue").dataType.typeName == "double")
     val dates = df.selectExpr("min(l_shipdate) AS lo", "max(l_shipdate) AS hi").head()
     assert(dates.getAs[java.time.LocalDateTime]("lo").getYear == 1996)
     assert(dates.getAs[java.time.LocalDateTime]("hi").getYear == 1996)

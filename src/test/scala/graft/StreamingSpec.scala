@@ -29,11 +29,11 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val streamed = s.table("t_tumble")
       .selectExpr("window.start AS ws", "n", "sum_value").collect()
-      .map(r => (r.get(0).toString, r.getLong(1), r.getDecimal(2).toString)).toSet
+      .map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2))).toSet
     q.stop()
     val batch = Streaming.tumblingAgg(data.toDF())
       .selectExpr("window.start AS ws", "n", "sum_value").collect()
-      .map(r => (r.get(0).toString, r.getLong(1), r.getDecimal(2).toString)).toSet
+      .map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == batch)
     assert(streamed.size == 2) // hour 0 (2 events), hour 1 (1 event)
   }
