@@ -13,6 +13,7 @@ object Queries {
     "source_json_props"     -> (Relational.sourceJsonProps _),
     "filter_complex_pred"   -> (Relational.filterComplexPred _),
     "filter_null_semantics" -> (Relational.filterNullSemantics _),
+    "sink_partitioned_stats" -> (Relational.sinkPartitionedStats _),
     // joins
     "join_inner_equi"       -> (Relational.joinInnerEqui _),
     "join_broadcast_dim"    -> (Relational.joinBroadcastDim _),
@@ -36,6 +37,7 @@ object Queries {
     "agg_stats"             -> (Aggregates.aggStats _),
     "agg_collect_sorted"    -> (Aggregates.aggCollectSorted _),
     "agg_percentiles"       -> (Aggregates.aggPercentiles _),
+    "agg_percentile_approx" -> (Aggregates.aggPercentileApprox _),
     "agg_approx_hll"        -> (Aggregates.aggApproxHll _),
     "pivot_event_type"      -> (Aggregates.pivotEventType _),
     // windows
@@ -44,6 +46,7 @@ object Queries {
     "win_lead_lag"          -> (Windows.winLeadLag _),
     "win_range_frame"       -> (Windows.winRangeFrame _),
     "win_ntile_pct"         -> (Windows.winNtilePct _),
+    "win_ntile_scalable"    -> (Windows.winNtileScalable _),
     "win_first_last"        -> (Windows.winFirstLast _),
     // set operations
     "set_union_all_distinct" -> (Relational.setUnionAllDistinct _),

@@ -132,6 +132,23 @@ object Aggregates {
         round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** agg_percentile_approx — the huge-group scale path promised at
+    * [[aggPercentiles]]: `percentile_approx` is a mergeable quantile sketch
+    * (Greenwald-Khanna variant) with partial (map-side) combine, so a
+    * 100 TB group never sorts — memory is O(accuracy), not O(rows).
+    * Engine-specific sketch → no SQL oracle (the E9 pattern); unit-tested
+    * within 1% relative error of the exact percentiles.
+    */
+  def aggPercentileApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("median_price"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90_price"),
+        expr("percentile_approx(l_quantity, 0.25, 10000)").as("q1_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */
   def pivotEventType(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("view", "click", "purchase", "signup", "error")

@@ -86,6 +86,57 @@ object Windows {
       .orderBy(col("c_custkey"))
   }
 
+  /** F5 v2 — the SAME quartile/percent_rank/cume_dist semantics as
+    * win_ntile_pct, but computed without a single-partition global window —
+    * the 100 TB path (the same exact-vs-scalable pairing as J3 vs M5/M15).
+    *
+    * Two-pass range-partitioned algorithm:
+    *   1. `repartitionByRange` on the sort key → globally ordered partition
+    *      ranges, each ranked locally in parallel.
+    *   2. Per-partition row counts (one tiny row per partition) are turned
+    *      into prefix offsets; global_rank = offset(part) + local_rank.
+    *   3. ntile/percent_rank/cume_dist are closed-form in (global_rank, N)
+    *      because the order key carries a unique tie-breaker (§5.3.4):
+    *      rank == row_number, so pct = (rn-1)/(N-1), cume = rn/N, and
+    *      ntile(k) gives the first N mod k buckets ceil(N/k) rows.
+    *
+    * The only unpartitioned windows run over the P-row partition summary —
+    * bounded by partition count, not data size. Oracle: identical SQL to
+    * win_ntile_pct (DuckDB computes the global window directly).
+    */
+  def winNtileScalable(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = 8 // ≥ 2 proves the scale shape at test SF; O(cores) on a cluster
+    val k = 4
+    val ranked = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("part")).orderBy(col("c_acctbal"), col("c_custkey"))))
+    val offsets = ranked.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("part")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("part"), col("offset"), col("n_total"))
+    // ntile(k) in closed form: the first (N mod k) buckets hold ceil(N/k)
+    // rows, the rest floor(N/k); `rn - 1` indexes into that layout.
+    ranked.join(broadcast(offsets), "part")
+      .withColumn("rn", col("offset") + col("lrn"))
+      .withColumn("quartile", expr(
+        s"""cast(if(rn - 1 < (n_total % $k) * (n_total div $k + 1),
+           |        (rn - 1) div (n_total div $k + 1),
+           |        (n_total % $k) + (rn - 1 - (n_total % $k) * (n_total div $k + 1)) div (n_total div $k)
+           |       ) + 1 as int)""".stripMargin))
+      .withColumn("pct_rank",
+        round((col("rn") - 1).cast("double") / (col("n_total") - 1), 6))
+      .withColumn("cume", round(col("rn").cast("double") / col("n_total"), 6))
+      .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** F6 — first/last over an explicit full-partition frame; spread in
     * exact decimal.
     */

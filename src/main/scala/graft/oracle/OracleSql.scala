@@ -227,6 +227,16 @@ object OracleSql {
         |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
 
+    // identical oracle to win_ntile_pct: the two-pass range-partitioned
+    // implementation must agree exactly with the global-window semantics
+    "win_ntile_scalable" ->
+      """SELECT c_custkey, c_acctbal,
+        |NTILE(4) OVER w AS quartile,
+        |ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
     "win_first_last" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |FIRST_VALUE(c_acctbal) OVER w AS top_bal,
@@ -280,6 +290,14 @@ object OracleSql {
         |round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
         |round(quantile_cont(l_quantity, 0.25), 6) AS q1_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    // round-trips orders through a year-partitioned parquet layout; the
+    // oracle aggregates the original table — values must survive the sink
+    "sink_partitioned_stats" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
 
     "pivot_event_type" ->
       """SELECT user_id,

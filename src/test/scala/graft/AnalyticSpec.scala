@@ -63,6 +63,20 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("agg_percentile_approx: within 1% relative error of exact percentiles") {
+    val exact = run("agg_percentiles").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("median_price"), r.getAs[Double]("p90_price"))).toMap
+    run("agg_percentile_approx").collect().foreach { r =>
+      val k = r.getAs[String]("l_returnflag")
+      val (m, p90) = exact(k)
+      assert(math.abs(r.getAs[Double]("median_price") - m) <= 0.01 * m.abs,
+        s"$k median ${r.getAs[Double]("median_price")} vs exact $m")
+      assert(math.abs(r.getAs[Double]("p90_price") - p90) <= 0.01 * p90.abs,
+        s"$k p90 ${r.getAs[Double]("p90_price")} vs exact $p90")
+    }
+  }
+
   test("E10 pivot_event_type: row per user, columns sum to event count") {
     val df = run("pivot_event_type")
     val total = df.selectExpr("sum(view + click + purchase + signup + error)").head().getLong(0)

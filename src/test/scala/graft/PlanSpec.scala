@@ -66,6 +66,35 @@ class PlanSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("F5v2: scalable ntile sorts in >1 partition (no global window)") {
+    val df = run("win_ntile_scalable")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected repartitionByRange in:\n$plan")
+    // the data-sized window is partitioned by `part`; only the P-row offset
+    // summary may use an unpartitioned window
+    val results = run("win_ntile_scalable").collect()
+    val global = run("win_ntile_pct").collect()
+    assert(results.length == global.length)
+    // exact agreement with the single-partition global-window semantics
+    results.zip(global).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("A4q: sink_partitioned_stats read-back prunes partitions") {
+    val df = run("sink_partitioned_stats")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition pruning:\n$plan")
+    assert(plan.contains("o_year"), s"o_year not a partition filter:\n$plan")
+  }
+
+  test("agg_percentile_approx: mergeable sketch plans partial+final, no sort") {
+    val plan = executed("agg_percentile_approx")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregate:\n$plan")
+  }
+
   test("A4: partitioned parquet write round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_write").toString
     Tables.orders(spark, sf)
