@@ -50,6 +50,13 @@ case class AsOfJoinExec(
     rightUser: Expression, rightTs: Expression)
   extends BinaryExecNode {
 
+  // the merge loop compares primitive longs; reject other key/ts types at
+  // planning time instead of silently unboxing garbage at runtime
+  require(Seq(leftUser, leftTs, rightUser, rightTs)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType),
+    s"AsOfJoinExec supports LongType key/ts columns, got: " +
+      Seq(leftUser, leftTs, rightUser, rightTs).map(_.dataType).mkString(", "))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -74,27 +81,47 @@ case class AsOfJoinExec(
     val rightOut = right.output
 
     left.execute().zipPartitions(right.execute()) { (le, ri) =>
-      val project = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // bind against nullable right attrs: the null-extension row flows
+      // through this projection, so the input schema must admit nulls even
+      // when the right child's columns are declared non-nullable
+      val project = UnsafeProjection.create(
+        outAttrs, leftOut ++ rightOut.map(_.withNullability(true)))
       val nulls = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       var rHead: InternalRow = if (ri.hasNext) ri.next() else null
       var carry: InternalRow = null
       var carryUser: Long = Long.MinValue
+      def nextRight(): InternalRow = if (ri.hasNext) ri.next() else null
       le.map { e =>
-        val eUser = lUser.eval(e).asInstanceOf[Long]
-        val eTs = lTs.eval(e).asInstanceOf[Long]
-        // advance the right side up to (user, ts); keep only the latest
-        var advancing = true
-        while (advancing && rHead != null) {
-          val ru = rUser.eval(rHead).asInstanceOf[Long]
-          if (ru < eUser ||
-              (ru == eUser && rTs.eval(rHead).asInstanceOf[Long] <= eTs)) {
-            if (ru == eUser) { carry = rHead.copy(); carryUser = ru }
-            rHead = if (ri.hasNext) ri.next() else null
-          } else advancing = false
+        val eUserB = lUser.eval(e)
+        val eTsB = lTs.eval(e)
+        if (eUserB == null || eTsB == null) {
+          // SQL join semantics: a null key matches nothing
+          project(joined(e, nulls))
+        } else {
+          val eUser = eUserB.asInstanceOf[Long]
+          val eTs = eTsB.asInstanceOf[Long]
+          // advance the right side up to (user, ts); keep only the latest.
+          // Null right keys/timestamps sort first (NULLS FIRST ordering) and
+          // can never match — skip past them.
+          var advancing = true
+          while (advancing && rHead != null) {
+            val ruB = rUser.eval(rHead)
+            val rtB = if (ruB == null) null else rTs.eval(rHead)
+            if (ruB == null || (rtB == null && ruB.asInstanceOf[Long] <= eUser)) {
+              rHead = nextRight()
+            } else {
+              val ru = ruB.asInstanceOf[Long]
+              if (ru < eUser ||
+                  (ru == eUser && rtB.asInstanceOf[Long] <= eTs)) {
+                if (ru == eUser) { carry = rHead.copy(); carryUser = ru }
+                rHead = nextRight()
+              } else advancing = false
+            }
+          }
+          val matched = carry != null && carryUser == eUser
+          project(joined(e, if (matched) carry else nulls))
         }
-        val matched = carry != null && carryUser == eUser
-        project(joined(e, if (matched) carry else nulls))
       }
     }
   }

@@ -95,6 +95,28 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate:\n$plan")
   }
 
+  test("fleet: no unbounded nested-loop or cartesian joins anywhere") {
+    // Queries allowed a BroadcastNestedLoopJoin — every one carries an
+    // explicit candidate bound or broadcasts a provably tiny side:
+    val boundedByDesign = Set(
+      "join_cross",             // contract cross join: region(5) × nation(25)
+      "vec_cosine_pairs",       // vec_id < 30 verification stage
+      "vec_knn_topk",           // 10 broadcast query vectors (M5/M15 = scale path)
+      "dedup_embedding_topk",   // vec_id < 300 verification stage
+      "text_jaccard_pairs",     // doc_id < 10 verification stage
+      "text_levenshtein_pairs", // doc_id < 8 blocking survivors
+      "text_tfidf_top",         // broadcast 1-row corpus count
+      "ann_ivf_topk")           // broadcast 10-row centroid table
+    SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an unapproved BroadcastNestedLoopJoin")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
   test("A4: partitioned parquet write round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_write").toString
     Tables.orders(spark, sf)
