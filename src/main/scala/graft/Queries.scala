@@ -14,6 +14,8 @@ object Queries {
     "filter_complex_pred"   -> (Relational.filterComplexPred _),
     "filter_null_semantics" -> (Relational.filterNullSemantics _),
     "sink_partitioned_stats" -> (Relational.sinkPartitionedStats _),
+    "join_dpp_partitioned"  -> (Relational.joinDppPartitioned _),
+    "join_bucketed_colocated" -> (Relational.joinBucketedColocated _),
     // joins
     "join_inner_equi"       -> (Relational.joinInnerEqui _),
     "join_broadcast_dim"    -> (Relational.joinBroadcastDim _),

@@ -69,6 +69,70 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A5 — dynamic partition pruning, live (VERDICT r1 "What's missing" #4):
+    * the fact side is the year-partitioned orders layout; the dim side is a
+    * tiny year dimension filtered on a NON-key attribute (leap-year label),
+    * so static pruning can't apply — Spark must broadcast the filtered dim
+    * keys at runtime and prune fact partitions via a
+    * `dynamicpruningexpression` on the scan (PlanSpec gate).
+    *
+    * 100 TB note: DPP is the difference between scanning 4 years and 1 year
+    * of a date-partitioned lake when the filter arrives through a dimension
+    * table — the standard star-schema access path.
+    */
+  def joinDppPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_dpp_orders").getAbsolutePath
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    // tiny derived year dim; the filter lands on `d_label`, not the join key
+    val dimYears = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("d_year")).distinct()
+      .withColumn("d_label",
+        when(col("d_year") % 4 === 0, lit("leap")).otherwise(lit("common")))
+    spark.read.parquet(out)
+      .join(broadcast(dimYears.where(col("d_label") === "leap")),
+        col("o_year") === col("d_year"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A6 — bucketed co-located join: both sides land as bucketed tables on
+    * the join key, so the join plans WITHOUT a shuffle exchange on either
+    * side (PlanSpec gate) — the bucket layout IS the exchange, paid once at
+    * write time and amortized over every subsequent join.
+    *
+    * 100 TB note: for a fact table joined daily on the same key, bucketing
+    * converts an O(data) shuffle per query into zero — the single biggest
+    * recurring-cost lever after partitioning.
+    */
+  def joinBucketedColocated(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = 8
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_bkt")
+    def land(df: DataFrame, table: String, key: String): Unit =
+      df.write.mode("overwrite")
+        .option("path", new java.io.File(base, table).getAbsolutePath)
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
+    land(Tables.orders(spark, sfDir), "graft_orders_bkt", "o_custkey")
+    land(Tables.customer(spark, sfDir), "graft_customer_bkt", "c_custkey")
+    // `merge` hint: at test SF the dim is broadcastable, which would hide
+    // the property under test — bucketed SMJ must plan with NO exchange on
+    // either join key (at 100 TB both sides are too big to broadcast)
+    spark.table("graft_orders_bkt").hint("merge")
+      .join(spark.table("graft_customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** B1 — compound boolean predicate: isin / between / like / negation. */
   def filterComplexPred(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

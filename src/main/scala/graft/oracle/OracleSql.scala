@@ -299,6 +299,21 @@ object OracleSql {
         |FROM orders WHERE year(o_orderdate) = 1996
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
 
+    // dim-filtered star query over the partitioned layout: joining the
+    // distinct-year dim (filtered to leap years) ≡ filtering years % 4 = 0
+    "join_dpp_partitioned" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders WHERE year(o_orderdate) % 4 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
+
+    // bucketed-layout round-trip: values must match the plain join
+    "join_bucketed_colocated" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace("\n", " "),
+
     "pivot_event_type" ->
       """SELECT user_id,
         |COUNT(*) FILTER (WHERE event_type = 'view') AS "view",

@@ -117,6 +117,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("A5: dim-filtered star over partitioned layout fires dynamic partition pruning") {
+    val df = run("join_dpp_partitioned")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"DPP did not fire:\n$plan")
+    assert(plan.contains("SubqueryBroadcast") || plan.contains("ReusedExchange"),
+      s"runtime dim-key broadcast missing:\n$plan")
+  }
+
+  test("A6: bucketed co-located join plans with no exchange on the join keys") {
+    val df = run("join_bucketed_colocated")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // AQE renders the scans in both the Final and Initial plan sections
+    assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+      s"both scans must be bucketed:\n$plan")
+    // the bucket layout replaces the shuffle: no exchange on either key
+    // (the only exchanges belong to the post-join aggregation/sort)
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"orders side shuffled despite bucketing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"customer side shuffled despite bucketing:\n$plan")
+  }
+
+  test("CBO: ANALYZE TABLE statistics reach the optimizer") {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .option("path", "/tmp/graft_stats_orders")
+        .format("parquet").saveAsTable("graft_stats_orders")
+      spark.sql("ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS")
+      spark.sql(
+        "ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS FOR COLUMNS o_custkey")
+      val stats = spark.table("graft_stats_orders")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1500)),
+        s"row count not propagated: ${stats.rowCount}")
+      assert(stats.attributeStats.nonEmpty,
+        "column-level stats not propagated")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("A4: partitioned parquet write round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_write").toString
     Tables.orders(spark, sf)
