@@ -52,13 +52,17 @@ object Similarity {
           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
       .select(col("vec_id"), col("embedding"), col("cell"), col("d"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    // One ranking pass feeds both the inverted lists and the probe list;
-    // materialized once — building the IVF index IS a materialization step
-    // (at 100 TB: write assignments bucketed by cell, reuse across queries).
-    val ranked = dots.withColumn("rn", row_number().over(wAssign)).persist()
-    val assigned = ranked.where(col("rn") === 1)
+    // Inverted lists: every vector's argmax cell (full-corpus ranking pass —
+    // at 100 TB this is the index build, written bucketed by cell and
+    // reused across queries).
+    val assigned = dots.withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val probe = ranked.where(col("rn") <= 2 && col("vec_id") < 20)
+    // Probe list: nprobe=2 cells per QUERY vector only — ranked over the
+    // pre-filtered |queries|×|cells| slice, not the full corpus ranking.
+    val probe = dots.where(col("vec_id") < 20)
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") <= 2)
       .select(col("vec_id").as("a_id"), col("cell"))
     // search only the probed cells' inverted lists; the probe×query side is
     // nprobe×|queries| rows → broadcast it so the corpus never shuffles
