@@ -29,6 +29,7 @@ object Queries {
     "sort_multi_nulls"      -> (Relational.sortMultiNulls _),
     "limit_topk"            -> (Relational.limitTopk _),
     "topk_per_group"        -> (Relational.topkPerGroup _),
+    "sample_hash_bucket"    -> (Relational.sampleHashBucket _),
     // aggregations
     "agg_pricing_summary"   -> (Aggregates.aggPricingSummary _),
     "agg_count_distinct"    -> (Aggregates.aggCountDistinct _),
@@ -50,10 +51,14 @@ object Queries {
     "win_ntile_pct"         -> (Windows.winNtilePct _),
     "win_ntile_scalable"    -> (Windows.winNtileScalable _),
     "win_first_last"        -> (Windows.winFirstLast _),
+    "win_nth_value"         -> (Windows.winNthValue _),
     // set operations
     "set_union_all_distinct" -> (Relational.setUnionAllDistinct _),
     "set_intersect"         -> (Relational.setIntersect _),
     "set_except_all"        -> (Relational.setExceptAll _),
+    "unpivot_measures"      -> (Relational.unpivotMeasures _),
+    "explode_outer_tokens"  -> (Relational.explodeOuterTokens _),
+    "fn_map_suite"          -> (Relational.fnMapSuite _),
     // subqueries / CTE
     "subquery_scalar_uncorr" -> (Relational.subqueryScalarUncorr _),
     "subquery_in"           -> (Relational.subqueryIn _),
@@ -64,6 +69,7 @@ object Queries {
     "cte_reuse"             -> (Relational.cteReuse _),
     // scalar function suites
     "fn_string_suite"       -> (Scalars.fnStringSuite _),
+    "fn_string_suite2"      -> (Scalars.fnStringSuite2 _),
     "fn_date_suite"         -> (Scalars.fnDateSuite _),
     "fn_date_extra"         -> (Scalars.fnDateExtra _),
     "arr_transform_suite"   -> (Scalars.arrTransformSuite _),
@@ -116,6 +122,7 @@ object Queries {
     "stream_dau_retention"  -> (Streaming.streamDauRetention _),
     "stream_funnel"         -> (Streaming.streamFunnel _),
     "stream_watermark_late" -> (Streaming.streamWatermarkLate _),
+    "stream_dedup_keep_first" -> (Streaming.streamDedupKeepFirst _),
     // event joins
     "join_range_funnel"     -> (Streaming.joinRangeFunnel _),
     "join_asof"             -> (Streaming.joinAsof _),

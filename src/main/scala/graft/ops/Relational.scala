@@ -283,6 +283,22 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** G4 — deterministic hash-bucket sampling: md5 of the key is bit-identical
+    * cross-engine, so the ~10% sample (hex prefix 00..19 = 26/256) is exactly
+    * reproducible — the property a training pipeline needs for stable
+    * train/test splits. Contrast `TABLESAMPLE`/`df.sample`, whose RNG is
+    * engine- and partitioning-dependent.
+    *
+    * 100 TB note: the predicate is a pure per-row function of the key — no
+    * shuffle, fully parallel, and stable under repartitioning/backfills.
+    */
+  def sampleHashBucket(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("bucket", substring(md5(col("o_orderkey").cast("string")), 1, 2))
+      .where(col("bucket") <= "19")
+      .select(col("o_orderkey"), col("bucket"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
   // ───────────────────────── set operations (§2.H) ────────────────────────
 
   /** H1 — UNION ALL (multiset) and UNION DISTINCT arms, tagged. */
@@ -343,6 +359,50 @@ object Relational {
         max(col("p_retailprice")).as("dim_price"))
       .orderBy(col("skew_key"))
   }
+
+  /** H4 — unpivot/melt: the 4 lineitem measure columns become
+    * (measure, value) rows — the wide→long reshape every feature pipeline
+    * needs. Spark's native `unpivot` (Expand-based: one pass, no join);
+    * the oracle is the portable UNION ALL form.
+    */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  /** J11 — explode_outer: rows whose array is empty survive with NULL —
+    * the outer-generator semantics a filter-then-flatten pipeline needs so
+    * empty docs aren't silently dropped.
+    */
+  def explodeOuterTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 40)
+      .select(col("doc_id"),
+        explode_outer(expr("filter(split(text, ' '), x -> length(x) > 8)"))
+          .as("long_tok"))
+      .orderBy(col("doc_id"), asc_nulls_first("long_tok"))
+
+  /** I8 — map-typed column surface: construct, keys/values (serialized —
+    * the driver comparator can't hash map cells), scalar extraction,
+    * cardinality. MapType is the schema shape for open metadata columns
+    * (multimodal sidecars, feature bags).
+    */
+  def fnMapSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        map(lit("brand"), col("p_brand"), lit("type"), col("p_type")).as("m"))
+      .select(
+        col("p_partkey"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        array_join(map_values(col("m")), ",").as("vals_csv"),
+        element_at(col("m"), "brand").as("brand_val"),
+        size(col("m")).as("n_entries"))
+      .orderBy(col("p_partkey"))
 
   // ──────────────────── subqueries / CTE via SQL (§2.D) ───────────────────
   // The SQL text is shared verbatim with the DuckDB oracle (OracleSql), so

@@ -32,6 +32,26 @@ object Scalars {
         translate(col("p_type"), "AEIOU", "aeiou").as("translated"))
       .orderBy(col("p_partkey"))
 
+  /** I1b — second string suite: regex replace, field splitting, substring
+    * position, edge slices, repetition, reversal, affix predicates — the
+    * remainder of the string surface a migrating user would reach for.
+    */
+  def fnStringSuite2(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_brand"), "[0-9]+", "N").as("brand_norm"),
+        expr("split_part(p_type, ' ', 2)").as("type_mid"),
+        instr(col("p_name"), "a").cast("int").as("pos_a"),
+        expr("left(p_name, 3)").as("head3"),
+        expr("right(p_name, 3)").as("tail3"),
+        repeat(lit("*"), (col("p_partkey") % 3 + 1).cast("int")).as("stars"),
+        reverse(col("p_brand")).as("brand_rev"),
+        col("p_name").startsWith("part").as("is_part"),
+        col("p_type").endsWith("steel").as("is_steel"),
+        col("p_name").contains("0").as("has_zero"))
+      .orderBy(col("p_partkey"))
+
   /** I2 — datetime suite over orders. Spark dayofweek is Sun=1; the oracle
     * adds +1 to DuckDB's Sun=0 (SURVEY §5.3.6).
     */

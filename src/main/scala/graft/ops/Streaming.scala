@@ -118,6 +118,23 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** L7 — keep-first dedup per (user_id, event_type): the batch contract is
+    * earliest-by-(ts, event_id); the streaming twin is
+    * `dropDuplicates("user_id","event_type")` under a watermark
+    * (StreamingSpec), whose keep-first-arrival matches this when events
+    * arrive in time order. The core exact-dedup shape of an event pipeline.
+    */
+  def streamDedupKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // ── event joins ──
 
   /** C8 — theta/range join: view→purchase pairs within 5 minutes, same

@@ -137,6 +137,23 @@ object Windows {
       .orderBy(col("c_custkey"))
   }
 
+  /** F7 — offset/positional window extras: nth_value over the explicit
+    * full-partition frame, lag/lead with explicit defaults (no implicit
+    * NULL at partition edges).
+    */
+  def winNthValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("second_bal", nth_value(col("c_acctbal"), 2).over(wFull))
+      .withColumn("third_bal", nth_value(col("c_acctbal"), 3).over(wFull))
+      .withColumn("prev2_bal", lag(col("c_acctbal"), 2, -1.0).over(w))
+      .withColumn("next2_bal", lead(col("c_acctbal"), 2, -1.0).over(w))
+      .orderBy(col("c_nationkey"), desc("c_acctbal"), asc("c_custkey"))
+  }
+
   /** F6 — first/last over an explicit full-partition frame; spread in
     * exact decimal.
     */

@@ -193,6 +193,13 @@ object OracleSql {
         |FROM orders) t WHERE rn <= 2
         |ORDER BY o_custkey, rn""".stripMargin.replace("\n", " "),
 
+    // md5 is bit-identical cross-engine → exact same sample set
+    "sample_hash_bucket" ->
+      """SELECT o_orderkey, substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS bucket, o_totalprice
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
     // ── window functions ──
     "win_rank_topn" ->
       """SELECT * FROM (SELECT c_nationkey, c_custkey, c_acctbal,
@@ -237,6 +244,18 @@ object OracleSql {
         |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
 
+    "win_nth_value" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |NTH_VALUE(c_acctbal, 2) OVER wf AS second_bal,
+        |NTH_VALUE(c_acctbal, 3) OVER wf AS third_bal,
+        |LAG(c_acctbal, 2, -1.0) OVER w AS prev2_bal,
+        |LEAD(c_acctbal, 2, -1.0) OVER w AS next2_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+        |wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin.replace("\n", " "),
+
     "win_first_last" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |FIRST_VALUE(c_acctbal) OVER w AS top_bal,
@@ -263,6 +282,39 @@ object OracleSql {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin.replace("\n", " "),
+
+    // portable UNION ALL form of Spark's Expand-based unpivot
+    "unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) u
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin.replace("\n", " "),
+
+    // outer-unnest emulation: empty lists yield one NULL row
+    "explode_outer_tokens" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 8) AS lt
+        |FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END) AS long_tok
+        |FROM t ORDER BY doc_id, long_tok NULLS FIRST""".stripMargin.replace("\n", " "),
+
+    // DuckDB map extraction returns a 0/1-element list → index [1]
+    "fn_map_suite" ->
+      """WITH m AS (SELECT p_partkey, map {'brand': p_brand, 'type': p_type} AS m FROM part)
+        |SELECT p_partkey,
+        |array_to_string(map_keys(m), ',') AS keys_csv,
+        |array_to_string(map_values(m), ',') AS vals_csv,
+        |m['brand'][1] AS brand_val,
+        |CAST(cardinality(m) AS INT) AS n_entries
+        |FROM m ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "stream_dedup_keep_first" ->
+      (EV + """SELECT user_id, event_type, ts_us, event_id FROM (
+        |SELECT user_id, event_type, ts_us, event_id,
+        |ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS rn
+        |FROM ev) t WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin.replace("\n", " ")),
 
     // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text, see E6).
     "agg_grouping_sets" ->
@@ -412,6 +464,20 @@ object OracleSql {
         |CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
         |regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
         |translate(p_type, 'AEIOU', 'aeiou') AS translated
+        |FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+
+    "fn_string_suite2" ->
+      """SELECT p_partkey,
+        |regexp_replace(p_brand, '[0-9]+', 'N', 'g') AS brand_norm,
+        |split_part(p_type, ' ', 2) AS type_mid,
+        |CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+        |left(p_name, 3) AS head3,
+        |right(p_name, 3) AS tail3,
+        |repeat('*', CAST(p_partkey % 3 + 1 AS INT)) AS stars,
+        |reverse(p_brand) AS brand_rev,
+        |starts_with(p_name, 'part') AS is_part,
+        |ends_with(p_type, 'steel') AS is_steel,
+        |contains(p_name, '0') AS has_zero
         |FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " "),
 
     "fn_date_suite" ->

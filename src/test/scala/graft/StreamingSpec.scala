@@ -38,6 +38,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 2) // hour 0 (2 events), hour 1 (1 event)
   }
 
+  test("L7 twin: streaming dropDuplicates keeps first arrival per key") {
+    implicit val ctx = s.sqlContext
+    val data = Seq(
+      Ev(t("2024-01-01 00:05:00"), 1, 10.0, "view"),
+      Ev(t("2024-01-01 00:06:00"), 1, 11.0, "view"),  // dup key, later
+      Ev(t("2024-01-01 00:07:00"), 1, 12.0, "click"),
+      Ev(t("2024-01-01 00:08:00"), 2, 13.0, "view"),
+      Ev(t("2024-01-01 00:09:00"), 2, 14.0, "view")) // dup key, later
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    ms.addData(data: _*)
+    q.processAllAvailable()
+    val streamed = s.table("t_dedup")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    q.stop()
+    // time-ordered arrival → keep-first-arrival == keep-earliest-by-ts,
+    // the batch contract of stream_dedup_keep_first
+    assert(streamed == Set(
+      (1L, "view", t("2024-01-01 00:05:00")),
+      (1L, "click", t("2024-01-01 00:07:00")),
+      (2L, "view", t("2024-01-01 00:08:00"))))
+  }
+
   test("L6 watermark: late event beyond watermark is dropped (append mode)") {
     implicit val ctx = s.sqlContext
     val ms = MemoryStream[Ev]
