@@ -123,6 +123,7 @@ object Queries {
     "stream_funnel"         -> (Streaming.streamFunnel _),
     "stream_watermark_late" -> (Streaming.streamWatermarkLate _),
     "stream_dedup_keep_first" -> (Streaming.streamDedupKeepFirst _),
+    "stream_stateful_count" -> (Streaming.streamStatefulCount _),
     // event joins
     "join_range_funnel"     -> (Streaming.joinRangeFunnel _),
     "join_asof"             -> (Streaming.joinAsof _),

@@ -135,6 +135,36 @@ object Streaming {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** L8 — custom keyed state via `mapGroupsWithState`: running per-user
+    * event count with the count itself as the state value — the typed
+    * building block for bespoke sessionization/CEP that windowed aggs
+    * can't express. In batch the same code runs as a one-shot group pass
+    * (oracle-checkable: ≡ COUNT(*) per user); in streaming the state
+    * accumulates across micro-batches (StreamingSpec twin).
+    *
+    * 100 TB note: state is one long per user, hash-partitioned by key —
+    * the state store scales with |keys|, never with |events|.
+    */
+  def statefulCount(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    ev.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n_events")
+  }
+
+  /** L8 batch contract entry. */
+  def streamStatefulCount(spark: SparkSession, sfDir: String): DataFrame =
+    statefulCount(Tables.events(spark, sfDir))
+      .orderBy(col("user_id"))
+
   // ── event joins ──
 
   /** C8 — theta/range join: view→purchase pairs within 5 minutes, same

@@ -309,6 +309,11 @@ object OracleSql {
         |CAST(cardinality(m) AS INT) AS n_entries
         |FROM m ORDER BY p_partkey""".stripMargin.replace("\n", " "),
 
+    // mapGroupsWithState in batch ≡ plain per-key count
+    "stream_stateful_count" ->
+      (EV + """SELECT user_id, COUNT(*) AS n_events FROM ev
+        |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+
     "stream_dedup_keep_first" ->
       (EV + """SELECT user_id, event_type, ts_us, event_id FROM (
         |SELECT user_id, event_type, ts_us, event_id,

@@ -66,6 +66,28 @@ class StreamingSpec extends SparkSpec {
       (2L, "view", t("2024-01-01 00:08:00"))))
   }
 
+  test("L8 twin: mapGroupsWithState accumulates state across micro-batches") {
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.statefulCount(ms.toDF())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("update").start()
+    ms.addData(Ev(t("2024-01-01 00:01:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 00:02:00"), 1, 1.0, "click"),
+      Ev(t("2024-01-01 00:03:00"), 2, 1.0, "view"))
+    q.processAllAvailable()
+    ms.addData(Ev(t("2024-01-01 00:04:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 00:05:00"), 2, 1.0, "view"))
+    q.processAllAvailable()
+    // update-mode memory sink appends one row per key per trigger; the
+    // running maximum per key is the accumulated state
+    val finalCounts = s.table("t_state").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    assert(finalCounts == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("L6 watermark: late event beyond watermark is dropped (append mode)") {
     implicit val ctx = s.sqlContext
     val ms = MemoryStream[Ev]
