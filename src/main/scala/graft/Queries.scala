@@ -67,6 +67,7 @@ object Queries {
     "fn_try_cast"           -> (Relational.fnTryCast _),
     "subquery_correlated"   -> (Relational.subqueryCorrelated _),
     "cte_reuse"             -> (Relational.cteReuse _),
+    "param_sweep_argmin"    -> (Relational.paramSweepArgmin _),
     // scalar function suites
     "fn_string_suite"       -> (Scalars.fnStringSuite _),
     "fn_string_suite2"      -> (Scalars.fnStringSuite2 _),
@@ -115,6 +116,7 @@ object Queries {
     // multimodal
     "mm_binary_stats"       -> (Multimodal.binaryStats _),
     "mm_decode_features"    -> (Multimodal.decodeFeatures _),
+    "mm_frame_sample"       -> (Multimodal.frameSample _),
     // streaming / time-series (batch semantics; stream twins in tests)
     "stream_tumbling_1h"    -> (Streaming.streamTumbling1h _),
     "stream_sliding_1h_15m" -> (Streaming.streamSliding1h15m _),

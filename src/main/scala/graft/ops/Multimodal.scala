@@ -55,6 +55,25 @@ object Multimodal {
       .withColumn("fake_h", expr("CAST(64 + (n_bytes div 64) % 64 AS INT)"))
       .orderBy(col("doc_id"))
 
+  /** mm_frame_sample — frame-sampling plumbing: derive a deterministic
+    * fake frame count from the payload size (stand-in for container
+    * metadata), emit every 10th frame index. The schema/batching shape is
+    * exactly what a real video sampler produces; only the metadata read is
+    * faked (no codecs in this container). Oracle replicates the
+    * arithmetic, so the plumbing is value-checked.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (lit(24) + length(col("text").cast("binary")) % 240).as("n_frames"))
+      .withColumn("sampled", sequence(lit(0), col("n_frames") - 1, lit(10)))
+      .select(
+        col("doc_id"), col("n_frames"),
+        size(col("sampled")).as("n_sampled"),
+        array_join(expr("transform(sampled, x -> cast(x as string))"), ",")
+          .as("idx_csv"))
+      .orderBy(col("doc_id"))
+
   /** mm_decode_features — the mapPartitions decode pipeline over binary
     * media using the stub codec. No SQL oracle (driver rows-only check);
     * unit-tested against an independent SQL computation of the same stub.

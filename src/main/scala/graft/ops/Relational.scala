@@ -360,6 +360,31 @@ object Relational {
       .orderBy(col("skew_key"))
   }
 
+  /** D4 — parameter sweep → best params (the reference's calibration
+    * shape, SURVEY §1.2): broadcast a small param grid against the fact
+    * table, score every (param, row) pair in one pass, aggregate per
+    * param, rank. The per-row error |l_quantity − 25 − p| is
+    * integer-valued, so the double sum is order-independent (exact).
+    *
+    * 100 TB note: grid×facts is a broadcast nested-loop over a ≤7-row
+    * grid — one fact scan for the whole sweep, no shuffle until the
+    * 7-group aggregate.
+    */
+  def paramSweepArgmin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = Tables.lineitem(spark, sfDir)
+      .select(col("l_linenumber").as("p")).distinct()
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity"))
+      .crossJoin(broadcast(grid))
+      .groupBy(col("p"))
+      .agg(sum(abs(col("l_quantity") - 25 - col("p"))).as("total_err"),
+        count(lit(1)).as("n"))
+      .withColumn("rank_err",
+        row_number().over(Window.orderBy(col("total_err"), col("p"))))
+      .orderBy(col("rank_err"))
+  }
+
   /** H4 — unpivot/melt: the 4 lineitem measure columns become
     * (measure, value) rows — the wide→long reshape every feature pipeline
     * needs. Spark's native `unpivot` (Expand-based: one pass, no join);

@@ -448,6 +448,16 @@ object OracleSql {
         |FROM part p2 WHERE p2.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin.replace("\n", " "),
 
+    // param grid × facts, one pass; per-row error is integer-valued so the
+    // double sum is order-independent
+    "param_sweep_argmin" ->
+      """WITH grid AS (SELECT DISTINCT l_linenumber AS p FROM lineitem)
+        |SELECT p, total_err, n, rank_err FROM (
+        |SELECT p, SUM(ABS(l_quantity - 25 - p)) AS total_err, COUNT(*) AS n,
+        |ROW_NUMBER() OVER (ORDER BY SUM(ABS(l_quantity - 25 - p)), p) AS rank_err
+        |FROM lineitem CROSS JOIN grid GROUP BY p) t
+        |ORDER BY rank_err""".stripMargin.replace("\n", " "),
+
     "cte_reuse" ->
       """WITH rev AS (SELECT l_suppkey,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS total_rev
@@ -843,6 +853,13 @@ object OracleSql {
         |ORDER BY e.event_id""".stripMargin.replace("\n", " ")),
 
     // ── multimodal (binary column plumbing) ──
+    "mm_frame_sample" ->
+      """SELECT doc_id, n_frames, CAST(len(r) AS INT) AS n_sampled,
+        |array_to_string(r, ',') AS idx_csv FROM (
+        |SELECT doc_id, 24 + octet_length(encode(text)) % 240 AS n_frames,
+        |range(0, 24 + octet_length(encode(text)) % 240, 10) AS r FROM documents) t
+        |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
     "mm_binary_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |hex(encode(substring(text, 1, 8))) AS hex_head,

@@ -106,7 +106,8 @@ class PlanSpec extends SparkSpec {
       "text_jaccard_pairs",     // doc_id < 10 verification stage
       "text_levenshtein_pairs", // doc_id < 8 blocking survivors
       "text_tfidf_top",         // broadcast 1-row corpus count
-      "ann_ivf_topk")           // broadcast 10-row centroid table
+      "ann_ivf_topk",           // broadcast 10-row centroid table
+      "param_sweep_argmin")     // broadcast ≤7-row param grid
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
