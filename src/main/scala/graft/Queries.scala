@@ -86,6 +86,7 @@ object Queries {
     // array / vector
     "arr_scalar_suite"      -> (VectorText.arrScalarSuite _),
     "vec_cosine_pairs"      -> (VectorText.vecCosinePairs _),
+    "vec_error_metrics"     -> (VectorText.vecErrorMetrics _),
     "vec_knn_topk"          -> (VectorText.vecKnnTopk _),
     "vec_centroid_by_label" -> (VectorText.vecCentroidByLabel _),
     // text

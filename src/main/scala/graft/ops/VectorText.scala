@@ -49,6 +49,29 @@ object VectorText {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** J2b — pairwise error metrics (MSE / MAE / max abs error) for a bounded
+    * pair set — the reference's clean-vs-reference scoring surface
+    * (SURVEY §1.2). Element order of the error reductions follows array
+    * order in both engines, so sums are deterministic.
+    */
+  def vecErrorMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 20)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val diffs = "zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("mse", expr(
+        s"aggregate($diffs, CAST(0.0 AS DOUBLE), (acc, d) -> acc + d * d) / size(a_emb)"))
+      .withColumn("mae", expr(
+        s"aggregate($diffs, CAST(0.0 AS DOUBLE), (acc, d) -> acc + abs(d)) / size(a_emb)"))
+      .withColumn("max_err", expr(s"array_max(transform($diffs, d -> abs(d)))"))
+      .select(col("a_id"), col("b_id"),
+        round(col("mse"), 6).as("mse"),
+        round(col("mae"), 6).as("mae"),
+        round(col("max_err"), 6).as("max_err"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** J3 — exact brute-force kNN: 10 broadcast query vectors against the
     * full corpus, ranked per query. The 100 TB path swaps the corpus scan
     * for an LSH/IVF-pruned candidate set (see Similarity.annLshBucket).

@@ -603,6 +603,18 @@ object OracleSql {
         |round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
 
+    "vec_error_metrics" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |list_transform(list_zip(a.embedding, b.embedding),
+        |z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS d
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id,
+        |round(list_sum(list_transform(d, x -> x * x)) / len(d), 6) AS mse,
+        |round(list_sum(list_transform(d, x -> abs(x))) / len(d), 6) AS mae,
+        |round(list_max(list_transform(d, x -> abs(x))), 6) AS max_err
+        |FROM p ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
+
     "vec_knn_topk" ->
       """SELECT a_id, b_id, round(sim_raw, 4) AS sim, rn FROM (
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

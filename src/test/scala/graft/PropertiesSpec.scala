@@ -42,6 +42,28 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("F-law: closed-form ntile layout matches Spark's ntile for any N") {
+    // the win_ntile_scalable bucket math: first N mod k buckets get
+    // ceil(N/k) rows — must agree with Spark's ntile for every N ≥ 1
+    val gen = Gen.choose(1, 40)
+    check(Prop.forAll(gen) { n =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, expr, ntile, row_number}
+      val k = 4
+      val df = (1 to n).map(i => Tuple1(i)).toDF("v")
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("v"))).cast("bigint"))
+        .withColumn("n_total", expr(s"cast($n as bigint)"))
+      val closed = df.withColumn("q", expr(
+        s"""cast(if(rn - 1 < (n_total % $k) * (n_total div $k + 1),
+           |        (rn - 1) div (n_total div $k + 1),
+           |        (n_total % $k) + (rn - 1 - (n_total % $k) * (n_total div $k + 1)) div (n_total div $k)
+           |       ) + 1 as int)""".stripMargin))
+      val sparkNtile = df.withColumn("q", ntile(k).over(Window.orderBy(col("v"))))
+      closed.select("v", "q").except(sparkNtile.select("v", "q")).count() == 0
+    })
+  }
+
   test("F-law: running total over full partition equals group sum") {
     val gen = Gen.listOfN(10, Gen.zip(Gen.choose(0, 2), Gen.choose(1, 100)))
     check(Prop.forAll(gen) { xs =>
