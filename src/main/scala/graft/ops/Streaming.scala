@@ -160,6 +160,85 @@ object Streaming {
       .toDF("user_id", "n_events")
   }
 
+  /** Session state carried per user by [[sessionizeCustom]]. */
+  final case class SessionState(start: Long, last: Long, n: Int)
+
+  /** Emitted when a session closes (gap exceeded or timeout fired). */
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n: Int)
+
+  /** L9 — custom sessionization via `flatMapGroupsWithState` with
+    * event-time timeout: sessions close when the gap between consecutive
+    * events exceeds 30 min, emitting (user, start, end=last+gap, n) — the
+    * same convention as Spark's `session_window` — OR when the watermark
+    * passes last+gap with no new event (the timeout path, which
+    * `session_window` handles internally and a custom CEP operator must
+    * handle itself). State per user is one (start, last, n) triple.
+    *
+    * Batch execution processes each user's full (sorted) history in one
+    * group pass, so the batch result equals streamSession30m minus the
+    * still-open trailing session per user — asserted in StreamingSpec;
+    * the streaming twin asserts gap-close and timeout-close emission.
+    */
+  def sessionizeCustom(ev: DataFrame): org.apache.spark.sql.Dataset[ClosedSession] = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000000
+    val streaming = ev.isStreaming // captured on the driver, not the DataFrame
+    // `ts` rides along UNTOUCHED only so the watermark attribute (tagged in
+    // its metadata — a cast would strip it) survives into the stateful
+    // operator; sessions compute on ts_us. Callers with a TIMESTAMP_NTZ ts
+    // must cast before calling (see streamSessionCustom).
+    ev.selectExpr("user_id", "ts_us", "ts")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(ClosedSession(user, st.start, st.last + gapUs, st.n))
+          } else {
+            // per-micro-batch sort; at 100 TB scale swap for a secondary
+            // sort (sortWithinPartitions) feeding a streaming iterator
+            val ts = rows.map(_._2).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(c) if t - c.last <= gapUs =>
+                  cur = Some(c.copy(last = math.max(c.last, t), n = c.n + 1))
+                case Some(c) =>
+                  closed ::= ClosedSession(user, c.start, c.last + gapUs, c.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // streaming: close the open session once the watermark passes
+              // last+gap; batch: timeouts never fire, so the trailing open
+              // session is deliberately not emitted
+              if (streaming) state.setTimeoutTimestamp((c.last + gapUs) / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** L9 batch contract entry: all CLOSED sessions (every session except
+    * each user's trailing open one — batch timeouts never fire). The
+    * oracle computes islands-sessions and drops the latest per user.
+    */
+  def streamSessionCustom(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeCustom(Tables.events(spark, sfDir)
+        .withColumn("ts", col("ts").cast("timestamp"))) // NTZ→TZ for the encoder; unused in batch
+      .toDF()
+      .orderBy(col("user_id"), col("start_us"))
+
   /** L8 batch contract entry. */
   def streamStatefulCount(spark: SparkSession, sfDir: String): DataFrame =
     statefulCount(Tables.events(spark, sfDir))

@@ -309,6 +309,21 @@ object OracleSql {
         |CAST(cardinality(m) AS INT) AS n_entries
         |FROM m ORDER BY p_partkey""".stripMargin.replace("\n", " "),
 
+    // flatMapGroupsWithState sessionizer in batch: islands sessions on
+    // ts_us minus each user's latest (still-open) session
+    "stream_session_custom" ->
+      (EV + """, l AS (SELECT user_id, ts_us,
+        |CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+        |THEN 1 ELSE 0 END AS new_s FROM ev),
+        |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l),
+        |sess AS (SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1800000000 AS end_us,
+        |COUNT(*) AS n FROM g GROUP BY user_id, sid),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start_us DESC) AS rn FROM sess)
+        |SELECT user_id, start_us, end_us, CAST(n AS INT) AS n FROM r WHERE rn > 1
+        |ORDER BY user_id, start_us""".stripMargin.replace("\n", " ")),
+
     // mapGroupsWithState in batch ≡ plain per-key count
     "stream_stateful_count" ->
       (EV + """SELECT user_id, COUNT(*) AS n_events FROM ev

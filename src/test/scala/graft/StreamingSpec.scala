@@ -88,6 +88,39 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("L9 twin: flatMapGroupsWithState sessionizer closes on gap and on timeout") {
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streaming.sessionizeCustom(
+        ms.toDF()
+          .withColumn("ts_us", org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp))"))
+          .withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("t_sess_custom")
+      .outputMode("append").start()
+    // user 1: two events 5 min apart (one session), then a 40-min gap event
+    // → first session closes on GAP when the third event arrives
+    ms.addData(Ev(t("2024-01-01 00:00:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 00:05:00"), 1, 1.0, "view"))
+    q.processAllAvailable()
+    ms.addData(Ev(t("2024-01-01 00:45:00"), 1, 1.0, "view"))
+    q.processAllAvailable()
+    // advance the watermark far past 00:45 + 30min via another user
+    // → user 1's open session closes on TIMEOUT
+    ms.addData(Ev(t("2024-01-01 02:00:00"), 2, 1.0, "view"))
+    q.processAllAvailable()
+    ms.addData(Ev(t("2024-01-01 03:00:00"), 2, 1.0, "view"))
+    q.processAllAvailable()
+    val rows = s.table("t_sess_custom")
+      .selectExpr("user_id", "start_us", "end_us", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    q.stop()
+    def us(str: String) = t(str).getTime * 1000L
+    val gapClosed = (1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:35:00"), 2)
+    val timeoutClosed = (1L, us("2024-01-01 00:45:00"), us("2024-01-01 01:15:00"), 1)
+    assert(rows.contains(gapClosed), s"gap-close missing in $rows")
+    assert(rows.contains(timeoutClosed), s"timeout-close missing in $rows")
+  }
+
   test("L6 watermark: late event beyond watermark is dropped (append mode)") {
     implicit val ctx = s.sqlContext
     val ms = MemoryStream[Ev]
