@@ -15,6 +15,8 @@ object Queries {
     "filter_null_semantics" -> (Relational.filterNullSemantics _),
     "sink_partitioned_stats" -> (Relational.sinkPartitionedStats _),
     "join_dpp_partitioned"  -> (Relational.joinDppPartitioned _),
+    "source_json_roundtrip" -> (Relational.sourceJsonRoundtrip _),
+    "source_csv_roundtrip"  -> (Relational.sourceCsvRoundtrip _),
     "join_bucketed_colocated" -> (Relational.joinBucketedColocated _),
     // joins
     "join_inner_equi"       -> (Relational.joinInnerEqui _),

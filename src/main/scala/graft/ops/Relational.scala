@@ -69,6 +69,44 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A7 — JSON-lines sink + source round-trip: write a projection as JSON,
+    * read it back with an EXPLICIT schema (schema inference on 100 TB is a
+    * full extra pass — never rely on it), aggregate. Oracle aggregates the
+    * original table, so the format round-trip is value-checked.
+    */
+  def sourceJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_json_orders").getAbsolutePath
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").json(out)
+    spark.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A8 — CSV sink + source round-trip (header, explicit schema), same
+    * value-check pattern as A7. Doubles survive CSV because Spark writes
+    * shortest-round-trip representations.
+    */
+  def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_csv_orders").getAbsolutePath
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.option("header", "true")
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A5 — dynamic partition pruning, live (VERDICT r1 "What's missing" #4):
     * the fact side is the year-partitioned orders layout; the dim side is a
     * tiny year dimension filtered on a NON-key attribute (leap-year label),

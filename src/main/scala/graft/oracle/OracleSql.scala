@@ -371,6 +371,18 @@ object OracleSql {
         |FROM orders WHERE year(o_orderdate) = 1996
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
 
+    // format round-trips: the oracle aggregates the ORIGINAL table — values
+    // must survive the JSON/CSV sink+source cycle exactly
+    "source_json_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
+
+    "source_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
+
     // dim-filtered star query over the partitioned layout: joining the
     // distinct-year dim (filtered to leap years) ≡ filtering years % 4 = 0
     "join_dpp_partitioned" ->
