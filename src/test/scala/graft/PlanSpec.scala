@@ -145,6 +145,52 @@ class PlanSpec extends SparkSpec {
       s"customer side shuffled despite bucketing:\n$plan")
   }
 
+  test("AQE: skewed sort-merge join is split at runtime (skew=true)") {
+    // thresholds shrunk so test-SF data trips the skew detector; the same
+    // mechanism handles hot keys at 100 TB without query changes
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      import org.apache.spark.sql.functions._
+      // ~70% of left rows share one hot key. Two shapes matter:
+      //  * the payload must be incompressible (md5) — a column of identical
+      //    longs LZ4-compresses below any threshold;
+      //  * the map side needs >1 task (repartition(8)): AQE splits a skewed
+      //    partition at MAPPER-block boundaries, so a single-file scan
+      //    (one mapper) is unsplittable no matter how skewed.
+      val left = Tables.lineitem(spark, sf).select(
+        when(col("l_linenumber") <= 5, 0L).otherwise(col("l_orderkey") % 50)
+          .as("k"),
+        md5(concat(col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))).as("payload"))
+        .repartition(8)
+      val right = Tables.orders(spark, sf)
+        .select((col("o_orderkey") % 50).as("k"), col("o_totalprice"))
+      // a global agg (no clustering requirement downstream) — a keyed
+      // groupBy would make AQE skip the split to avoid an extra shuffle
+      val df = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("b"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("CBO: ANALYZE TABLE statistics reach the optimizer") {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
