@@ -43,6 +43,7 @@ object Queries {
     "agg_collect_sorted"    -> (Aggregates.aggCollectSorted _),
     "agg_percentiles"       -> (Aggregates.aggPercentiles _),
     "agg_percentile_approx" -> (Aggregates.aggPercentileApprox _),
+    "agg_tdigest"           -> (Aggregates.aggTdigest _),
     "agg_approx_hll"        -> (Aggregates.aggApproxHll _),
     "pivot_event_type"      -> (Aggregates.pivotEventType _),
     // windows

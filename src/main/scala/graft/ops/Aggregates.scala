@@ -149,6 +149,26 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** agg_tdigest — custom mergeable t-digest sketch (graft.functions
+    * .TDigestSketch, the M13 TypedImperativeAggregate pattern applied to
+    * quantiles): O(compression) state per group, associative partial
+    * merges. Engine-specific sketch → no SQL oracle (E9 pattern);
+    * unit-tested within 2% of the exact percentiles.
+    */
+  def aggTdigest(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TDigestSketch.register(spark)
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("graft_tdigest(l_extendedprice)").as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 2).as("q25_price"),
+        round(element_at(col("qs"), 2), 2).as("q50_price"),
+        round(element_at(col("qs"), 3), 2).as("q90_price"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */
   def pivotEventType(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("view", "click", "purchase", "signup", "error")

@@ -77,6 +77,20 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("agg_tdigest: custom sketch within 2% relative error of exact percentiles") {
+    val exact = run("agg_percentiles").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("median_price"), r.getAs[Double]("p90_price"))).toMap
+    run("agg_tdigest").collect().foreach { r =>
+      val k = r.getAs[String]("l_returnflag")
+      val (m, p90) = exact(k)
+      assert(math.abs(r.getAs[Double]("q50_price") - m) <= 0.02 * m.abs,
+        s"$k median ${r.getAs[Double]("q50_price")} vs exact $m")
+      assert(math.abs(r.getAs[Double]("q90_price") - p90) <= 0.02 * p90.abs,
+        s"$k p90 ${r.getAs[Double]("q90_price")} vs exact $p90")
+    }
+  }
+
   test("E10 pivot_event_type: row per user, columns sum to event count") {
     val df = run("pivot_event_type")
     val total = df.selectExpr("sum(view + click + purchase + signup + error)").head().getLong(0)
