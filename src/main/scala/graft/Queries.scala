@@ -130,6 +130,7 @@ object Queries {
     "stream_watermark_late" -> (Streaming.streamWatermarkLate _),
     "stream_dedup_keep_first" -> (Streaming.streamDedupKeepFirst _),
     "stream_stateful_count" -> (Streaming.streamStatefulCount _),
+    "stream_stateful_count_v2" -> (Streaming.streamStatefulCountV2 _),
     "stream_session_custom" -> (Streaming.streamSessionCustom _),
     // event joins
     "join_range_funnel"     -> (Streaming.joinRangeFunnel _),

@@ -239,6 +239,54 @@ object Streaming {
       .toDF()
       .orderBy(col("user_id"), col("start_us"))
 
+  /** L10 — arbitrary-state v2 (`transformWithState`, Spark 4): the same
+    * running per-user count as L8 but through the new StatefulProcessor
+    * API — typed `ValueState` handles, explicit init/close lifecycle,
+    * TTL-capable, RocksDB-backed in streaming. Batch execution is a
+    * one-shot group pass (oracle ≡ COUNT(*) per user, same as L8).
+    */
+  class CountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, (Long, Long)] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var countState: ValueState[Long] = _
+    override def init(outputMode: streaming.OutputMode,
+        timeMode: streaming.TimeMode): Unit =
+      countState = getHandle.getValueState[Long](
+        "count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(n)
+      Iterator((key, n))
+    }
+  }
+
+  /** L10 shared body (batch + streaming). */
+  def statefulCountV2(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // transformWithState requires the RocksDB state store provider even for
+    // its one-shot batch execution (the v2 column-family layout); this is
+    // the provider a production deployment of this library would run anyway
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch execution loads a state store outside any streaming query —
+    // the coordinator endpoint must exist first (see GraftBridge)
+    org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(s)
+    ev.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .transformWithState(new CountProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events")
+  }
+
+  /** L10 batch contract entry. */
+  def streamStatefulCountV2(spark: SparkSession, sfDir: String): DataFrame =
+    statefulCountV2(Tables.events(spark, sfDir))
+      .orderBy(col("user_id"))
+
   /** L8 batch contract entry. */
   def streamStatefulCount(spark: SparkSession, sfDir: String): DataFrame =
     statefulCount(Tables.events(spark, sfDir))

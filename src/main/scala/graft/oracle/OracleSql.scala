@@ -324,6 +324,11 @@ object OracleSql {
         |SELECT user_id, start_us, end_us, CAST(n AS INT) AS n FROM r WHERE rn > 1
         |ORDER BY user_id, start_us""".stripMargin.replace("\n", " ")),
 
+    // transformWithState (state v2) in batch ≡ plain per-key count
+    "stream_stateful_count_v2" ->
+      (EV + """SELECT user_id, COUNT(*) AS n_events FROM ev
+        |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+
     // mapGroupsWithState in batch ≡ plain per-key count
     "stream_stateful_count" ->
       (EV + """SELECT user_id, COUNT(*) AS n_events FROM ev

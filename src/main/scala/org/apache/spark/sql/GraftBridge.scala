@@ -10,4 +10,15 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Ensure the driver-side StateStoreCoordinator RPC endpoint exists.
+    * Streaming queries create it on start; a BATCH `transformWithState`
+    * loads a state store without one and dies with
+    * RpcEndpointNotFoundException — bootstrapping it here makes batch
+    * execution of state-v2 operators self-contained.
+    */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    execution.streaming.state.StateStoreCoordinatorRef.forDriver(
+      org.apache.spark.SparkEnv.get,
+      spark.asInstanceOf[classic.SparkSession].sessionState.conf)
 }

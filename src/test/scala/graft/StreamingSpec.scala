@@ -121,6 +121,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(timeoutClosed), s"timeout-close missing in $rows")
   }
 
+  test("L10 twin: transformWithState (state v2) accumulates across micro-batches") {
+    implicit val ctx = s.sqlContext
+    val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store in streaming
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = Streaming.statefulCountV2(ms.toDF())
+        .writeStream.format("memory").queryName("t_state_v2")
+        .outputMode("update").start()
+      ms.addData(Ev(t("2024-01-01 00:01:00"), 1, 1.0, "view"),
+        Ev(t("2024-01-01 00:02:00"), 1, 1.0, "click"),
+        Ev(t("2024-01-01 00:03:00"), 2, 1.0, "view"))
+      q.processAllAvailable()
+      ms.addData(Ev(t("2024-01-01 00:04:00"), 1, 1.0, "view"))
+      q.processAllAvailable()
+      val finalCounts = s.table("t_state_v2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      q.stop()
+      assert(finalCounts == Map(1L -> 3L, 2L -> 1L))
+    } finally saved match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("L6 watermark: late event beyond watermark is dropped (append mode)") {
     implicit val ctx = s.sqlContext
     val ms = MemoryStream[Ev]
