@@ -32,6 +32,7 @@ object Queries {
     "limit_topk"            -> (Relational.limitTopk _),
     "topk_per_group"        -> (Relational.topkPerGroup _),
     "sample_hash_bucket"    -> (Relational.sampleHashBucket _),
+    "sample_stratified_quota" -> (Relational.sampleStratifiedQuota _),
     // aggregations
     "agg_pricing_summary"   -> (Aggregates.aggPricingSummary _),
     "agg_count_distinct"    -> (Aggregates.aggCountDistinct _),
@@ -104,6 +105,7 @@ object Queries {
     "dedup_minhash_sig_agg" -> (Dedup.minhashSigAgg _),
     "join_skew_salted"      -> (Relational.joinSkewSalted _),
     "dedup_minhash_pairs"   -> (Dedup.minhashPairs _),
+    "dedup_connected_components" -> (Dedup.connectedComponents _),
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_exact_keep_first" -> (Dedup.exactKeepFirst _),
     "dedup_embedding_topk"  -> (Dedup.embeddingTopk _),

@@ -88,6 +88,58 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** dedup_connected_components — near-dup CLUSTERING: the LSH-verified
+    * pair list becomes an undirected graph; every document in a pair gets
+    * labeled with its component's minimum doc_id (the canonical
+    * representative a dedup pipeline keeps). Iterative min-label
+    * propagation over distributed joins, run to convergence — each
+    * iteration is one join + groupBy(min), state persisted and the
+    * previous iteration unpersisted.
+    *
+    * 100 TB note: rounds needed = graph diameter; near-dup components are
+    * small and star-like, so convergence is fast. For adversarial chains
+    * the large-star/small-star rewrite (alternating) bounds rounds in
+    * O(log²) with the same join-shape per round; checkpoint every few
+    * rounds to cut lineage.
+    */
+  def connectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached plans disable AQE partition coalescing by default, which makes
+    // every tiny iteration schedule full-width stages; allowing the cached
+    // plan's output partitioning to change restores AQE inside the loop
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    val pairs = minhashPairs(spark, sfDir).select(col("a_id"), col("b_id"))
+    val edges = pairs.unionAll(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .persist()
+    var labels = edges.select(col("a_id").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    // labels only ever decrease, so the label sum is a monotone fixpoint
+    // signal — one cheap aggregate per round instead of a diff join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = Long.MinValue // sentinel: first round always runs
+    var converged = false
+    var i = 0
+    while (!converged && i < 10) {
+      val prop = labels.join(edges, col("node") === col("a_id"))
+        .select(col("b_id").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label")).unionAll(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist()
+      val nextSum = labelSum(next) // materializes next
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    val out = labels.select(col("node").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
   /** dedup_simhash — 16-bit SimHash from the leading md5 nibble of each
     * token occurrence; bit j set iff Σ(±1 over tokens) > 0.
     */

@@ -337,6 +337,22 @@ object Relational {
       .select(col("o_orderkey"), col("bucket"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** G5 — stratified quota sampling: keep (up to) 30 documents per source,
+    * chosen by md5 order of the key — the deterministic "random" quota a
+    * data-mixing pipeline uses to rebalance sources. One hash shuffle on
+    * the stratum; WindowGroupLimit prunes each stratum before the sort.
+    */
+  def sampleStratifiedQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 30)
+      .orderBy(col("source"), col("rk"))
+  }
+
   // ───────────────────────── set operations (§2.H) ────────────────────────
 
   /** H1 — UNION ALL (multiset) and UNION DISTINCT arms, tagged. */

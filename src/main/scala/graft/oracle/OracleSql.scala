@@ -31,6 +31,19 @@ object OracleSql {
     "SELECT doc_id, min(md5('0|' || s)) AS s0, min(md5('1|' || s)) AS s1, " +
       "min(md5('2|' || s)) AS s2, min(md5('3|' || s)) AS s3 FROM sh GROUP BY doc_id"
 
+  /** Shared LSH pipeline CTE chain (shingles → signatures → bands →
+    * candidates → shingle counts → intersections) for doc_id < 200; used
+    * by dedup_minhash_pairs and dedup_connected_components.
+    */
+  private val lshPairChain: String =
+    s"${shingleCte("WHERE doc_id < 200")}, " +
+      s"sig AS ($sigSelect), " +
+      "band AS (SELECT doc_id, md5(s0 || s1) AS b FROM sig UNION ALL SELECT doc_id, md5(s2 || s3) FROM sig), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM band x JOIN band y ON x.b = y.b AND x.doc_id < y.doc_id), " +
+      "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni FROM cand c JOIN sh x ON x.doc_id = c.a_id " +
+      "JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s GROUP BY c.a_id, c.b_id)"
+
   /** 16-bit simhash SQL, generated to mirror Dedup.simhash exactly. */
   private val simhashSql: String = {
     val bitCases = (1 to 16).map(j =>
@@ -192,6 +205,14 @@ object OracleSql {
         |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |FROM orders) t WHERE rn <= 2
         |ORDER BY o_custkey, rn""".stripMargin.replace("\n", " "),
+
+    // md5 order is bit-identical cross-engine → exact same quota per stratum
+    "sample_stratified_quota" ->
+      """SELECT doc_id, source, rk FROM (
+        |SELECT doc_id, source,
+        |ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |FROM documents) t WHERE rk <= 30
+        |ORDER BY source, rk""".stripMargin.replace("\n", " "),
 
     // md5 is bit-identical cross-engine → exact same sample set
     "sample_hash_bucket" ->
@@ -727,16 +748,23 @@ object OracleSql {
         |GROUP BY skew_key ORDER BY skew_key""".stripMargin.replace("\n", " "),
 
     "dedup_minhash_pairs" ->
-      (s"WITH ${shingleCte("WHERE doc_id < 200")}, " +
-        s"sig AS ($sigSelect), " +
-        "band AS (SELECT doc_id, md5(s0 || s1) AS b FROM sig UNION ALL SELECT doc_id, md5(s2 || s3) FROM sig), " +
-        "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM band x JOIN band y ON x.b = y.b AND x.doc_id < y.doc_id), " +
-        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni FROM cand c JOIN sh x ON x.doc_id = c.a_id " +
-        "JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s GROUP BY c.a_id, c.b_id) " +
+      (s"WITH $lshPairChain " +
         "SELECT i.a_id, i.b_id, round(CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni), 4) AS jaccard " +
         "FROM inter i JOIN cnt ca ON ca.doc_id = i.a_id JOIN cnt cb ON cb.doc_id = i.b_id " +
         "WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8 ORDER BY a_id, b_id"),
+
+    // same LSH-verified pairs → undirected graph → per-node component
+    // minimum via a recursive transitive-closure CTE (the declarative twin
+    // of the Spark-side iterative min-label propagation)
+    "dedup_connected_components" ->
+      (s"WITH RECURSIVE $lshPairChain, " +
+        "pairs AS (SELECT i.a_id, i.b_id FROM inter i " +
+        "JOIN cnt ca ON ca.doc_id = i.a_id JOIN cnt cb ON cb.doc_id = i.b_id " +
+        "WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8), " +
+        "edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach AS (SELECT a AS node, a AS label FROM edges " +
+        "UNION SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node) " +
+        "SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node ORDER BY doc_id"),
 
     "dedup_simhash" -> simhashSql,
 
