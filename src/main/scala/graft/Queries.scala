@@ -91,6 +91,7 @@ object Queries {
     "arr_scalar_suite"      -> (VectorText.arrScalarSuite _),
     "vec_cosine_pairs"      -> (VectorText.vecCosinePairs _),
     "vec_error_metrics"     -> (VectorText.vecErrorMetrics _),
+    "vec_quantize_int8"     -> (VectorText.vecQuantizeInt8 _),
     "vec_knn_topk"          -> (VectorText.vecKnnTopk _),
     "vec_centroid_by_label" -> (VectorText.vecCentroidByLabel _),
     // text
@@ -114,6 +115,7 @@ object Queries {
     "ann_ivf_topk"          -> (Similarity.annIvfTopk _),
     // text analysis
     "text_lang_id"          -> (TextAnalysis.langId _),
+    "text_normalize"        -> (TextAnalysis.normalize _),
     "text_quality_score"    -> (TextAnalysis.qualityScore _),
     "text_token_count"      -> (TextAnalysis.tokenCount _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),

@@ -116,8 +116,8 @@ object Dedup {
       .persist()
     // labels only ever decrease, so the label sum is a monotone fixpoint
     // signal — one cheap aggregate per round instead of a diff join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+    def labelSum(df: DataFrame): Long = // coalesce: SUM over an empty graph is NULL
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = Long.MinValue // sentinel: first round always runs
     var converged = false
     var i = 0

@@ -1,5 +1,6 @@
 package graft.ops
 
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,6 +21,22 @@ object TextAnalysis {
     "de" -> Seq("key", "value", "hash", "sort"),
     "fr" -> Seq("join", "merge", "group", "agg"),
     "zh" -> Seq("scan", "filter", "query", "stream"))
+
+  /** text_normalize — the canonical cleaning pass a corpus gets before
+    * dedup/tokenization: lowercase, strip non-alphanumerics to spaces,
+    * collapse whitespace, trim; emits the normalized prefix, token count,
+    * and whether normalization changed the text. Per-row, no shuffle.
+    */
+  def normalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(
+        col("doc_id"),
+        substring(col("norm"), 1, 60).as("norm_head"),
+        size(split(col("norm"), " ")).as("n_tokens_norm"),
+        (col("norm") =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
 
   /** text_lang_id — n-gram-overlap language scorer with first-max argmax. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {

@@ -90,6 +90,31 @@ object VectorText {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** J12 — int8 embedding quantization: per-vector absmax scale, values
+    * mapped to [-127, 127] with `floor(x/scale + 0.5)` (pure IEEE ops —
+    * deterministic cross-engine, unlike `round` on computed doubles), plus
+    * the reconstruction MSE. The 4× storage compression step an embedding
+    * lake applies before indexing; per-row, no shuffle.
+    */
+  def vecQuantizeInt8(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 100)
+      .withColumn("scale", expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale6"),
+        array_join(expr("transform(q, v -> cast(v as string))"), ",").as("q_csv"),
+        round(expr(
+          // explicit d*d rather than pow: libm pow may differ in the last
+          // ulp across engines; multiply is exactly specified by IEEE
+          "aggregate(zip_with(embedding, q, (x, v) -> " +
+            "(CAST(x AS DOUBLE) - v * scale) * (CAST(x AS DOUBLE) - v * scale)), " +
+            "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e) / size(embedding)"), 9).as("mse"))
+      .orderBy(col("vec_id"))
+
   /** J4 — per-(label, dimension) centroid via posexplode (long format). */
   def vecCentroidByLabel(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)

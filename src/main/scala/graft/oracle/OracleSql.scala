@@ -668,6 +668,20 @@ object OracleSql {
         |round(list_max(list_transform(d, x -> abs(x))), 6) AS max_err
         |FROM p ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
 
+    // floor(x/scale + 0.5) is pure IEEE → identical quantization both
+    // engines; error term uses explicit d*d (pow may differ in last ulp)
+    "vec_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |FROM embeddings WHERE vec_id < 100),
+        |q AS (SELECT vec_id, embedding, scale,
+        |list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS qv FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale6,
+        |array_to_string(qv, ',') AS q_csv,
+        |round(list_sum(list_transform(list_zip(embedding, qv),
+        |z -> (CAST(z[1] AS DOUBLE) - z[2] * scale) * (CAST(z[1] AS DOUBLE) - z[2] * scale))) / len(embedding), 9) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
     "vec_knn_topk" ->
       """SELECT a_id, b_id, round(sim_raw, 4) AS sim, rn FROM (
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -818,6 +832,14 @@ object OracleSql {
 
     // ── text analysis ──
     "text_lang_id" -> langIdSql,
+
+    "text_normalize" ->
+      """SELECT doc_id, substring(norm, 1, 60) AS norm_head,
+        |CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens_norm,
+        |norm <> text AS changed FROM (
+        |SELECT doc_id, text,
+        |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM documents) t ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
     "text_quality_score" ->
       """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents),
