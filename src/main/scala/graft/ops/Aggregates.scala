@@ -88,8 +88,9 @@ object Aggregates {
       .agg(
         round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"),
         round(var_samp(col("l_quantity")), 6).as("var_qty"),
-        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
-        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 6).as("cov_pq"))
+        // + 0.0: corr/covar are signed — normalize IEEE -0.0 (§5.3)
+        (round(corr(col("l_extendedprice"), col("l_quantity")), 6) + lit(0.0)).as("corr_pq"),
+        (round(covar_samp(col("l_extendedprice"), col("l_quantity")), 6) + lit(0.0)).as("cov_pq"))
       .orderBy(col("l_returnflag"))
 
   /** E8 — deterministic array agg: collect_list is unordered by contract,

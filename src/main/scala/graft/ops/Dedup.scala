@@ -192,6 +192,7 @@ object Dedup {
           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
       .orderBy(desc("sim_raw"), asc("a_id"), asc("b_id"))
       .limit(20)
-      .select(col("a_id"), col("b_id"), round(col("sim_raw"), 4).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        (round(col("sim_raw"), 4) + lit(0.0)).as("sim"))
   }
 }

@@ -76,7 +76,8 @@ object Similarity {
     val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
     cand.withColumn("rn", row_number().over(wTop))
       .where(col("rn") <= 3)
-      .select(col("a_id"), col("b_id"), round(col("sim_raw"), 4).as("sim"), col("rn"))
+      .select(col("a_id"), col("b_id"),
+        (round(col("sim_raw"), 4) + lit(0.0)).as("sim"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
   }
 
@@ -97,7 +98,7 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select(col("a_id"), col("bucket"), col("b_id"),
-        round(col("sim_raw"), 4).as("sim"), col("rn"))
+        (round(col("sim_raw"), 4) + lit(0.0)).as("sim"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
   }
 }

@@ -26,12 +26,13 @@ object VectorText {
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_elem"),
-        round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("sum_all"),
-        round(array_min(col("embedding")).cast("double"), 4).as("min_e"),
-        round(array_max(col("embedding")).cast("double"), 4).as("max_e"),
+        // + 0.0 on every signed rounded double: normalizes IEEE -0.0
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0)).as("first_elem"),
+        (round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4) + lit(0.0)).as("sum_all"),
+        (round(array_min(col("embedding")).cast("double"), 4) + lit(0.0)).as("min_e"),
+        (round(array_max(col("embedding")).cast("double"), 4) + lit(0.0)).as("max_e"),
         size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
-        round(expr("aggregate(slice(embedding, 2, 3), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("sum_2_4"))
+        (round(expr("aggregate(slice(embedding, 2, 3), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4) + lit(0.0)).as("sum_2_4"))
       .orderBy(col("vec_id"))
 
   /** J2 — pairwise cosine (≡ dot: vectors are unit-norm) for a bounded set.
@@ -86,7 +87,8 @@ object VectorText {
       .withColumn("sim_raw", expr(dotExpr))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
-      .select(col("a_id"), col("b_id"), round(col("sim_raw"), 4).as("sim"), col("rn"))
+      .select(col("a_id"), col("b_id"),
+        (round(col("sim_raw"), 4) + lit(0.0)).as("sim"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
   }
 
@@ -120,7 +122,8 @@ object VectorText {
     Tables.embeddings(spark, sfDir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("comp").cast("double")), 4).as("centroid"),
+      // + 0.0 normalizes IEEE -0.0 (DuckDB round keeps the sign, §5.3)
+      .agg((round(avg(col("comp").cast("double")), 4) + lit(0.0)).as("centroid"),
         count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim"))
 

@@ -374,8 +374,8 @@ object OracleSql {
       """SELECT l_returnflag,
         |ROUND(STDDEV_SAMP(l_extendedprice), 6) AS sd_price,
         |ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
-        |ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
-        |ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 6) AS cov_pq
+        |ROUND(CORR(l_extendedprice, l_quantity), 6) + 0.0 AS corr_pq,
+        |ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 6) + 0.0 AS cov_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     "agg_collect_sorted" ->
@@ -642,12 +642,12 @@ object OracleSql {
     "arr_scalar_suite" ->
       """SELECT vec_id,
         |CAST(len(embedding) AS INT) AS dim,
-        |round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
-        |round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,
-        |round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_e,
-        |round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_e,
+        |round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_elem,
+        |round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS sum_all,
+        |round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS min_e,
+        |round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS max_e,
         |CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-        |round(list_sum(list_transform(embedding[2:4], x -> CAST(x AS DOUBLE))), 4) AS sum_2_4
+        |round(list_sum(list_transform(embedding[2:4], x -> CAST(x AS DOUBLE))), 4) + 0.0 AS sum_2_4
         |FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
     "vec_cosine_pairs" ->
@@ -683,7 +683,7 @@ object OracleSql {
         |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
     "vec_knn_topk" ->
-      """SELECT a_id, b_id, round(sim_raw, 4) AS sim, rn FROM (
+      """SELECT a_id, b_id, round(sim_raw, 4) + 0.0 AS sim, rn FROM (
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw,
         |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
@@ -693,7 +693,7 @@ object OracleSql {
 
     "vec_centroid_by_label" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
-        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) AS centroid, COUNT(*) AS n
+        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) + 0.0 AS centroid, COUNT(*) AS n
         |FROM embeddings, range(1, 65) t(i) GROUP BY label, i ORDER BY label, dim""".stripMargin.replace("\n", " "),
 
     // ── text ──
@@ -791,7 +791,7 @@ object OracleSql {
 
     "dedup_embedding_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300)
-        |SELECT a_id, b_id, round(sim_raw, 4) AS sim FROM (
+        |SELECT a_id, b_id, round(sim_raw, 4) + 0.0 AS sim FROM (
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, list_dot_product(a.v, b.v) AS sim_raw
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY sim_raw DESC, a_id, b_id LIMIT 20) t
@@ -813,7 +813,7 @@ object OracleSql {
         |list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw
         |FROM probe p JOIN embeddings q ON q.vec_id = p.a_id
         |JOIN assigned b ON b.cell = p.cell AND b.vec_id <> p.a_id)
-        |SELECT a_id, b_id, round(sim_raw, 4) AS sim, rn FROM
+        |SELECT a_id, b_id, round(sim_raw, 4) + 0.0 AS sim, rn FROM
         |(SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim_raw DESC, b_id) AS rn FROM cand) t
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin.replace("\n", " "),
 
@@ -822,7 +822,7 @@ object OracleSql {
         |CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
         |+ (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS INT) AS bucket
         |FROM embeddings)
-        |SELECT a_id, bucket, b_id, round(sim_raw, 4) AS sim, rn FROM (
+        |SELECT a_id, bucket, b_id, round(sim_raw, 4) + 0.0 AS sim, rn FROM (
         |SELECT a.vec_id AS a_id, a.bucket AS bucket, b.vec_id AS b_id,
         |list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw,
         |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
