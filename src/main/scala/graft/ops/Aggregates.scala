@@ -150,6 +150,21 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** agg_regression — ANSI linear-regression aggregates: OLS slope /
+    * intercept / R² / count of price over quantity per flag — the one-pass
+    * distributed alternative to collecting per-group series. Signed
+    * outputs carry the `+ 0.0` -0.0 normalization (§5.3).
+    */
+  def aggRegression(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (round(expr("regr_slope(l_extendedprice, l_quantity)"), 6) + lit(0.0)).as("slope"),
+        (round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6) + lit(0.0)).as("intercept"),
+        (round(expr("regr_r2(l_extendedprice, l_quantity)"), 6) + lit(0.0)).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** agg_tdigest — custom mergeable t-digest sketch (graft.functions
     * .TDigestSketch, the M13 TypedImperativeAggregate pattern applied to
     * quantiles): O(compression) state per group, associative partial

@@ -378,6 +378,14 @@ object OracleSql {
         |ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 6) + 0.0 AS cov_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |round(regr_slope(l_extendedprice, l_quantity), 6) + 0.0 AS slope,
+        |round(regr_intercept(l_extendedprice, l_quantity), 6) + 0.0 AS intercept,
+        |round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
+        |CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
     "agg_collect_sorted" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
