@@ -59,6 +59,9 @@ object Relational {
       sys.props("java.io.tmpdir"), "graft_sink_orders").getAbsolutePath
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
+      // repartition by the partition column: one file per partition dir
+      // instead of one per (task × partition) — the small-files guard
+      .repartition(col("o_year"))
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
     spark.read.parquet(out)
       .where(col("o_year") === 1996)
@@ -123,6 +126,7 @@ object Relational {
       sys.props("java.io.tmpdir"), "graft_dpp_orders").getAbsolutePath
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year")) // one file per partition dir (see A4q)
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
     // tiny derived year dim; the filter lands on `d_label`, not the join key
     val dimYears = Tables.orders(spark, sfDir)
@@ -151,8 +155,13 @@ object Relational {
   def joinBucketedColocated(spark: SparkSession, sfDir: String): DataFrame = {
     val buckets = 8
     val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_bkt")
+    // repartition on the bucket key first: without it every write task
+    // emits a file per bucket (tasks × buckets small files — the classic
+    // lake mistake); with it each bucket is one file, which also lets the
+    // bucketed scan keep its sort
     def land(df: DataFrame, table: String, key: String): Unit =
-      df.write.mode("overwrite")
+      df.repartition(buckets, col(key))
+        .write.mode("overwrite")
         .option("path", new java.io.File(base, table).getAbsolutePath)
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(table)
