@@ -530,6 +530,14 @@ object Relational {
   def subqueryIn(spark: SparkSession, sfDir: String): DataFrame =
     sqlQuery("subquery_in")(spark, sfDir)
 
+  /** D5 — LATERAL correlated subquery with per-outer-row ORDER BY + LIMIT
+    * (top-2 customers per nation): Catalyst decorrelates it into a ranked
+    * join rather than executing per-row; text shared verbatim with the
+    * oracle.
+    */
+  def joinLateralTopn(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("join_lateral_topn")(spark, sfDir)
+
   /** D3 — CTE referenced twice (TPC-H Q15 shape). Spark inlines CTEs, so
     * the naive SQL scans lineitem twice; here the per-supplier aggregate is
     * computed once and the global MAX is attached via a window over that

@@ -497,6 +497,13 @@ object OracleSql {
         |AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
         |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
 
+    // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
+    "join_lateral_topn" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal FROM nation, LATERAL (
+        |SELECT c_custkey, c_acctbal FROM customer WHERE c_nationkey = n_nationkey
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin.replace("\n", " "),
+
     // ── subqueries / CTE (shared text: runs verbatim in BOTH engines) ──
     "subquery_scalar_uncorr" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
