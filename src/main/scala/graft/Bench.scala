@@ -40,7 +40,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape: failure messages can carry newlines/tabs,
+    // which would split the one-line record and break the driver's parse
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val ok = results.filterNot { case (n, _) => failures.exists(_._1 == n) }
     val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val fs = failures.reverse.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }

@@ -92,7 +92,15 @@ object TDigestSketch {
     private var total = 0.0
 
     def add(x: Double, w: Double): Unit = {
-      if (size == means.length) compress()
+      if (size == means.length) {
+        compress()
+        // the k1 steady-state centroid count grows ~ln(total); if compress
+        // couldn't free a slot, grow the arrays rather than overflow
+        if (size == means.length) {
+          means = java.util.Arrays.copyOf(means, means.length * 2)
+          weights = java.util.Arrays.copyOf(weights, weights.length * 2)
+        }
+      }
       means(size) = x; weights(size) = w; size += 1; total += w
     }
 

@@ -105,8 +105,12 @@ object Dedup {
   def connectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
     // cached plans disable AQE partition coalescing by default, which makes
     // every tiny iteration schedule full-width stages; allowing the cached
-    // plan's output partitioning to change restores AQE inside the loop
-    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // plan's output partitioning to change restores AQE inside the loop.
+    // Session-level by necessity (the conf is read at execution time);
+    // set only when the user hasn't chosen a value themselves.
+    val coalesceKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    if (spark.conf.getOption(coalesceKey).isEmpty)
+      spark.conf.set(coalesceKey, "true")
     val pairs = minhashPairs(spark, sfDir).select(col("a_id"), col("b_id"))
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -121,7 +125,8 @@ object Dedup {
     var prevSum = Long.MinValue // sentinel: first round always runs
     var converged = false
     var i = 0
-    while (!converged && i < 10) {
+    val maxRounds = 50 // rounds needed = graph diameter; see guard below
+    while (!converged && i < maxRounds) {
       val prop = labels.join(edges, col("node") === col("a_id"))
         .select(col("b_id").as("node"), col("label"))
       val next = labels.select(col("node"), col("label")).unionAll(prop)
@@ -134,8 +139,18 @@ object Dedup {
       prevSum = nextSum
       i += 1
     }
+    // silent non-convergence would return WRONG labels (and hash-fail the
+    // exact transitive-closure oracle without explanation) — fail loudly
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          "(component diameter too large — switch to large-star/small-star)")
+    // localCheckpoint materializes the (pair-graph-sized) result so every
+    // cached iteration state can be released before returning
     val out = labels.select(col("node").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     out
   }

@@ -269,9 +269,13 @@ object Streaming {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     // transformWithState requires the RocksDB state store provider even for
     // its one-shot batch execution (the v2 column-family layout); this is
-    // the provider a production deployment of this library would run anyway
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the provider a production deployment of this library would run anyway.
+    // Session-level by necessity (read at execution time, and this builder
+    // returns a lazy plan); respects an explicit user-chosen provider.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    if (s.conf.getOption(providerKey).isEmpty)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // batch execution loads a state store outside any streaming query —
     // the coordinator endpoint must exist first (see GraftBridge)
     org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(s)

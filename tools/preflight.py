@@ -46,7 +46,9 @@ def tag(v):
         return None
     if isinstance(v, float) or isinstance(v, np.floating):
         f = float(v)
-        return None if f != f else ("f", repr(f))
+        # NaN is tagged, NOT conflated with NULL — a NaN-vs-NULL split
+        # between engines must fail here like it would at the driver
+        return ("f", "nan") if f != f else ("f", repr(f))
     if isinstance(v, (bool, np.bool_)):
         return ("b", bool(v))
     if isinstance(v, (int, np.integer)):
