@@ -38,6 +38,34 @@ object TextAnalysis {
         (col("norm") =!= col("text")).as("changed"))
       .orderBy(col("doc_id"))
 
+  /** pipeline_corpus_curation — the end-to-end curation flow a training
+    * corpus actually goes through, composed from this library's operators
+    * in ONE lazy plan: normalize → quality gate (≥ 10 tokens) → exact
+    * dedup on the normalized fingerprint (keep lowest doc_id) → stratified
+    * quota (≤ 25 docs per source by md5 order). Emits the surviving docs
+    * with their stage evidence. One narrow shuffle per keyed stage;
+    * everything else is per-row.
+    */
+  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDedup = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val wQuota = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("n_tok", size(split(col("norm"), " ")))
+      .where(col("n_tok") >= 10)
+      .withColumn("fp", md5(col("norm").cast("binary")))
+      .withColumn("dup_rank", row_number().over(wDedup))
+      .where(col("dup_rank") === 1)
+      .withColumn("quota_rank", row_number().over(wQuota))
+      .where(col("quota_rank") <= 25)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("fp"),
+        col("quota_rank"))
+      .orderBy(col("source"), col("quota_rank"))
+  }
+
   /** text_lang_id — n-gram-overlap language scorer with first-max argmax. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     def score(words: Seq[String]): Column =

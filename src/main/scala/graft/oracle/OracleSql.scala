@@ -848,6 +848,22 @@ object OracleSql {
     // ── text analysis ──
     "text_lang_id" -> langIdSql,
 
+    // normalize → quality gate → fingerprint dedup keep-first → per-source
+    // quota: the full curation chain, replicated stage by stage
+    "pipeline_corpus_curation" ->
+      """WITH n AS (SELECT doc_id, source,
+        |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM documents),
+        |q AS (SELECT doc_id, source, norm, CAST(len(string_split(norm, ' ')) AS INT) AS n_tok
+        |FROM n WHERE len(string_split(norm, ' ')) >= 10),
+        |d AS (SELECT *, md5(norm) AS fp,
+        |ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS dup_rank FROM q),
+        |s AS (SELECT doc_id, source, n_tok, fp,
+        |ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS quota_rank
+        |FROM d WHERE dup_rank = 1)
+        |SELECT doc_id, source, n_tok, fp, quota_rank FROM s WHERE quota_rank <= 25
+        |ORDER BY source, quota_rank""".stripMargin.replace("\n", " "),
+
     "text_normalize" ->
       """SELECT doc_id, substring(norm, 1, 60) AS norm_head,
         |CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens_norm,
