@@ -3,11 +3,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Output protocol (VERDICT r1 #4: the round-1 single giant
   * line fell outside the driver's tail capture → `parsed: null`):
-  *   line 1: {"metric":"per_query","queries":{...},"failures":{...}}
+  *   line 1: {"metric":"per_query","protocol":"warm2","queries":{...},
+  *            "cold":{...},"failures":{...}}
   *   LAST  : compact {"metric":"total","value":N,"unit":"sec","sf":...}
   * plus the full JSON written to BENCH.json in the cwd. Query failures are
   * recorded by name with the error class (ADVICE r1: a crashing query must
   * not silently pass the bench) and excluded from the total.
+  *
+  * warm2 protocol (VERDICT r2 #8): every query runs twice, `queries` and
+  * the total report the second (warm) run — per-query numbers are then
+  * comparable across rounds without run-order JIT/scheduler noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,13 +37,23 @@ object Bench {
       Tables.registerAll(spark, sfDir)
     } catch { case _: Throwable => }
     var failures = List.empty[(String, String)]
+    // Warm protocol (VERDICT r2 #8): each query runs twice and the SECOND
+    // (warm) time is the reported number — run-order JIT/scheduler noise
+    // (the round-2 vec_knn_topk 4× "regression" was exactly this) stops
+    // polluting per-query comparisons across rounds. Cold times are kept
+    // in a separate map for the curious.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failures ::= name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          failures ::= name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val cold = once()
+      val warm = if (cold.isDefined) once() else None
+      (name, cold.getOrElse(0.0), warm.getOrElse(cold.getOrElse(0.0)))
     }
     // full JSON string escape: failure messages can carry newlines/tabs,
     // which would split the one-line record and break the driver's parse
@@ -51,14 +66,16 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val ok = results.filterNot { case (n, _) => failures.exists(_._1 == n) }
-    val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val ok = results.filterNot { case (n, _, _) => failures.exists(_._1 == n) }
+    val qs = ok.map { case (k, _, w) => s"${jstr(k)}:$w" }.mkString("{", ",", "}")
+    val cs = ok.map { case (k, c, _) => s"${jstr(k)}:$c" }.mkString("{", ",", "}")
     val fs = failures.reverse.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    val perQuery = s"""{"metric":"per_query","queries":$qs,"failures":$fs}"""
+    val total = ok.map(_._3).sum
+    val perQuery =
+      s"""{"metric":"per_query","protocol":"warm2","queries":$qs,"cold":$cs,"failures":$fs}"""
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_failed":${failures.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm2","n_queries":${ok.size},"n_failed":${failures.size},"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"),
       s"$perQuery\n$totalLine\n")
     println(perQuery)

@@ -34,4 +34,18 @@ object Cols {
   /** Deterministic average: exact decimal sum, one double division, 6 dp. */
   def avg6(c: Column): Column =
     round(sum(dec2(c)).cast("double") / count(c), 6)
+
+  /** Per-JVM unique token for layout-query landing paths and table names
+    * (ADVICE r2): two concurrent harnesses (Verify at two SFs, bench while
+    * tests run) must never read each other's half-written sink output.
+    * Stable within one JVM so repeated runs in a session overwrite the same
+    * location instead of accumulating copies.
+    */
+  val runToken: String =
+    java.lang.Long.toHexString(new java.security.SecureRandom().nextLong())
+
+  /** Landing path under java.io.tmpdir, isolated by [[runToken]]. */
+  def tmpPath(name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"), s"${name}_$runToken")
+      .getAbsolutePath
 }

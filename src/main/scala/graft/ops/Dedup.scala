@@ -109,8 +109,9 @@ object Dedup {
     // Session-level by necessity (the conf is read at execution time);
     // set only when the user hasn't chosen a value themselves.
     val coalesceKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    if (spark.conf.getOption(coalesceKey).isEmpty)
-      spark.conf.set(coalesceKey, "true")
+    val savedCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "true")
+    try {
     val pairs = minhashPairs(spark, sfDir).select(col("a_id"), col("b_id"))
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -153,7 +154,125 @@ object Dedup {
     labels.unpersist()
     edges.unpersist()
     out
+    // every action in this query has executed (localCheckpoint is eager), so
+    // the conf can be restored without affecting the returned plan — later
+    // queries in the session see the value they started with (ADVICE r2)
+    } finally savedCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None    => spark.conf.unset(coalesceKey)
+    }
   }
+
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public algorithm): every node u
+    * connects its strictly-larger neighbors to m(u) = min(N(u) ∪ {u}).
+    * Input and output are symmetric self-loop-free edge lists (a, b).
+    * One groupBy(min) + one equi-join on the node key per round.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a"), least(col("a"), col("mb")).as("m"))
+    val out = e.where(col("b") > col("a"))
+      .join(m, "a")
+      .select(col("b").as("x"), col("m").as("y"))
+      .where(col("x") =!= col("y"))
+    out.select(col("x").as("a"), col("y").as("b"))
+      .unionAll(out.select(col("y").as("a"), col("x").as("b")))
+      .distinct()
+  }
+
+  /** One small-star round: each node u takes its smaller-or-equal
+    * neighborhood N⁻(u) (canonical orientation b < a), finds m = min(N⁻(u)),
+    * and connects u and every other member of N⁻(u) to m. Same shuffle
+    * shape as largeStar.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val canon = e.where(col("b") < col("a"))
+    val m = canon.groupBy(col("a")).agg(min(col("b")).as("m"))
+    val out = canon.join(m, "a")
+      .select(col("b").as("x"), col("m").as("y"))
+      .unionAll(m.select(col("a").as("x"), col("m").as("y")))
+      .where(col("x") =!= col("y"))
+    out.select(col("x").as("a"), col("y").as("b"))
+      .unionAll(out.select(col("y").as("a"), col("x").as("b")))
+      .distinct()
+  }
+
+  /** Alternating large-star/small-star to a fixed point. Round count is
+    * O(log² n) worst-case (vs O(diameter) for plain label propagation), so
+    * an adversarial chained dup-cluster A≈B≈C≈… converges in a handful of
+    * rounds where the propagation loop needs diameter rounds and throws at
+    * 50 (see connectedComponents). At convergence the graph is a disjoint
+    * union of stars rooted at each component's minimum node.
+    *
+    * Fixpoint detection: one tiny aggregate per round — (edge count,
+    * bit_xor of xxhash64(a,b)) is an order-independent set signature; a
+    * collision between different edge sets is a ~2⁻⁶⁴ event, and a false
+    * "converged" would hash-fail the exact transitive-closure oracle.
+    *
+    * @param pairs undirected edges, one row per pair (a_id, b_id)
+    * @return (labels (doc_id, component), rounds run)
+    */
+  private[graft] def starComponents(pairs: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val coalesceKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val savedCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "true") // AQE inside the loop; see connectedComponents
+    try {
+      val p = pairs.select(col(pairs.columns(0)).as("a"), col(pairs.columns(1)).as("b"))
+      // localCheckpoint (eager) every round, NOT persist: one star round
+      // references its input several times (min-table join + two union
+      // arms), so lineage nests ~6× per round — exponential plan growth
+      // that stalls analysis after a handful of rounds. Truncating to the
+      // materialized RDD keeps every round's plan constant-size; superseded
+      // checkpoint blocks are released by the ContextCleaner once the
+      // previous round's DataFrame goes unreferenced.
+      var e = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      // BIT_XOR not SUM: xor never overflows (ANSI mode makes an overflowing
+      // long sum throw) and is equally order-independent over a distinct set
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var prev = sig(e)
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < maxRounds) {
+        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        val cur = sig(next)
+        e = next
+        converged = cur == prev
+        prev = cur
+        rounds += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"starComponents did not converge within $maxRounds rounds " +
+            "(expected O(log² n) — this indicates a bug, not a big graph)")
+      // star graph: every node's minimum neighbor is its component root
+      // (the root's own label is itself via least)
+      val out = e.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a").as("doc_id"), least(col("a"), col("mb")).as("component"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      (out, rounds)
+    } finally savedCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None    => spark.conf.unset(coalesceKey)
+    }
+  }
+
+  /** dedup_connected_components_v2 — the same near-dup clustering contract
+    * as dedup_connected_components (identical transitive-closure oracle),
+    * computed with the scale-safe alternating-star algorithm instead of
+    * min-label propagation: O(log² n) rounds regardless of component
+    * diameter, each round one groupBy(min) + one keyed join. This is the
+    * 100 TB path the v1 Scaladoc promised.
+    */
+  def connectedComponentsStar(spark: SparkSession, sfDir: String): DataFrame =
+    starComponents(minhashPairs(spark, sfDir).select(col("a_id"), col("b_id")))._1
 
   /** dedup_simhash — 16-bit SimHash from the leading md5 nibble of each
     * token occurrence; bit j set iff Σ(±1 over tokens) > 0.

@@ -55,8 +55,7 @@ object Relational {
     * date-ranged query scans only its slice.
     */
   def sinkPartitionedStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_sink_orders").getAbsolutePath
+    val out = Cols.tmpPath("graft_sink_orders")
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
       // repartition by the partition column: one file per partition dir
@@ -78,8 +77,7 @@ object Relational {
     * original table, so the format round-trip is value-checked.
     */
   def sourceJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_json_orders").getAbsolutePath
+    val out = Cols.tmpPath("graft_json_orders")
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").json(out)
@@ -96,8 +94,7 @@ object Relational {
     * shortest-round-trip representations.
     */
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_csv_orders").getAbsolutePath
+    val out = Cols.tmpPath("graft_csv_orders")
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -122,8 +119,7 @@ object Relational {
     * table — the standard star-schema access path.
     */
   def joinDppPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_dpp_orders").getAbsolutePath
+    val out = Cols.tmpPath("graft_dpp_orders")
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
       .repartition(col("o_year")) // one file per partition dir (see A4q)
@@ -154,7 +150,7 @@ object Relational {
     */
   def joinBucketedColocated(spark: SparkSession, sfDir: String): DataFrame = {
     val buckets = 8
-    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_bkt")
+    val base = new java.io.File(Cols.tmpPath("graft_bkt"))
     // repartition on the bucket key first: without it every write task
     // emits a file per bucket (tasks × buckets small files — the classic
     // lake mistake); with it each bucket is one file, which also lets the
@@ -165,13 +161,17 @@ object Relational {
         .option("path", new java.io.File(base, table).getAbsolutePath)
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(table)
-    land(Tables.orders(spark, sfDir), "graft_orders_bkt", "o_custkey")
-    land(Tables.customer(spark, sfDir), "graft_customer_bkt", "c_custkey")
+    // table names carry the run token too: the in-memory catalog is per-JVM,
+    // but the backing files under `base` are not
+    val ordersTbl = s"graft_orders_bkt_${Cols.runToken}"
+    val customerTbl = s"graft_customer_bkt_${Cols.runToken}"
+    land(Tables.orders(spark, sfDir), ordersTbl, "o_custkey")
+    land(Tables.customer(spark, sfDir), customerTbl, "c_custkey")
     // `merge` hint: at test SF the dim is broadcastable, which would hide
     // the property under test — bucketed SMJ must plan with NO exchange on
     // either join key (at 100 TB both sides are too big to broadcast)
-    spark.table("graft_orders_bkt").hint("merge")
-      .join(spark.table("graft_customer_bkt"),
+    spark.table(ordersTbl).hint("merge")
+      .join(spark.table(customerTbl),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -233,6 +233,54 @@ object Relational {
         sum(Cols.revenue).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
+
+  // one runtime-filter-conf'd clone per parent session (the same isolation
+  // pattern as Streaming's state-v2 session): the thresholds are
+  // session-level SQL confs, and mutating the caller's session would change
+  // every later join's planning (ADVICE r2 conf-hygiene rule)
+  private val bloomSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  /** A9 — runtime bloom-filter join pruning: a fact⋈fact join where one side
+    * carries a selective non-key predicate. Spark's InjectRuntimeFilter
+    * rewrites the probe side to
+    * `bloom_filter_might_contain(agg(bloom_filter_agg(o_orderkey)), l_orderkey)`
+    * — the shuffle-join companion of DPP (A5): DPP prunes partitions of a
+    * partitioned layout through a broadcast; the bloom filter prunes ROWS of
+    * an unpartitioned fact before the shuffle. PlanSpec gates the rewrite in
+    * the executed plan.
+    *
+    * 100 TB note: with a 2%-selective dim-like predicate on one fact, the
+    * probe fact's shuffle shrinks ~50× for the cost of one small bloom
+    * build — the standard saver when the filtered side is too big to
+    * broadcast (which is exactly when DPP's broadcast path is off the
+    * table). Thresholds here are lowered only because test-SF scans are
+    * far below the 10 GiB production default.
+    */
+  def joinBloomPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = bloomSessions.getOrElseUpdate(spark, {
+      val c = spark.newSession()
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // probe-side scans at test SF are MBs, not the 10 GiB default floor
+      c.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // creation-side plan-size estimates are uncompressed; keep headroom
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+      // force a shuffle join: with a broadcastable build side Spark
+      // (rightly) skips the bloom — the hash table itself filters. At
+      // 100 TB neither fact side broadcasts, which is the point.
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c
+    })
+    Tables.lineitem(s2, sfDir)
+      .join(Tables.orders(s2, sfDir).where(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(Cols.revenue).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** C3 — TPC-H-Q5-shaped star join: region('ASIA')→nation→customer→
     * orders(1996)→lineitem, revenue per nation. Dim chain broadcasts;

@@ -66,6 +66,57 @@ object TextAnalysis {
       .orderBy(col("source"), col("quota_rank"))
   }
 
+  /** pipeline_incremental_merge — the MERGE/upsert shape every incremental
+    * curation pipeline runs daily: today's crawl batch ⊕ the existing
+    * curated corpus, keyed by content fingerprint (the 8-token-prefix md5
+    * dedup_exact_keep_first uses, so cross-document collisions are real).
+    * Per the keep-first-seen convention:
+    *   - `batch_dup`: within-batch fingerprint collision (all but the
+    *     lowest doc_id) — dropped before the corpus is even consulted;
+    *   - `dup`: batch fingerprint already in the corpus — dropped,
+    *     first-seen wins;
+    *   - `insert`: unseen fingerprint — lands in the corpus;
+    *   - `keep`: existing corpus row — never rewritten (insert-only merge).
+    * Emits the per-action audit counts a production merge logs every run.
+    * The existing corpus is modeled as even doc_ids, the new batch as
+    * doc_ids divisible by 3 — overlapping on multiples of 6, so all four
+    * actions occur.
+    *
+    * 100 TB note: the whole merge is ONE keyed shuffle per input on the
+    * fingerprint — the batch side's dedup window and its membership join
+    * share the same hash partitioning, and the corpus side ships only its
+    * (fp)-projected distinct keys; no row of either side moves twice and
+    * nothing is cartesian (PlanSpec gate). The audit aggregate is 4 rows.
+    */
+  def incrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), fp.as("fp"))
+    val existing = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+    val corpusFps = existing.select(col("fp")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val classified = batch
+      .join(corpusFps, Seq("fp"), "left")
+      .withColumn("action",
+        when(col("rn") > 1, "batch_dup")
+          .when(col("in_corpus").isNotNull, "dup")
+          .otherwise("insert"))
+      .select(col("doc_id"), col("source"), col("action"))
+      .unionAll(existing.select(col("doc_id"), col("source"), lit("keep").as("action")))
+    classified
+      .groupBy(col("action"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("action"))
+  }
+
   /** text_lang_id — n-gram-overlap language scorer with first-max argmax. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     def score(words: Seq[String]): Column =

@@ -107,12 +107,22 @@ object Windows {
   def winNtileScalable(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = 8 // ≥ 2 proves the scale shape at test SF; O(cores) on a cluster
     val k = 4
+    // persist(): the offsets branch and the data branch below both consume
+    // `ranked`. Without materialization their correctness would silently
+    // depend on ReuseExchange deduplicating the two repartitionByRange
+    // executions — RangePartitioner samples boundaries with an RDD-id-
+    // dependent seed, so two *independent* executions could assign rows to
+    // different ranges and offset+lrn would produce wrong global ranks
+    // (ADVICE r2, medium). One cached computation removes the assumption;
+    // MEMORY_AND_DISK spills at scale, and the cache manager dedupes the
+    // entry across repeated runs of this query by canonicalized plan.
     val ranked = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_acctbal"))
       .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
       .withColumn("part", spark_partition_id())
       .withColumn("lrn", row_number().over(
         Window.partitionBy(col("part")).orderBy(col("c_acctbal"), col("c_custkey"))))
+      .persist()
     val offsets = ranked.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
       .withColumn("offset",
         coalesce(sum(col("cnt")).over(
@@ -130,7 +140,10 @@ object Windows {
            |        (n_total % $k) + (rn - 1 - (n_total % $k) * (n_total div $k + 1)) div (n_total div $k)
            |       ) + 1 as int)""".stripMargin))
       .withColumn("pct_rank",
-        round((col("rn") - 1).cast("double") / (col("n_total") - 1), 6))
+        // single-row input: (rn-1)/(N-1) = 0/0 = NaN, but PERCENT_RANK()
+        // (and the shared oracle) defines it as 0 (ADVICE r2)
+        when(col("n_total") === 1, 0.0)
+          .otherwise(round((col("rn") - 1).cast("double") / (col("n_total") - 1), 6)))
       .withColumn("cume", round(col("rn").cast("double") / col("n_total"), 6))
       .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
         col("pct_rank"), col("cume"))

@@ -56,6 +56,20 @@ object OracleSql {
       s"SELECT doc_id, CAST($simExpr AS INT) AS simhash FROM sums ORDER BY doc_id"
   }
 
+  /** Transitive-closure component labels over the LSH-verified pair graph;
+    * shared by dedup_connected_components (propagation loop) and its
+    * large-star/small-star twin dedup_connected_components_v2.
+    */
+  private val connectedComponentsSql: String =
+    s"WITH RECURSIVE $lshPairChain, " +
+      "pairs AS (SELECT i.a_id, i.b_id FROM inter i " +
+      "JOIN cnt ca ON ca.doc_id = i.a_id JOIN cnt cb ON cb.doc_id = i.b_id " +
+      "WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8), " +
+      "edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+      "reach AS (SELECT a AS node, a AS label FROM edges " +
+      "UNION SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node) " +
+      "SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node ORDER BY doc_id"
+
   /** Language-ID SQL, generated from the same lists as TextAnalysis.langId. */
   private val langIdSql: String = {
     val langs = graft.ops.TextAnalysis.langWords
@@ -121,6 +135,13 @@ object OracleSql {
         |COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "),
+
+    "join_bloom_pruned" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
 
     "join_multiway_star" ->
       """SELECT n_name,
@@ -784,16 +805,27 @@ object OracleSql {
 
     // same LSH-verified pairs → undirected graph → per-node component
     // minimum via a recursive transitive-closure CTE (the declarative twin
-    // of the Spark-side iterative min-label propagation)
-    "dedup_connected_components" ->
-      (s"WITH RECURSIVE $lshPairChain, " +
-        "pairs AS (SELECT i.a_id, i.b_id FROM inter i " +
-        "JOIN cnt ca ON ca.doc_id = i.a_id JOIN cnt cb ON cb.doc_id = i.b_id " +
-        "WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8), " +
-        "edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
-        "reach AS (SELECT a AS node, a AS label FROM edges " +
-        "UNION SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node) " +
-        "SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node ORDER BY doc_id"),
+    // of both Spark-side algorithms: the min-label propagation loop and the
+    // alternating large-star/small-star v2 — one oracle, two implementations)
+    "dedup_connected_components" -> connectedComponentsSql,
+    "dedup_connected_components_v2" -> connectedComponentsSql,
+
+    // the same fingerprint-keyed merge, replicated stage by stage: batch
+    // window-dedup → corpus-membership classification → keep rows → audit
+    "pipeline_incremental_merge" ->
+      """WITH f AS (SELECT doc_id, source,
+        |md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp FROM documents),
+        |ex AS (SELECT doc_id, source, fp FROM f WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, source, fp,
+        |ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f WHERE doc_id % 3 = 0),
+        |exf AS (SELECT DISTINCT fp FROM ex),
+        |cls AS (SELECT b.doc_id, b.source,
+        |CASE WHEN b.rn > 1 THEN 'batch_dup' WHEN exf.fp IS NOT NULL THEN 'dup' ELSE 'insert' END AS action
+        |FROM b LEFT JOIN exf ON exf.fp = b.fp
+        |UNION ALL SELECT doc_id, source, 'keep' AS action FROM ex)
+        |SELECT action, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM cls GROUP BY action ORDER BY action""".stripMargin.replace("\n", " "),
 
     "dedup_simhash" -> simhashSql,
 

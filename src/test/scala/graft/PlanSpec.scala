@@ -145,6 +145,37 @@ class PlanSpec extends SparkSpec {
       s"customer side shuffled despite bucketing:\n$plan")
   }
 
+  test("A9: runtime bloom filter prunes the probe side of the fact-fact join") {
+    val df = run("join_bloom_pruned")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // InjectRuntimeFilter rewrote the probe scan: the lineitem side filters
+    // through the bloom built from the selective orders side — the
+    // shuffle-join companion of the DPP gate at A5. (The physical plan
+    // renders the rewrite as might_contain(...) over a bloom_filter_agg
+    // subquery — the SQL-level name bloom_filter_might_contain does not
+    // appear in executed-plan strings.)
+    assert(plan.contains("might_contain"),
+      s"runtime bloom filter not injected:\n$plan")
+    assert(plan.contains("bloom_filter_agg"),
+      s"bloom build side missing:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "join must be a shuffle join or the bloom has nothing to save")
+  }
+
+  test("merge: incremental merge shuffles only on the fingerprint key, never cartesian") {
+    val df = run("pipeline_incremental_merge")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"merge must stay keyed:\n$plan")
+    // the batch dedup window and the corpus-membership join both cluster on
+    // fp — the merge's only data-sized exchanges hash on the fingerprint
+    assert(plan.contains("hashpartitioning(fp"),
+      s"expected fp-keyed exchange:\n$plan")
+  }
+
   test("AQE: skewed sort-merge join is split at runtime (skew=true)") {
     // thresholds shrunk so test-SF data trips the skew detector; the same
     // mechanism handles hot keys at 100 TB without query changes
