@@ -410,6 +410,34 @@ object Relational {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** G6 — weighted mixture sampling: every source gets a deterministic keep
+    * probability (20/40/60/80% in sixteenths-of-256, derived from the source
+    * name) and rows survive by comparing an md5 prefix of the row key
+    * against the source's hex threshold — the data-mixing knob a training
+    * pipeline turns to up/down-weight sources, with the same exact
+    * reproducibility story as G4 (pure per-row predicate, engine- and
+    * partitioning-independent, stable under backfills). Emits the per-source
+    * audit: docs in, docs kept, realized ratio.
+    */
+  def sampleWeightedMix(spark: SparkSession, sfDir: String): DataFrame = {
+    // thresholds are two-hex-char upper bounds on md5's first byte:
+    // '32'→20%, '66'→40%, '99'→60%, 'cc'→80% of the 256 byte values
+    val thr = when(length(col("source")) % 4 === 0, lit("32"))
+      .when(length(col("source")) % 4 === 1, lit("66"))
+      .when(length(col("source")) % 4 === 2, lit("99"))
+      .otherwise(lit("cc"))
+    val h2 = substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 2)
+    Tables.documents(spark, sfDir)
+      .withColumn("thr", thr)
+      .withColumn("kept", (h2 <= col("thr")).cast("int"))
+      .groupBy(col("source"), col("thr"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        round(sum(col("kept")).cast("double") / count(lit(1)), 4).as("kept_ratio"))
+      .orderBy(col("source"))
+  }
+
   // ───────────────────────── set operations (§2.H) ────────────────────────
 
   /** H1 — UNION ALL (multiset) and UNION DISTINCT arms, tagged. */

@@ -117,6 +117,56 @@ object TextAnalysis {
       .orderBy(col("action"))
   }
 
+  /** text_pii_redact — the PII scrubbing pass a public-web corpus gets
+    * before training: regex-redact emails and phone numbers, count the
+    * redactions, and emit the md5 of the redacted text (bit-exact oracle
+    * check of the full output without shipping it). The corpus has no PII,
+    * so deterministic synthetic PII is appended per row — each doc gains
+    * one email and one phone, plus whatever the regexes find organically —
+    * making the counts and the redacted text non-trivial at every SF.
+    * Pure per-row projection: no shuffle, codegen'd, embarrassingly
+    * parallel at 100 TB.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z][a-z.]*[a-z]"
+    val phoneRe = "\\+1-555-[0-9]{4}" // Java and RE2 agree on this dialect subset
+    Tables.documents(spark, sfDir)
+      .withColumn("enriched", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example or +1-555-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("enriched"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("enriched"), lit(phoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("enriched"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_chunk_split — token-window chunking with overlap (50-token
+    * chunks, stride 40): the context-window packing step between curation
+    * and tokenization. UDTF-shaped: one row per (doc, chunk) with the
+    * chunk's token span and md5 (bit-exact oracle check). Generator over a
+    * per-row sequence — no shuffle until the final presentation sort.
+    */
+  def chunkSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunk = 50
+    val stride = 40
+    Tables.documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n", size(col("t")))
+      .withColumn("chunk_id", explode(expr(s"sequence(0, (n - 1) div $stride)")))
+      .withColumn("start_tok", col("chunk_id") * stride + 1)
+      .select(
+        col("doc_id"), col("chunk_id"), col("start_tok"),
+        least(lit(chunk), col("n") - col("start_tok") + 1).as("n_tok"),
+        md5(concat_ws(" ", expr(s"slice(t, start_tok, $chunk)")).cast("binary"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** text_lang_id — n-gram-overlap language scorer with first-max argmax. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     def score(words: Seq[String]): Column =

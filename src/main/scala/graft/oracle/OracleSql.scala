@@ -810,6 +810,38 @@ object OracleSql {
     "dedup_connected_components" -> connectedComponentsSql,
     "dedup_connected_components_v2" -> connectedComponentsSql,
 
+    "sample_weighted_mix" ->
+      """WITH a AS (SELECT doc_id, source,
+        |CASE WHEN length(source) % 4 = 0 THEN '32' WHEN length(source) % 4 = 1 THEN '66'
+        |WHEN length(source) % 4 = 2 THEN '99' ELSE 'cc' END AS thr FROM documents),
+        |k AS (SELECT source, thr,
+        |CASE WHEN substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) <= thr THEN 1 ELSE 0 END AS kept
+        |FROM a)
+        |SELECT source, thr, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |round(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 4) AS kept_ratio
+        |FROM k GROUP BY source, thr ORDER BY source""".stripMargin.replace("\n", " "),
+
+    "text_pii_redact" ->
+      """WITH e AS (SELECT doc_id,
+        |text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or +1-555-' ||
+        |lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS enriched FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(enriched, '[a-z0-9]+@[a-z][a-z.]*[a-z]')) AS INT) AS n_emails,
+        |CAST(len(regexp_extract_all(enriched, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        |md5(regexp_replace(regexp_replace(enriched, '[a-z0-9]+@[a-z][a-z.]*[a-z]', '<EMAIL>', 'g'),
+        |'\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM e ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "text_chunk_split" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n, t, unnest(range(0, ((n - 1) // 40) + 1)) AS chunk_id FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |CAST(chunk_id * 40 + 1 AS BIGINT) AS start_tok,
+        |CAST(least(50, n - (chunk_id * 40 + 1) + 1) AS BIGINT) AS n_tok,
+        |md5(array_to_string(t[(chunk_id * 40 + 1):(chunk_id * 40 + 50)], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " "),
+
     // the same fingerprint-keyed merge, replicated stage by stage: batch
     // window-dedup → corpus-membership classification → keep rows → audit
     "pipeline_incremental_merge" ->

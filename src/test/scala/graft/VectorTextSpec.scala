@@ -100,4 +100,37 @@ class VectorTextSpec extends SparkSpec {
     val df = run("text_quality_score")
     assert(df.where("stop_ratio < 0 OR stop_ratio > 1 OR quality < 0 OR quality > 1").count() == 0)
   }
+
+  test("text_pii_redact: every doc catches its synthetic email and phone") {
+    val df = run("text_pii_redact")
+    // each row had exactly one email and one phone appended; the corpus
+    // itself is plain words, so counts are exactly 1 unless text contains
+    // organic matches (none in this corpus — equality is the assertion)
+    assert(df.where("n_emails < 1 OR n_phones < 1").count() == 0)
+    assert(df.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("text_chunk_split: spans tile each doc with stride 40 and cover all tokens") {
+    val df = run("text_chunk_split")
+    // chunk k starts at 40k+1; n_tok is 50 except a shorter trailing chunk
+    assert(df.where("start_tok <> chunk_id * 40 + 1").count() == 0)
+    assert(df.where("n_tok < 1 OR n_tok > 50").count() == 0)
+    // last chunk of every doc ends exactly at the doc's token count
+    val tokCounts = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+    val lastEnd = df.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.expr("max(start_tok + n_tok - 1)").as("covered"))
+    assert(lastEnd.join(tokCounts, "doc_id").where("covered <> n").count() == 0)
+  }
+
+  test("sample_weighted_mix: realized ratios track the per-source thresholds") {
+    val df = run("sample_weighted_mix")
+    // threshold 'cc' ≈ 80%, '32' ≈ 20%: realized ratio within ±0.25 of the
+    // target at sf0.001 stratum sizes (25 docs/source) — a loose sanity
+    // band; exactness is the oracle's job
+    val bad = df.selectExpr("source", "thr", "kept_ratio",
+      "CASE thr WHEN '32' THEN 0.199 WHEN '66' THEN 0.402 WHEN '99' THEN 0.602 ELSE 0.801 END AS target")
+      .where("abs(kept_ratio - target) > 0.25").count()
+    assert(bad == 0)
+  }
 }
