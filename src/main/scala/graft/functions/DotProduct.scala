@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst dot product over two `array<float>` columns.
+  *
+  * Why it exists: the vector queries' portable form is
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` — higher-order
+  * functions are evaluated through interpreted lambda machinery and
+  * break whole-stage codegen, and `zip_with` materializes the product
+  * array before the fold. This expression inlines a primitive loop into
+  * the stage's generated Java: no intermediate array, no closure
+  * dispatch per element — the difference between scanning an embedding
+  * lake at memory bandwidth and at interpreter speed at 100 TB.
+  *
+  * Semantics are IEEE-identical to the HOF form: per-element
+  * (double)x*(double)y products accumulated left-to-right (null
+  * elements skipped; embeddings carry none). Inputs must be
+  * `array<float>` — the library's embedding wire type.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("dotSum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+object DotProduct {
+  def build(exprs: Seq[Expression]): Expression = DotProduct(exprs(0), exprs(1))
+
+  /** SQL registration: `graft_dot(a, b)` over two array<float> columns. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", build, "built-in")
+}

@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_logistic"),
       new ExpressionInfo(classOf[LogisticScore].getName, "graft_logistic"),
       (exprs: Seq[Expression]) => LogisticScore.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct.build(exprs)))
   }
 }

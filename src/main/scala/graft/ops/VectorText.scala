@@ -50,6 +50,25 @@ object VectorText {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** J2v2 — identical semantics and oracle as vec_cosine_pairs, computed by
+    * the custom codegen'd [[graft.functions.DotProduct]] expression instead
+    * of the interpreted `aggregate(zip_with(...))` higher-order chain: the
+    * primitive loop inlines into whole-stage codegen with no intermediate
+    * product array — the hot-path form for 100 TB embedding scans. IEEE
+    * ops are element-order-identical to the HOF, so results (and the
+    * DuckDB oracle) are bit-equal — asserted in VectorTextSpec.
+    */
+  def vecCosinePairsNative(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 30)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (round(expr("graft_dot(a_emb, b_emb)"), 4) + lit(0.0)).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** J2b — pairwise error metrics (MSE / MAE / max abs error) for a bounded
     * pair set — the reference's clean-vs-reference scoring surface
     * (SURVEY §1.2). Element order of the error reductions follows array

@@ -70,6 +70,15 @@ object OracleSql {
       "UNION SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node) " +
       "SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node ORDER BY doc_id"
 
+  /** Pairwise cosine oracle, shared by the HOF query (vec_cosine_pairs) and
+    * its codegen'd DotProduct twin (vec_cosine_pairs_native).
+    */
+  private val vecCosinePairsSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")
+
   /** Language-ID SQL, generated from the same lists as TextAnalysis.langId. */
   private val langIdSql: String = {
     val langs = graft.ops.TextAnalysis.langWords
@@ -686,11 +695,10 @@ object OracleSql {
         |round(list_sum(list_transform(embedding[2:4], x -> CAST(x AS DOUBLE))), 4) + 0.0 AS sum_2_4
         |FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", " "),
 
-    "vec_cosine_pairs" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 30)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) + 0.0 AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id ORDER BY a_id, b_id""".stripMargin.replace("\n", " "),
+    "vec_cosine_pairs" -> vecCosinePairsSql,
+    // the codegen'd DotProduct twin is IEEE-identical to the HOF form, so
+    // it shares the oracle verbatim
+    "vec_cosine_pairs_native" -> vecCosinePairsSql,
 
     "vec_error_metrics" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),

@@ -101,6 +101,7 @@ class PlanSpec extends SparkSpec {
     val boundedByDesign = Set(
       "join_cross",             // contract cross join: region(5) × nation(25)
       "vec_cosine_pairs",       // vec_id < 30 verification stage
+      "vec_cosine_pairs_native", // same bounded stage, codegen'd dot twin
       "vec_error_metrics",      // vec_id < 20 scoring stage
       "vec_knn_topk",           // 10 broadcast query vectors (M5/M15 = scale path)
       "dedup_embedding_topk",   // vec_id < 300 verification stage

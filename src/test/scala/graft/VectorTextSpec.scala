@@ -101,6 +101,18 @@ class VectorTextSpec extends SparkSpec {
     assert(df.where("stop_ratio < 0 OR stop_ratio > 1 OR quality < 0 OR quality > 1").count() == 0)
   }
 
+  test("vec_cosine_pairs_native: codegen'd DotProduct is bit-equal to the HOF form") {
+    val a = run("vec_cosine_pairs")
+    val b = run("vec_cosine_pairs_native")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "native expression must be IEEE-identical to aggregate(zip_with(...))")
+    // the native expression stays inside a codegen'd (starred) stage
+    val df = run("vec_cosine_pairs_native")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"), s"expression not planned:\n$plan")
+  }
+
   test("text_pii_redact: every doc catches its synthetic email and phone") {
     val df = run("text_pii_redact")
     // each row had exactly one email and one phone appended; the corpus
