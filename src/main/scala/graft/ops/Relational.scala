@@ -378,6 +378,27 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** G3v2 — identical semantics and oracle as topk_per_group, computed by
+    * the custom mergeable [[graft.functions.TopKSketch]] aggregate instead
+    * of a partitioned window. Benched at parity with the window form
+    * (Spark 4's WindowGroupLimit already prunes rank-limits map-side — see
+    * SCALE.md); the aggregate's value is composability: top-k inside an
+    * ordinary groupBy, in ONE pass with any other aggregates, sort-free.
+    * PlanSpec gates partial+final ObjectHashAggregate and the absence of
+    * any window operator.
+    */
+  def topkPerGroupAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TopKSketch.register(spark)
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(expr("graft_topk(o_totalprice, o_orderkey)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"), col("t.key").as("o_orderkey"),
+        col("t.score").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   /** G4 — deterministic hash-bucket sampling: md5 of the key is bit-identical
     * cross-engine, so the ~10% sample (hex prefix 00..19 = 26/256) is exactly
     * reproducible — the property a training pipeline needs for stable

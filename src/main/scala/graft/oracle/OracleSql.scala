@@ -70,6 +70,15 @@ object OracleSql {
       "UNION SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node) " +
       "SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node ORDER BY doc_id"
 
+  /** Top-2-per-customer oracle, shared by the window query (topk_per_group)
+    * and its mergeable TopKSketch twin (topk_per_group_agg).
+    */
+  private val topkPerGroupSql: String =
+    """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders) t WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin.replace("\n", " ")
+
   /** Pairwise cosine oracle, shared by the HOF query (vec_cosine_pairs) and
     * its codegen'd DotProduct twin (vec_cosine_pairs_native).
     */
@@ -230,11 +239,10 @@ object OracleSql {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
 
-    "topk_per_group" ->
-      """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |FROM orders) t WHERE rn <= 2
-        |ORDER BY o_custkey, rn""".stripMargin.replace("\n", " "),
+    "topk_per_group" -> topkPerGroupSql,
+    // the mergeable TopKSketch twin keeps the same (score DESC, key ASC)
+    // order and k=2, so it shares the oracle verbatim
+    "topk_per_group_agg" -> topkPerGroupSql,
 
     // md5 order is bit-identical cross-engine → exact same quota per stratum
     "sample_stratified_quota" ->

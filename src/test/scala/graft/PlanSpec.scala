@@ -146,6 +146,21 @@ class PlanSpec extends SparkSpec {
       s"customer side shuffled despite bucketing:\n$plan")
   }
 
+  test("G3v2: TopKSketch top-k aggregates partial+final with no window operator") {
+    val df = run("topk_per_group_agg")
+    val plan = df.queryExecution.executedPlan.toString
+    // mergeable buffer → map-side combine: partial + final ObjectHashAggregate
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+    // the whole point: no per-group sort-then-filter window machinery
+    assert(!plan.contains("Window"), s"window operator crept in:\n$plan")
+    // row-identical to the window form
+    val a = run("topk_per_group")
+    val b = run("topk_per_group_agg")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "aggregate twin must match the window form row-for-row")
+  }
+
   test("A9: runtime bloom filter prunes the probe side of the fact-fact join") {
     val df = run("join_bloom_pruned")
     df.collect()
