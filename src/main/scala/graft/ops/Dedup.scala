@@ -317,13 +317,13 @@ object Dedup {
     * dot, unit-norm corpus): the verification stage of embedding near-dup.
     */
   def embeddingTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 300)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("sim_raw", expr(
-        "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      // codegen'd kernel; IEEE-identical to the HOF form (see DotProduct)
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
       .orderBy(desc("sim_raw"), asc("a_id"), asc("b_id"))
       .limit(20)
       .select(col("a_id"), col("b_id"),

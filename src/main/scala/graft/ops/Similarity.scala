@@ -21,10 +21,6 @@ object Similarity {
       when(element_at(col(emb), i + 1) > 0f, math.pow(2, i).toInt).otherwise(0)
     }.reduce(_ + _).cast("int")
 
-  private val dotExpr =
-    "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-
   /** ann_ivf_topk — IVF (inverted-file) ANN: a coarse quantizer of 10
     * centroids (per-label means, i.e. one supervised k-means M-step,
     * components rounded 6 dp for cross-engine determinism), every vector
@@ -37,6 +33,7 @@ object Similarity {
     * replicates the algorithm, so results still hash-match.
     */
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     // centroid per label, components rounded to 6 dp
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
@@ -72,7 +69,8 @@ object Similarity {
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
       .join(broadcast(probe.join(qVec, "a_id")), Seq("cell"))
       .where(col("a_id") =!= col("b_id"))
-      .withColumn("sim_raw", expr(dotExpr))
+      // codegen'd kernel; IEEE-identical to the HOF form (see DotProduct)
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
     val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
     cand.withColumn("rn", row_number().over(wTop))
       .where(col("rn") <= 3)
@@ -83,6 +81,7 @@ object Similarity {
 
   /** ann_lsh_bucket — top-3 same-bucket neighbors for each query vector. */
   def annLshBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
@@ -92,9 +91,8 @@ object Similarity {
     val w = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
     c.join(broadcast(q), Seq("bucket"))
       .where(col("a_id") =!= col("b_id"))
-      .withColumn("sim_raw", expr(
-        "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      // codegen'd kernel; IEEE-identical to the HOF form (see DotProduct)
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select(col("a_id"), col("bucket"), col("b_id"),

@@ -97,13 +97,15 @@ object VectorText {
     * for an LSH/IVF-pruned candidate set (see Similarity.annLshBucket).
     */
   def vecKnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark) // hot path: codegen'd kernel
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val c = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     val w = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
     c.join(broadcast(q), col("a_id") =!= col("b_id"))
-      .withColumn("sim_raw", expr(dotExpr))
+      // IEEE-identical to the HOF dotExpr (see DotProduct) — oracle unchanged
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
       .select(col("a_id"), col("b_id"),
