@@ -296,6 +296,68 @@ object Streaming {
     }
   }
 
+  /** L9 through the arbitrary-state v2 API: the same 30-min-gap sessionizer
+    * as [[sessionizeCustom]] but with `transformWithState` + explicit
+    * TIMERS — the v2 surface L10's counter doesn't touch. Gap-close happens
+    * on arrival; the open session closes when the registered event-time
+    * timer fires as the watermark passes last+gap (v2's replacement for
+    * fMGWS's `setTimeoutTimestamp`). Streaming-only (exercised in
+    * StreamingSpec like L6); the batch contract remains
+    * [[sessionizeBatchSorted]].
+    */
+  class SessionProcessorV2
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, java.sql.Timestamp), ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    private val gapUs = sessionGapUs
+    @transient private var sess: ValueState[SessionState] = _
+    override def init(outputMode: streaming.OutputMode,
+        timeMode: streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[ClosedSession] = {
+      val ts = rows.map(_._2).toArray.sorted // bounded by the micro-batch
+      val init = if (sess.exists()) Some(sess.get()) else None
+      val (closed, cur) = foldSessions(user, ts.iterator, init)
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.registerTimer((c.last + gapUs) / 1000) // event-time ms
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      // a newer event may have extended the session past this (stale) timer
+      if (sess.exists()) {
+        val c = sess.get()
+        if (expired.getExpiryTimeInMs() >= (c.last + gapUs) / 1000) {
+          sess.clear()
+          return Iterator(ClosedSession(user, c.start, c.last + gapUs, c.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** L9 v2 streaming body (timers require EventTime mode + a watermark). */
+  def sessionizeV2(ev: DataFrame): org.apache.spark.sql.Dataset[ClosedSession] = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    if (s.conf.getOption(providerKey).isEmpty)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ev.selectExpr("user_id", "ts_us", "ts")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessorV2,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** L10 shared body (batch + streaming). */
   def statefulCountV2(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession

@@ -121,6 +121,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(timeoutClosed), s"timeout-close missing in $rows")
   }
 
+  test("L9 v2: transformWithState sessionizer closes on gap and on TIMER expiry") {
+    implicit val ctx = s.sqlContext
+    val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = Streaming.sessionizeV2(
+          ms.toDF()
+            .withColumn("ts_us", org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp))"))
+            .withWatermark("ts", "0 seconds"))
+        .writeStream.format("memory").queryName("t_sess_v2")
+        .outputMode("append").start()
+      // same scenario as the fMGWS L9 twin: gap-close then timer-close
+      ms.addData(Ev(t("2024-01-01 00:00:00"), 1, 1.0, "view"),
+        Ev(t("2024-01-01 00:05:00"), 1, 1.0, "view"))
+      q.processAllAvailable()
+      ms.addData(Ev(t("2024-01-01 00:45:00"), 1, 1.0, "view"))
+      q.processAllAvailable()
+      // watermark far past 00:45+30m → user 1's open session closes on the
+      // registered event-time TIMER (handleExpiredTimer), not on new input
+      ms.addData(Ev(t("2024-01-01 02:00:00"), 2, 1.0, "view"))
+      q.processAllAvailable()
+      ms.addData(Ev(t("2024-01-01 03:00:00"), 2, 1.0, "view"))
+      q.processAllAvailable()
+      val rows = s.table("t_sess_v2")
+        .selectExpr("user_id", "start_us", "end_us", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      q.stop()
+      def us(str: String) = t(str).getTime * 1000L
+      val gapClosed = (1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:35:00"), 2)
+      val timerClosed = (1L, us("2024-01-01 00:45:00"), us("2024-01-01 01:15:00"), 1)
+      assert(rows.contains(gapClosed), s"gap-close missing in $rows")
+      assert(rows.contains(timerClosed), s"timer-close missing in $rows")
+    } finally saved match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("L10 twin: transformWithState (state v2) accumulates across micro-batches") {
     implicit val ctx = s.sqlContext
     val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
