@@ -185,6 +185,53 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** E11 — equi-width histogram binning: orders bucketed by total price
+    * (25k-wide bins, clamped top bin), count + exact decimal sum per bin.
+    * Buckets are computed with plain IEEE double division + floor — both
+    * engines evaluate it identically (unlike width_bucket, which DuckDB
+    * 1.0 lacks, and unlike decimal division, whose result scale differs
+    * per engine). One tiny hash aggregation; the classic distribution
+    * profile every data audit starts with.
+    */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("bucket",
+        least(floor(col("o_totalprice") / 25000.0), lit(23.0)).cast("bigint"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("bucket"))
+
+  /** L11 — time-series gap fill: the complete hourly spine between the
+    * first and last event hour (generated with `sequence`, exploded — no
+    * driver-side collect), left-joined to per-hour purchase aggregates,
+    * missing hours filled with zeros. Purchases are sparse enough that
+    * real gaps exist at every SF — the resample-to-regular-grid step
+    * every time-series pipeline needs before windowed models.
+    *
+    * 100 TB note: the spine is |hours| rows (tiny) and broadcasts; the
+    * fact side aggregates map-side first, so the join touches one compact
+    * row per hour, never raw events.
+    */
+  def gapfillHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev.where(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Cols.dec2(col("value"))).cast("double").as("sum_value"))
+    val spine = ev
+      .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    spine.join(hourly, Seq("hour"), "left")
+      .select(col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("hour"))
+  }
+
   /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */
   def pivotEventType(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("view", "click", "purchase", "signup", "error")

@@ -875,6 +875,23 @@ object OracleSql {
         |MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM cls GROUP BY action ORDER BY action""".stripMargin.replace("\n", " "),
 
+    "agg_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 25000.0), 23.0) AS BIGINT) AS bucket,
+        |COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "),
+
+    "ts_gapfill_hourly" ->
+      (EV +
+        """, hourly AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+          |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+          |FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+          |bounds AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM ev),
+          |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds)
+          |SELECT s.hour, COALESCE(h.n, 0) AS n, COALESCE(h.sum_value, 0.0) AS sum_value
+          |FROM spine s LEFT JOIN hourly h ON h.hour = s.hour
+          |ORDER BY s.hour""".stripMargin.replace("\n", " ")),
+
     "dedup_simhash" -> simhashSql,
 
     "dedup_exact_keep_first" ->

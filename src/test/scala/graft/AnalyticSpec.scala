@@ -2,6 +2,28 @@ package graft
 
 class AnalyticSpec extends SparkSpec {
 
+  test("E11 agg_histogram: buckets in range, counts sum to table size") {
+    val df = run("agg_histogram")
+    assert(df.where("bucket < 0 OR bucket > 23").count() == 0)
+    val total = df.selectExpr("sum(n_orders)").head().getLong(0)
+    assert(total == Tables.orders(spark, sf).count())
+  }
+
+  test("L11 ts_gapfill_hourly: spine is contiguous hourly with real zero-filled gaps") {
+    val df = run("ts_gapfill_hourly")
+    // consecutive spine rows are exactly one hour apart
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val gaps = df
+      .withColumn("prev", lag("hour", 1).over(Window.orderBy("hour")))
+      .where("prev IS NOT NULL AND CAST(hour AS LONG) - CAST(prev AS LONG) <> 3600")
+      .count()
+    assert(gaps == 0, "spine must be a contiguous hourly grid")
+    // purchases are sparse: zero-filled hours must actually occur
+    assert(df.where("n = 0").count() > 0, "expected real gaps to fill")
+    assert(df.where("n = 0 AND sum_value <> 0.0").count() == 0)
+  }
+
   test("F1 win_rank_topn: at most 3 per nation, rn==rk with unique tiebreak") {
     val df = run("win_rank_topn")
     assert(df.where("rn > 3").count() == 0)
