@@ -439,6 +439,29 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** C9f — FORWARD as-of join: for each event, the EARLIEST signup
+    * at-or-equal-or-after its timestamp — next-touch attribution, the
+    * mirror of [[joinAsof]]'s latest-prior semantics. Same scalable shape:
+    * one sorted pass per user, one value of window state, no join. At
+    * equal timestamps the signup sorts AFTER non-signup events
+    * (is_sign: signup→1) so it falls inside every same-ts event's
+    * following frame, and a signup still matches itself.
+    */
+  def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_sign"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("event_type") === "signup", col("ts_us")).as("s_ts_raw"),
+        when(col("event_type") === "signup", 1).otherwise(0).as("is_sign"))
+      .withColumn("next_signup_ts_us",
+        first(col("s_ts_raw"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("next_signup_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** C9 — as-of join: most recent prior-or-equal signup per event.
     * Implemented as a single sorted window pass (last signup-ts carried
     * forward), NOT a join — the scalable form: state per user is one

@@ -1066,6 +1066,14 @@ object OracleSql {
         |ON e.user_id = s.user_id AND s.ts_us <= e.ts_us
         |ORDER BY e.event_id""".stripMargin.replace("\n", " ")),
 
+    // forward direction: DuckDB ASOF with >= picks the EARLIEST match
+    // at-or-after the probe timestamp — next-touch attribution
+    "join_asof_forward" ->
+      (EV + """SELECT e.event_id, e.user_id, e.ts_us, s.ts_us AS next_signup_ts_us
+        |FROM ev e ASOF LEFT JOIN (SELECT user_id, ts_us FROM ev WHERE event_type = 'signup') s
+        |ON e.user_id = s.user_id AND s.ts_us >= e.ts_us
+        |ORDER BY e.event_id""".stripMargin.replace("\n", " ")),
+
     // identical oracle: the custom physical operator must agree with the
     // window-based rewrite AND DuckDB's native ASOF JOIN
     "join_asof_exec" ->

@@ -357,6 +357,18 @@ class StreamingSpec extends SparkSpec {
     assert(df.count() == ev.count())
   }
 
+  test("C9f join_asof_forward: signups self-match; matches never precede the event") {
+    val df = run("join_asof_forward")
+    val ev = Tables.events(spark, sf)
+    val selfMatch = df.join(
+        ev.where("event_type = 'signup'").select("event_id"), "event_id")
+      .where("next_signup_ts_us <> ts_us").count()
+    assert(selfMatch == 0, "a signup's forward as-of match is itself")
+    assert(df.where("next_signup_ts_us < ts_us").count() == 0,
+      "forward match must be at-or-after the event")
+    assert(df.count() == ev.count())
+  }
+
   test("C8 join_range_funnel: gaps within [0, 5 min]") {
     val df = run("join_range_funnel")
     assert(df.where("gap_us < 0 OR gap_us > 300000000").count() == 0)
