@@ -203,6 +203,39 @@ object Aggregates {
         sum(Cols.dec2(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy(col("bucket"))
 
+  /** E12 — ordered string aggregation: per region, the lexicographically
+    * sorted nation list as one delimited string (`listagg ... WITHIN
+    * GROUP`, new in Spark 4). Determinism requires the explicit WITHIN
+    * GROUP order — an unordered listagg is partitioning-dependent.
+    */
+  def aggStringConcat(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir)
+      .groupBy(col("n_regionkey"))
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+
+  /** E11b — equi-DEPTH histogram (deciles) next to E11's equi-width bins:
+    * ntile(10) over (price, unique key), per-decile count and exact price
+    * bounds. The global window is contract semantics exactly as
+    * win_ntile_pct; win_ntile_scalable documents the range-partitioned
+    * 100 TB path for this shape.
+    */
+  def aggHistogramEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("decile"))
+  }
+
   /** L11 — time-series gap fill: the complete hourly spine between the
     * first and last event hour (generated with `sequence`, exploded — no
     * driver-side collect), left-joined to per-hour purchase aggregates,

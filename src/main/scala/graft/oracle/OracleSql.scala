@@ -881,6 +881,17 @@ object OracleSql {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "),
 
+    "agg_string_concat" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |COUNT(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin.replace("\n", " "),
+
+    "agg_histogram_equidepth" ->
+      """WITH d AS (SELECT o_orderkey, o_totalprice,
+        |NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile FROM orders)
+        |SELECT decile, COUNT(*) AS n_orders, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin.replace("\n", " "),
+
     "ts_gapfill_hourly" ->
       (EV +
         """, hourly AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
