@@ -203,6 +203,44 @@ object Aggregates {
         sum(Cols.dec2(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy(col("bucket"))
 
+  /** E13 — argmax/argmin aggregates: per customer, the orderkey of the
+    * highest- and lowest-priced order. `max_by`'s tie behavior is
+    * engine-dependent, so the ordering value is made UNIQUE by composing
+    * exact price cents with the orderkey into one BIGINT — deterministic
+    * in both engines (the same trick a 100 TB pipeline needs, since ties
+    * on a measure are certain at scale).
+    */
+  def aggMinMaxBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000 + o_orderkey"
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        expr(s"max_by(o_orderkey, $ord)").as("best_order"),
+        expr(s"min_by(o_orderkey, $ord)").as("worst_order"),
+        max(Cols.dec2(col("o_totalprice"))).cast("double").as("best_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** F8 — period-over-period: monthly revenue with month-over-month delta
+    * and percent change via lag. The window runs over the MONTH aggregate
+    * (≈ tens of rows) — global ordering is fine at any scale because the
+    * windowed relation is dimension-sized, not data-sized.
+    */
+  def winPeriodOverPeriod(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("month"))
+    Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(Cols.dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .withColumn("prev", lag("revenue", 1).over(w))
+      .select(col("month"), col("revenue"),
+        // + 0.0 normalizes IEEE -0.0 (negative changes round to -0.0 at
+        // boundaries); NULL first row stays NULL through both engines
+        (round((col("revenue") - col("prev")) / col("prev"), 6) + lit(0.0))
+          .as("mom_pct"))
+      .orderBy(col("month"))
+  }
+
   /** E12 — ordered string aggregation: per region, the lexicographically
     * sorted nation list as one delimited string (`listagg ... WITHIN
     * GROUP`, new in Spark 4). Determinism requires the explicit WITHIN

@@ -162,6 +162,22 @@ object Scalars {
           .cast("decimal(18,2)").cast("double").as("summed"))
       .orderBy(col("o_orderkey"))
 
+  /** I9 — bitwise suite: AND/OR/XOR, shifts, popcount over the integer
+    * keys. Note DuckDB's `^` is exponentiation — its oracle uses `xor()`;
+    * everything else is operator-identical across engines.
+    */
+  def fnBitwiseSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(lit(255L))).as("b_and"),
+        (col("l_orderkey").bitwiseOR(lit(4096L))).as("b_or"),
+        (col("l_orderkey").bitwiseXOR(col("l_linenumber").cast("bigint"))).as("b_xor"),
+        shiftleft(col("l_linenumber"), 3).cast("bigint").as("b_shl"),
+        shiftright(col("l_orderkey"), 2).as("b_shr"),
+        bit_count(col("l_orderkey")).cast("bigint").as("b_pop"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** I6 — hashing: md5 + sha2-256 hex digests of document text. */
   def fnHashMd5(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -881,6 +881,31 @@ object OracleSql {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "),
 
+    "fn_bitwise_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_orderkey & 255 AS b_and,
+        |l_orderkey | 4096 AS b_or,
+        |xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS b_xor,
+        |CAST(l_linenumber << 3 AS BIGINT) AS b_shl,
+        |l_orderkey >> 2 AS b_shr,
+        |CAST(bit_count(l_orderkey) AS BIGINT) AS b_pop
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
+
+    "agg_min_max_by" ->
+      """SELECT o_custkey,
+        |arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000 + o_orderkey) AS best_order,
+        |arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000 + o_orderkey) AS worst_order,
+        |CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS best_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin.replace("\n", " "),
+
+    "win_period_over_period" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |round((revenue - lag(revenue) OVER (ORDER BY month)) / lag(revenue) OVER (ORDER BY month), 6) + 0.0 AS mom_pct
+        |FROM m ORDER BY month""".stripMargin.replace("\n", " "),
+
     "agg_string_concat" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |COUNT(*) AS n_nations
