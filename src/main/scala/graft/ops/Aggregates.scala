@@ -241,6 +241,50 @@ object Aggregates {
       .orderBy(col("month"))
   }
 
+  /** E14 — deterministic mode: the most frequent order priority per
+    * customer. `mode()` leaves ties engine-defined, so this is the
+    * portable two-stage shape every production pipeline uses instead:
+    * count per (group, value), then rank by (count DESC, value ASC) and
+    * keep rank 1 — a pure function of the data on any engine. Both
+    * stages shuffle on (or within) the group key; the window partitions
+    * by customer, never globally.
+    */
+  def aggModeDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("cnt"), asc("o_orderpriority"))
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_n"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** E15 — GROUPING SETS with grouping metadata through the DataFrame API
+    * (`Dataset.groupingSets`, Spark 4): subtotal level identified by
+    * `grouping_id(status, priority)` plus the per-column grouping bits —
+    * the machinery BI layers need to tell a subtotal NULL from a data
+    * NULL. DuckDB's `GROUPING(a,b)` uses the same first-arg-is-MSB bit
+    * order, verified cross-engine.
+    */
+  def aggGroupingId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("gid"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
   /** E12 — ordered string aggregation: per region, the lexicographically
     * sorted nation list as one delimited string (`listagg ... WITHIN
     * GROUP`, new in Spark 4). Determinism requires the explicit WITHIN

@@ -178,6 +178,27 @@ object Scalars {
         bit_count(col("l_orderkey")).cast("bigint").as("b_pop"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** I10 — regexp suite: extract (whole + group), replace-all, match
+    * count, boolean match. Patterns stay in the Java∩RE2 common subset
+    * (character classes, quantifiers, one capture group — no lookaround,
+    * no backrefs) so Spark's java.util.regex and DuckDB's RE2 agree;
+    * match counting goes through `regexp_extract_all` length because
+    * replace-all flags differ across engines. No-match extract is ''
+    * in both. Pure per-row codegen'd work — no shuffle but the
+    * presentation sort.
+    */
+  def fnRegexpSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+        regexp_extract(col("text"), "([a-z]+)ing\\b", 1).as("ing_stem"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("nums_masked"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_nums"),
+        size(expr("regexp_extract_all(text, '\\\\b[a-z]{7,}\\\\b', 0)")).as("n_long_words"),
+        col("text").rlike("[aeiou]{3}").as("has_triple_vowel"))
+      .orderBy(col("doc_id"))
+
   /** I6 — hashing: md5 + sha2-256 hex digests of document text. */
   def fnHashMd5(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -35,6 +35,28 @@ object VectorText {
         (round(expr("aggregate(slice(embedding, 2, 3), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4) + lit(0.0)).as("sum_2_4"))
       .orderBy(col("vec_id"))
 
+  /** J13 — array set algebra against a fixed stopword vocabulary:
+    * intersect / union / except over the token array, each explicitly
+    * deduped AND sorted before serialization — `array_intersect`'s result
+    * order and dedup behavior are engine-defined, so only the
+    * distinct-sorted view is a pure function of the data. Arrays ship as
+    * CSV strings (driver wire protocol; arrays are unhashable there).
+    * Per-row narrow work: no shuffle except the final presentation sort.
+    */
+  def arrSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        array_join(array_sort(array_distinct(array_intersect(col("toks"), stop))), ",")
+          .as("stop_hits"),
+        size(array_distinct(array_intersect(col("toks"), stop))).as("n_stop_distinct"),
+        size(array_distinct(array_except(col("toks"), stop))).as("n_content_distinct"),
+        size(array_distinct(array_union(col("toks"), stop))).as("n_union_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** J2 — pairwise cosine (≡ dot: vectors are unit-norm) for a bounded set.
     * `+ 0.0` normalizes IEEE negative zero: Spark's round (BigDecimal) emits
     * +0.0 where DuckDB's emits -0.0, and the driver's repr-hash sees them as

@@ -167,6 +167,32 @@ object Windows {
       .orderBy(col("c_nationkey"), desc("c_acctbal"), asc("c_custkey"))
   }
 
+  /** F9 — gaps-and-islands: longest run of CONSECUTIVE order days per
+    * customer. The classic `day − row_number()` island id — constant
+    * within a consecutive run, distinct across gaps. Days are epoch-day
+    * integers (datediff from 1970-01-01) so the arithmetic is identical
+    * on every engine; the window partitions by customer (never global),
+    * and both aggregations shuffle on the customer key. The production
+    * shape for retention / streak features at any scale.
+    */
+  def winStreakIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+    days
+      .withColumn("island", col("d") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("len")).as("max_streak"),
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_islands"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** F6 — first/last over an explicit full-partition frame; spread in
     * exact decimal.
     */

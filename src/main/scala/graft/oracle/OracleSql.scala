@@ -881,6 +881,36 @@ object OracleSql {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "),
 
+    "fn_regexp_suite" ->
+      """SELECT doc_id,
+        |regexp_extract(text, '[0-9]+') AS first_num,
+        |regexp_extract(text, '([a-z]+)ing\b', 1) AS ing_stem,
+        |regexp_replace(text, '[0-9]+', '#', 'g') AS nums_masked,
+        |CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+        |CAST(len(regexp_extract_all(text, '\b[a-z]{7,}\b')) AS INT) AS n_long_words,
+        |regexp_matches(text, '[aeiou]{3}') AS has_triple_vowel
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "arr_set_ops" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |['the','a','of','and','to','in','is'] AS stop FROM documents)
+        |SELECT doc_id,
+        |COALESCE(array_to_string(list_sort(list_distinct(list_intersect(toks, stop))), ','), '') AS stop_hits,
+        |CAST(len(list_distinct(list_intersect(toks, stop))) AS INT) AS n_stop_distinct,
+        |CAST(len(list_distinct(list_filter(toks, x -> NOT list_contains(stop, x)))) AS INT) AS n_content_distinct,
+        |CAST(len(list_distinct(list_concat(toks, stop))) AS INT) AS n_union_distinct
+        |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "win_streak_islands" ->
+      """WITH days AS (SELECT DISTINCT o_custkey,
+        |(o_orderdate::DATE - DATE '1970-01-01') AS d FROM orders),
+        |i AS (SELECT o_custkey, d,
+        |d - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS island FROM days),
+        |s AS (SELECT o_custkey, island, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT o_custkey, max(len) AS max_streak,
+        |CAST(sum(len) AS BIGINT) AS n_active_days, COUNT(*) AS n_islands
+        |FROM s GROUP BY 1 ORDER BY o_custkey""".stripMargin.replace("\n", " "),
+
     "fn_bitwise_suite" ->
       """SELECT l_orderkey, l_linenumber,
         |l_orderkey & 255 AS b_and,
@@ -890,6 +920,25 @@ object OracleSql {
         |l_orderkey >> 2 AS b_shr,
         |CAST(bit_count(l_orderkey) AS BIGINT) AS b_pop
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
+
+    "agg_mode_deterministic" ->
+      """WITH c AS (SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM c)
+        |SELECT o_custkey, o_orderpriority AS mode_priority, cnt AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin.replace("\n", " "),
+
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin.replace("\n", " "),
 
     "agg_min_max_by" ->
       """SELECT o_custkey,
