@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators (SURVEY §2.N): table profiling and rule-based
+  * validation — the checks every production ingestion pipeline runs before
+  * publishing a batch.
+  *
+  * 100 TB notes: both queries are ONE scan of the fact table. Profiling
+  * computes every per-column metric in a single aggregate (the exact
+  * count-distincts expand the input — the standard profiling cost; swap in
+  * approx_count_distinct when ±2% suffices) and reshapes with `stack`,
+  * which is per-row narrow work. Validation folds all row-level rules into
+  * one conditional aggregate; the referential rule is a broadcast-able
+  * anti-join. Nothing global, nothing driver-paced.
+  */
+object DataQuality {
+
+  /** N1 — per-column profile of `orders`: null count, exact distinct
+    * count, min/max (serialized to strings — the only type a mixed-column
+    * metric table can carry). Money goes through DECIMAL(12,2) and dates
+    * through DATE so the string forms are engine-identical.
+    */
+  def dqProfileTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      nn("o_orderkey"), countDistinct(col("o_orderkey")).as("nd_o_orderkey"),
+      min(col("o_orderkey")).cast("string").as("mn_o_orderkey"),
+      max(col("o_orderkey")).cast("string").as("mx_o_orderkey"),
+      nn("o_custkey"), countDistinct(col("o_custkey")).as("nd_o_custkey"),
+      min(col("o_custkey")).cast("string").as("mn_o_custkey"),
+      max(col("o_custkey")).cast("string").as("mx_o_custkey"),
+      nn("o_orderstatus"), countDistinct(col("o_orderstatus")).as("nd_o_orderstatus"),
+      min(col("o_orderstatus")).as("mn_o_orderstatus"),
+      max(col("o_orderstatus")).as("mx_o_orderstatus"),
+      nn("o_totalprice"), countDistinct(col("o_totalprice")).as("nd_o_totalprice"),
+      min(Cols.dec2(col("o_totalprice"))).cast("string").as("mn_o_totalprice"),
+      max(Cols.dec2(col("o_totalprice"))).cast("string").as("mx_o_totalprice"),
+      nn("o_orderdate"), countDistinct(col("o_orderdate")).as("nd_o_orderdate"),
+      min(col("o_orderdate")).cast("date").cast("string").as("mn_o_orderdate"),
+      max(col("o_orderdate")).cast("date").cast("string").as("mx_o_orderdate"),
+      nn("o_orderpriority"), countDistinct(col("o_orderpriority")).as("nd_o_orderpriority"),
+      min(col("o_orderpriority")).as("mn_o_orderpriority"),
+      max(col("o_orderpriority")).as("mx_o_orderpriority"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val stackArgs = cols
+      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    agg.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) as (col_name, n_nulls, n_distinct, min_v, max_v)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"),
+        round(col("n_nulls").cast("double") / col("n_rows"), 6).as("null_frac"))
+      .orderBy(col("col_name"))
+  }
+
+  /** N2 — rule-based validation: every row-level rule folded into ONE
+    * conditional aggregate over one scan, plus a referential-integrity
+    * anti-join (orders → customer), emitted as (rule, n_violations, pct).
+    * Clean synthetic data makes several rules legitimately zero — a DQ
+    * report's normal state; `price_outlier_400k` and `weekend_order` are
+    * live. Day-of-week literals differ per engine (Spark Sunday=1,
+    * DuckDB Sunday=0) — each side uses its own encoding of "weekend".
+    */
+  def dqRuleViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null_custkey"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_nonpositive_price"),
+      sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("v_price_outlier"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)).as("v_bad_status"),
+      sum(when(dayofweek(col("o_orderdate")).isin(1, 7), 1L).otherwise(0L)).as("v_weekend"))
+    val rowRules = agg.select(col("n_rows"), expr(
+      "stack(5, 'null_custkey', v_null_custkey, 'nonpositive_price', v_nonpositive_price, " +
+        "'price_outlier_400k', v_price_outlier, 'bad_status', v_bad_status, " +
+        "'weekend_order', v_weekend) as (rule, n_violations)"))
+    val orphan = o
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orphan_custkey").as("rule"), col("n_violations"))
+      // 1-row × 1-row: attach the denominator to the referential rule
+      .crossJoin(agg.select(col("n_rows")))
+    rowRules.select(col("rule"), col("n_violations"), col("n_rows"))
+      .unionByName(orphan.select(col("rule"), col("n_violations"), col("n_rows")))
+      .select(col("rule"), col("n_violations"),
+        round(col("n_violations").cast("double") / col("n_rows"), 6).as("pct"))
+      .orderBy(col("rule"))
+  }
+}

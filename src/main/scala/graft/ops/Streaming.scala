@@ -46,7 +46,40 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-stream interval join body: purchases within 1 hour AFTER a
+    * view by the same user. Inputs carry (event_id, ts, user_id). The
+    * event-time range condition is part of the join predicate — in
+    * streaming mode (both sides watermarked by the caller) it is exactly
+    * what lets Spark bound and evict join state; in batch it is the same
+    * attribution-window semantics. State and shuffle key on user_id.
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+      col("user_id"))
+    val p = purchases.select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+      col("user_id").as("p_user"))
+    v.join(p, col("user_id") === col("p_user") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   // ── batch contract queries ──
+
+  /** L13 — the stream-stream join's batch contract: view→purchase pairs
+    * within the 1-hour attribution window, one row per qualifying pair.
+    * The same [[viewPurchaseJoin]] body runs under MemoryStream with
+    * watermarks on both sides in StreamingSpec (the streaming-only
+    * state-eviction semantics, like L6, can't be oracle-checked in SQL).
+    */
+  def streamJoinViewPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    viewPurchaseJoin(
+      ev.where(col("event_type") === "view"),
+      ev.where(col("event_type") === "purchase"))
+      .select(col("user_id"), col("v_id"), col("p_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      .orderBy(col("user_id"), col("v_id"), col("p_id"))
+  }
 
   /** L1 — tumbling 1h windows. */
   def streamTumbling1h(spark: SparkSession, sfDir: String): DataFrame =
@@ -72,6 +105,29 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
+
+  /** L12 — SCD2 interval build: compress each user's event-type stream to
+    * its CHANGE POINTS, then emit slowly-changing-dimension-2 intervals
+    * (valid_from / valid_to / version / is_current) — the write shape of
+    * every incrementally-maintained dimension table. Total order inside a
+    * user is (ts_us, event_id) so equal timestamps cannot flip versions
+    * between runs. Two keyed window passes (lag to detect changes, lead
+    * on the compressed rows for interval ends) — both partition by
+    * user_id, nothing global, one shuffle shared by both windows.
+    */
+  def scd2ChangeIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("version"), col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 
   /** L4 — daily active users + next-day retention. */
   def streamDauRetention(spark: SparkSession, sfDir: String): DataFrame = {

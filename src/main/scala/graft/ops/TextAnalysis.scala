@@ -264,4 +264,24 @@ object TextAnalysis {
             |    element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4)) AS BINARY))))
             |END""".stripMargin).as("fp_min_shingle"))
       .orderBy(col("doc_id"))
+
+  /** text_ngram_topk — corpus-wide top-20 bigrams. Bigram generation is a
+    * SINGLE per-row `transform` over adjacent token pairs (no self-join,
+    * no positional shuffle — the n-gram language-model counting shape),
+    * then one hash aggregation and a TakeOrdered top-k. Ties at the
+    * boundary are broken lexicographically so the cut is deterministic.
+    * The `size >= 2` guard matters: Spark's `sequence(1, 0)` DESCENDS.
+    */
+  def ngramTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
 }

@@ -921,6 +921,78 @@ object OracleSql {
         |CAST(bit_count(l_orderkey) AS BIGINT) AS b_pop
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
 
+    "stream_join_view_purchase" ->
+      (EV + """SELECT v.user_id, v.event_id AS v_id, p.event_id AS p_id,
+        |p.ts_us - v.ts_us AS gap_us
+        |FROM ev v JOIN ev p ON v.user_id = p.user_id
+        |AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + 3600000000
+        |ORDER BY v.user_id, v_id, p_id""".stripMargin.replace("\n", " ")),
+
+    "text_ngram_topk" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents
+        |WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT unnest(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |p -> p[1] || ' ' || p[2])) AS bigram FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin.replace("\n", " "),
+
+    "scd2_change_intervals" ->
+      (EV + """, cp AS (
+        |SELECT user_id, event_id, ts_us, event_type,
+        |LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |FROM ev),
+        |f AS (SELECT user_id, event_id, ts_us, event_type FROM cp
+        |WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS attr, ts_us AS valid_from_us,
+        |LEAD(ts_us) OVER w AS valid_to_us,
+        |CAST(row_number() OVER w AS INT) AS version,
+        |(LEAD(ts_us) OVER w IS NULL) AS is_current
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin.replace("\n", " ")),
+
+    "dq_profile_table" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1, CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+        |SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2, COUNT(DISTINCT o_custkey) AS nd2, CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+        |SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3, MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+        |SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4, CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS mn4, CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS mx4,
+        |SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn5, COUNT(DISTINCT o_orderdate) AS nd5, CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS mn5, CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS mx5,
+        |SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn6, COUNT(DISTINCT o_orderpriority) AS nd6, MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
+        |FROM orders),
+        |u AS (
+        |SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nulls, nd1 AS n_distinct, mn1 AS min_v, mx1 AS max_v FROM a
+        |UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3, mn3, mx3 FROM a
+        |UNION ALL SELECT 'o_totalprice', n_rows, nn4, nd4, mn4, mx4 FROM a
+        |UNION ALL SELECT 'o_orderdate', n_rows, nn5, nd5, mn5, mx5 FROM a
+        |UNION ALL SELECT 'o_orderpriority', n_rows, nn6, nd6, mn6, mx6 FROM a)
+        |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |CAST(n_distinct AS BIGINT) AS n_distinct, min_v, max_v,
+        |round(n_nulls * 1.0 / n_rows, 6) AS null_frac
+        |FROM u ORDER BY col_name""".stripMargin.replace("\n", " "),
+
+    "dq_rule_violations" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v1,
+        |SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v2,
+        |SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS v3,
+        |SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v4,
+        |SUM(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END) AS v5
+        |FROM orders),
+        |u AS (
+        |SELECT 'null_custkey' AS rule, v1 AS n_violations, n_rows FROM a
+        |UNION ALL SELECT 'nonpositive_price', v2, n_rows FROM a
+        |UNION ALL SELECT 'price_outlier_400k', v3, n_rows FROM a
+        |UNION ALL SELECT 'bad_status', v4, n_rows FROM a
+        |UNION ALL SELECT 'weekend_order', v5, n_rows FROM a
+        |UNION ALL SELECT 'orphan_custkey',
+        |(SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+        |(SELECT n_rows FROM a))
+        |SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+        |round(n_violations * 1.0 / n_rows, 6) AS pct
+        |FROM u ORDER BY rule""".stripMargin.replace("\n", " "),
+
     "agg_mode_deterministic" ->
       """WITH c AS (SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
         |FROM orders GROUP BY 1, 2),

@@ -403,4 +403,36 @@ class StreamingSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
       "both sessionizer paths must emit identical closed sessions")
   }
+
+  test("L13 twin: watermarked stream-stream interval join matches batch") {
+    implicit val ctx = s.sqlContext
+    // event_id rides in `value` (Ev has no id field); body reads event_id
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("CAST(value AS BIGINT) AS event_id", "ts", "user_id")
+    val views = Seq(
+      Ev(t("2024-01-01 00:00:00"), 1, 100, "view"),
+      Ev(t("2024-01-01 02:00:00"), 2, 101, "view"))
+    val purchases = Seq(
+      Ev(t("2024-01-01 00:30:00"), 1, 200, "purchase"), // in window → match
+      Ev(t("2024-01-01 02:00:00"), 1, 201, "purchase"), // > 1h after view 100
+      Ev(t("2024-01-01 01:00:00"), 2, 202, "purchase"), // before user-2 view
+      Ev(t("2024-01-01 02:59:00"), 2, 203, "purchase")) // in window → match
+    val (mv, mp) = (MemoryStream[Ev], MemoryStream[Ev])
+    val joined = Streaming.viewPurchaseJoin(
+      shape(mv.toDF()).withWatermark("ts", "10 minutes"),
+      shape(mp.toDF()).withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    mv.addData(views: _*); mp.addData(purchases: _*)
+    q.processAllAvailable()
+    val streamed = s.table("t_ssjoin").select("v_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val batch = Streaming.viewPurchaseJoin(
+        shape(views.toDF()), shape(purchases.toDF()))
+      .select("v_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((100L, 200L), (101L, 203L)))
+  }
 }
