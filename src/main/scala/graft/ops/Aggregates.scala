@@ -285,6 +285,30 @@ object Aggregates {
       .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** E16 — mergeable HLL sketch rollup (Datasketches, built into Spark 4):
+    * daily `hll_sketch_agg(user_id)` sketches, then WEEKLY distinct-user
+    * estimates by `hll_union_agg` over the daily sketches — re-aggregating
+    * byte-sized state instead of re-scanning raw events. THE
+    * pre-aggregation idiom at 100 TB: daily sketches persist once; every
+    * coarser rollup (week/month/quarter, any region slice) is a cheap
+    * union of sketches. No SQL oracle (approximate + engine-specific
+    * serialization); AnalyticSpec asserts ≤5% vs exact weekly distinct.
+    */
+  def aggHllSketchUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        count(lit(1)).as("n_events"))
+    daily
+      .groupBy(date_trunc("week", col("day")).as("week"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("week"))
+  }
+
   /** E12 — ordered string aggregation: per region, the lexicographically
     * sorted nation list as one delimited string (`listagg ... WITHIN
     * GROUP`, new in Spark 4). Determinism requires the explicit WITHIN

@@ -129,6 +129,32 @@ object Streaming {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** L14 — cumulative distinct users per day WITHOUT a running
+    * count-distinct (which no engine can window efficiently): each user's
+    * FIRST day contributes one "new user"; the cumulative distinct count
+    * is then a running SUM over the day-level aggregate. Two keyed
+    * shuffles (user, then day) and one window over the dimension-sized
+    * daily relation — the only scalable shape for this metric at 100 TB.
+    */
+  def winCumulativeDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new_users", coalesce(col("n_new_users"), lit(0L)))
+      .withColumn("cum_distinct_users", sum(col("n_new_users")).over(w))
+      .select(col("day").cast("string").as("day"), col("n_active_users"),
+        col("n_new_users"), col("cum_distinct_users"))
+      .orderBy(col("day"))
+  }
+
   /** L4 — daily active users + next-day retention. */
   def streamDauRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)

@@ -921,6 +921,20 @@ object OracleSql {
         |CAST(bit_count(l_orderkey) AS BIGINT) AS b_pop
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " "),
 
+    "win_cumulative_distinct" ->
+      (EV + """, d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM ev),
+        |daily AS (SELECT day, COUNT(DISTINCT user_id) AS n_active_users
+        |FROM d GROUP BY day),
+        |fs AS (SELECT user_id, MIN(day) AS day FROM d GROUP BY user_id),
+        |nw AS (SELECT day, COUNT(*) AS n_new_users FROM fs GROUP BY day)
+        |SELECT CAST(daily.day AS VARCHAR) AS day, daily.n_active_users,
+        |CAST(COALESCE(nw.n_new_users, 0) AS BIGINT) AS n_new_users,
+        |CAST(SUM(COALESCE(nw.n_new_users, 0)) OVER (ORDER BY daily.day
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |AS cum_distinct_users
+        |FROM daily LEFT JOIN nw ON daily.day = nw.day
+        |ORDER BY day""".stripMargin.replace("\n", " ")),
+
     "stream_join_view_purchase" ->
       (EV + """SELECT v.user_id, v.event_id AS v_id, p.event_id AS p_id,
         |p.ts_us - v.ts_us AS gap_us

@@ -85,6 +85,20 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("E16 agg_hll_sketch_union: weekly union-of-daily-sketches within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = run("agg_hll_sketch_union").collect()
+      .map(r => r.get(0).toString -> r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.events(spark, sf)
+      .select(date_trunc("week", to_date(col("ts"))).as("week"), col("user_id"))
+      .groupBy("week").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.get(0).toString -> r.getAs[Long]("n")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1, n * 0.05), s"$k: ${approx(k)} vs $n")
+    }
+  }
+
   test("agg_percentile_approx: within 1% relative error of exact percentiles") {
     val exact = run("agg_percentiles").collect()
       .map(r => r.getAs[String]("l_returnflag") ->

@@ -109,7 +109,8 @@ class PlanSpec extends SparkSpec {
       "text_levenshtein_pairs", // doc_id < 8 blocking survivors
       "text_tfidf_top",         // broadcast 1-row corpus count
       "ann_ivf_topk",           // broadcast 10-row centroid table
-      "param_sweep_argmin")     // broadcast ≤7-row param grid
+      "param_sweep_argmin",     // broadcast ≤7-row param grid
+      "dq_rule_violations")     // 1-row rule agg × 1-row denominator agg
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
@@ -118,6 +119,45 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
     }
+  }
+
+  test("N1: profile computes every column metric in ONE scan of orders") {
+    // expand-based multi-distinct still reads the table once: the
+    // optimized logical plan has exactly one relation leaf (the plan
+    // STRING can render AQE subtrees twice, so count tree nodes)
+    val leaves = run("dq_profile_table").queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, s"profile must be single-scan, got:\n$leaves")
+  }
+
+  test("L12: SCD2 intervals share ONE hash exchange across both windows") {
+    val df = run("scd2_change_intervals")
+    df.collect()
+    // keep only the final adaptive plan — the "Initial Plan" section
+    // repeats every node with fresh plan_ids
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // lag-filter window and lead/version window both cluster on user_id:
+    // ONE hash exchange feeds both (the only other exchange is the
+    // rangepartitioning presentation sort) — a second hash shuffle would
+    // double the data movement at 100 TB. The AQE plan string renders
+    // reused subtrees repeatedly and hides stage internals from
+    // TreeNode.collect, so count DISTINCT plan_ids of hash exchanges.
+    val hashExIds = "Exchange hashpartitioning\\([^\\]]*plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashExIds.size == 1, s"expected one shared user_id exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+
+  test("L13: stream-stream join's batch twin is a keyed join, never cartesian") {
+    val plan = executed("stream_join_view_purchase")
+    assert(plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay keyed on user_id:\n$plan")
+  }
+
+  test("M32: bigram counting is join-free (per-row transform, no positional self-join)") {
+    val plan = executed("text_ngram_topk")
+    assert(!plan.contains("Join"), s"ngram generation must not join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k should TakeOrdered:\n$plan")
   }
 
   test("A5: dim-filtered star over partitioned layout fires dynamic partition pruning") {

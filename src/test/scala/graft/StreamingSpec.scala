@@ -404,6 +404,53 @@ class StreamingSpec extends SparkSpec {
       "both sessionizer paths must emit identical closed sessions")
   }
 
+  test("stream-static enrichment: stream joins a broadcast dimension per micro-batch") {
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // static dim (re-read per micro-batch in a real lake; broadcast-sized)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Ev]
+    val enriched = ms.toDF().join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("t_enrich")
+      .outputMode("append").start()
+    ms.addData(
+      Ev(t("2024-01-01 00:01:00"), 1, 10.0, "view"),
+      Ev(t("2024-01-01 00:02:00"), 2, 11.0, "view"),
+      Ev(t("2024-01-01 00:03:00"), 3, 12.0, "view")) // no dim row → null tier
+    q.processAllAvailable()
+    val rows = s.table("t_enrich").select("user_id", "tier").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    q.stop()
+    assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+  }
+
+  test("foreachBatch sink: batch-id-keyed writes make replays idempotent") {
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.DataFrame
+    // the exactly-once production pattern: key the write by batchId so a
+    // replayed micro-batch OVERWRITES its own output instead of appending
+    // a duplicate — simulated here with a map keyed by batchId
+    val written = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val ms = MemoryStream[Ev]
+    def writeBatch(df: DataFrame, batchId: Long): Unit = {
+      val n = df.count()
+      written.put(batchId, n)       // idempotent: replay replaces, not appends
+      if (batchId == 0) writeBatch0Replay(df, batchId) // simulate one replay
+    }
+    def writeBatch0Replay(df: DataFrame, batchId: Long): Unit =
+      written.put(batchId, df.count())
+    val q = ms.toDF().writeStream.foreachBatch(writeBatch _)
+      .outputMode("append").start()
+    ms.addData(Ev(t("2024-01-01 00:01:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 00:02:00"), 2, 1.0, "view"))
+    q.processAllAvailable()
+    ms.addData(Ev(t("2024-01-01 00:03:00"), 3, 1.0, "view"))
+    q.processAllAvailable()
+    q.stop()
+    // despite the replayed batch 0, totals count each event exactly once
+    assert(written.values.sum == 3, s"got $written")
+  }
+
   test("L13 twin: watermarked stream-stream interval join matches batch") {
     implicit val ctx = s.sqlContext
     // event_id rides in `value` (Ev has no id field); body reads event_id
