@@ -285,6 +285,31 @@ object Aggregates {
       .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** E17 — robust statistics per group: exact interpolated median, IQR,
+    * and MAD (median absolute deviation). MAD needs the group median
+    * FIRST, so it is a two-stage plan: group percentiles → broadcast the
+    * 3-row group table back onto the fact → percentile of the absolute
+    * deviations. Both engines use the same lower+(upper−lower)·frac
+    * interpolation, on the ROUNDED median so the second stage's input is
+    * bit-identical cross-engine.
+    */
+  def aggRobustStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val base = li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.75) - percentile(l_extendedprice, 0.25)"), 6)
+          .as("iqr_price"))
+    val mad = li
+      .join(broadcast(base.select(col("l_returnflag"), col("median_price"))), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(abs(l_extendedprice - median_price), 0.5)"), 6)
+        .as("mad_price"))
+    base.join(mad, "l_returnflag")
+      .select(col("l_returnflag"), col("median_price"), col("iqr_price"), col("mad_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** E16 — mergeable HLL sketch rollup (Datasketches, built into Spark 4):
     * daily `hll_sketch_agg(user_id)` sketches, then WEEKLY distinct-user
     * estimates by `hll_union_agg` over the daily sketches — re-aggregating

@@ -378,6 +378,62 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** G3t — top-k WITH TIES (`rank() <= k`): every order tied at the cut
+    * survives, so the result is a pure function of the data even when the
+    * measure ties — the correctness-critical variant of G3 for measures
+    * with few distinct values. Ranked on exact integer cents (double
+    * equality at the cut would be representation-dependent). Plans as
+    * WindowGroupLimit like G3: the rank bound prunes map-side.
+    */
+  def topkPerGroupTies(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(desc("cents"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (Cols.dec2(col("o_totalprice")) * 100).cast("bigint").as("cents"))
+      .withColumn("rk", rank().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        (col("cents").cast("double") / 100).as("price_d"))
+      .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+  }
+
+  /** A10 — Z-order (Morton curve) layout statistics: the curve position
+    * interleaves l_partkey and l_suppkey bits via the codegen'd
+    * [[graft.functions.ZOrder16]] expression; bucketing the curve
+    * (z >> 24) shows the locality BOTH dimensions get — each bucket spans
+    * a bounded range of partkeys AND suppkeys, which is exactly why
+    * range-partitioning a 100 TB table by z-value lets parquet min/max
+    * zone maps prune scans filtered on either key (the Delta/Iceberg
+    * Z-ORDER layout trick). The oracle recomputes the interleave with
+    * pure bit arithmetic — an independent check of the generated Java.
+    */
+  def layoutZorderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.ZOrder16.register(spark)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("z", expr("graft_zorder16(l_partkey % 65536, l_suppkey % 65536)"))
+      .withColumn("bucket", shiftright(col("z"), 24))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("bucket"))
+  }
+
+  /** D6 — RECURSIVE CTE (new in Spark 4): the monthly spine between the
+    * first and last order month is generated by the recursion itself (no
+    * driver-side collect, no `sequence` array), then left-joined to the
+    * monthly revenue aggregate — recursion depth ≈ months spanned (~84),
+    * inside Spark's default 100-level limit. Same SQL text runs on both
+    * engines (shared like D1-D3).
+    */
+  def cteRecursive(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(graft.oracle.OracleSql.all("cte_recursive"))
+  }
+
   /** G3v2 — identical semantics and oracle as topk_per_group, computed by
     * the custom mergeable [[graft.functions.TopKSketch]] aggregate instead
     * of a partitioned window. Benched at parity with the window form

@@ -167,6 +167,33 @@ object Windows {
       .orderBy(col("c_nationkey"), desc("c_acctbal"), asc("c_custkey"))
   }
 
+  /** F10 — ratio-to-report: each nation's revenue share within its region
+    * and of the whole ledger. Both windows run over the 25-row
+    * region×nation AGGREGATE — dimension-sized, so the unpartitioned
+    * total window is fine at any fact-table scale (same rule as F8).
+    * Shares divide as doubles after the exact decimal sums.
+    */
+  def winRatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = graft.Tables.nation(spark, sfDir)
+      .join(graft.Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .join(graft.Tables.customer(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      // keep the EXACT decimal sum for the window denominators: a window
+      // sum over doubles is addition-order-dependent and engines differ
+      .agg(sum(Cols.dec2(col("o_totalprice"))).as("rev_dec"))
+    val wRegion = Window.partitionBy(col("r_name"))
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("region_share",
+        round(col("rev_dec").cast("double") / sum(col("rev_dec")).over(wRegion).cast("double"), 6))
+      .withColumn("total_share",
+        round(col("rev_dec").cast("double") / sum(col("rev_dec")).over(wAll).cast("double"), 6))
+      .select(col("r_name"), col("n_name"), col("rev_dec").cast("double").as("revenue"),
+        col("region_share"), col("total_share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** F9 — gaps-and-islands: longest run of CONSECUTIVE order days per
     * customer. The classic `day − row_number()` island id — constant
     * within a consecutive run, distinct across gaps. Days are epoch-day

@@ -901,6 +901,69 @@ object OracleSql {
         |CAST(len(list_distinct(list_concat(toks, stop))) AS INT) AS n_union_distinct
         |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+    "layout_zorder_stats" ->
+      // independent arithmetic recomputation of the codegen'd bit
+      // interleave: a-bits at even, b-bits at odd curve positions
+      ("""WITH z AS (SELECT l_partkey, l_suppkey, ("""
+        // every term fully parenthesized: DuckDB gives << and | EQUAL
+        // precedence (left-associative), unlike Java/Spark
+        + (0 until 16).map(i =>
+            s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i}) | " +
+            s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        + """) AS zv FROM lineitem)
+        |SELECT zv >> 24 AS bucket, COUNT(*) AS n,
+        |MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+        |MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin).replace("\n", " "),
+
+    "agg_robust_stats" ->
+      """WITH b AS (SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        |round(quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25), 6) AS iqr_price
+        |FROM lineitem GROUP BY 1),
+        |m AS (SELECT l.l_returnflag,
+        |round(quantile_cont(abs(l.l_extendedprice - b.median_price), 0.5), 6) AS mad_price
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag GROUP BY 1)
+        |SELECT b.l_returnflag, b.median_price, b.iqr_price, m.mad_price
+        |FROM b JOIN m ON b.l_returnflag = m.l_returnflag
+        |ORDER BY b.l_returnflag""".stripMargin.replace("\n", " "),
+
+    "win_ratio_to_report" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        |round(CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share,
+        |round(CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE), 6) AS total_share
+        |FROM rev ORDER BY r_name, n_name""".stripMargin.replace("\n", " "),
+
+    "topk_per_group_ties" ->
+      """WITH t AS (SELECT o_orderpriority, o_orderkey,
+        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT *, rank() OVER (PARTITION BY o_orderpriority ORDER BY cents DESC) AS rk FROM t)
+        |SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey,
+        |CAST(cents AS DOUBLE) / 100 AS price_d
+        |FROM r WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin.replace("\n", " "),
+
+    "cte_recursive" ->
+      """WITH RECURSIVE m(month) AS (
+        |SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+        |UNION ALL
+        |SELECT month + INTERVAL '1' MONTH FROM m
+        |WHERE month < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+        |),
+        |r AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT m.month AS month, COALESCE(r.revenue, 0.0) AS revenue,
+        |CAST(COALESCE(r.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM m LEFT JOIN r ON m.month = r.month ORDER BY month""".stripMargin.replace("\n", " "),
+
     "win_streak_islands" ->
       """WITH days AS (SELECT DISTINCT o_custkey,
         |(o_orderdate::DATE - DATE '1970-01-01') AS d FROM orders),
