@@ -683,6 +683,14 @@ object Relational {
   def subqueryIn(spark: SparkSession, sfDir: String): DataFrame =
     sqlQuery("subquery_in")(spark, sfDir)
 
+  /** D7 — correlated EXISTS / NOT EXISTS pair: customers WITH orders but
+    * NONE above the threshold — Catalyst plans the pair as one semi plus
+    * one anti join, both keyed on the customer key; text shared verbatim
+    * with the oracle.
+    */
+  def subqueryNotExists(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("subquery_not_exists")(spark, sfDir)
+
   /** D5 — LATERAL correlated subquery with per-outer-row ORDER BY + LIMIT
     * (top-2 customers per nation): Catalyst decorrelates it into a ranked
     * join rather than executing per-row; text shared verbatim with the

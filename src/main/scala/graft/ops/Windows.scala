@@ -202,11 +202,10 @@ object Windows {
     * and both aggregations shuffle on the customer key. The production
     * shape for retention / streak features at any scale.
     */
-  def winStreakIslands(spark: SparkSession, sfDir: String): DataFrame = {
-    val days = Tables.orders(spark, sfDir)
-      .select(col("o_custkey"),
-        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("d"))
-      .distinct()
+  /** Core of F9 over any distinct (o_custkey, d) relation — separated so
+    * PropertiesSpec can law-check it against a brute-force model.
+    */
+  private[graft] def streaksOf(days: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
     days
       .withColumn("island", col("d") - row_number().over(w))
@@ -219,6 +218,12 @@ object Windows {
         count(lit(1)).as("n_islands"))
       .orderBy(col("o_custkey"))
   }
+
+  def winStreakIslands(spark: SparkSession, sfDir: String): DataFrame =
+    streaksOf(Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("d"))
+      .distinct())
 
   /** F6 — first/last over an explicit full-partition frame; spread in
     * exact decimal.

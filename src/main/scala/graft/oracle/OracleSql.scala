@@ -529,6 +529,14 @@ object OracleSql {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
+    // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
+    "subquery_not_exists" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |AND NOT EXISTS (SELECT 1 FROM orders o2
+        |WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+
     "subquery_in" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')

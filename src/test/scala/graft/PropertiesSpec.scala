@@ -93,6 +93,31 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("F-law: gaps-and-islands streaks match the brute-force run model") {
+    // a few customers, random day sets — compare graft.ops.Windows.streaksOf
+    // against a Scala model of longest-consecutive-run / islands
+    val gen = Gen.listOfN(3, Gen.nonEmptyListOf(Gen.choose(0, 25)))
+    check(Prop.forAll(gen) { custs =>
+      val rows = custs.zipWithIndex.flatMap { case (ds, c) =>
+        ds.distinct.map(d => (c.toLong, d.toLong))
+      }
+      val df = rows.toDF("o_custkey", "d")
+      val got = graft.ops.Windows.streaksOf(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      custs.zipWithIndex.forall { case (ds, c) =>
+        val days = ds.distinct.sorted
+        // model: split into runs of consecutive integers
+        val runs = days.foldLeft(List.empty[List[Int]]) {
+          case (acc, d) if acc.nonEmpty && acc.head.head == d - 1 =>
+            (d :: acc.head) :: acc.tail
+          case (acc, d) => List(d) :: acc
+        }
+        got(c.toLong) == ((runs.map(_.size).max.toLong,
+          days.size.toLong, runs.size.toLong))
+      }
+    })
+  }
+
   test("L-law: session count = 1 + gaps >= 30min (single user)") {
     // strictly increasing minute offsets over a day
     val gaps = Gen.listOfN(8, Gen.choose(1, 70))
