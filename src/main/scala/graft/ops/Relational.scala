@@ -427,7 +427,11 @@ object Relational {
     * driver-side collect, no `sequence` array), then left-joined to the
     * monthly revenue aggregate — recursion depth ≈ months spanned (~84),
     * inside Spark's default 100-level limit. Same SQL text runs on both
-    * engines (shared like D1-D3).
+    * engines (shared like D1-D3). The recursion CARRIES its stop bound as
+    * a column: a scalar subquery in the step predicate re-scans orders
+    * once per iteration (measured 10 s → 1.2 s warm at sf0.1). Cost is
+    * iterations × scheduler overhead — for a pure date spine prefer
+    * `sequence()` (L11 gap-fill); D6 covers the recursive SQL surface.
     */
   def cteRecursive(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
@@ -682,6 +686,14 @@ object Relational {
     */
   def subqueryIn(spark: SparkSession, sfDir: String): DataFrame =
     sqlQuery("subquery_in")(spark, sfDir)
+
+  /** E18 — GROUP BY ALL / ORDER BY ALL (the DuckDB-pioneered shorthand,
+    * in Spark since 3.4/4.0): grouping keys inferred from the
+    * non-aggregate select items, ordering over all output columns —
+    * verified to resolve identically on both engines; shared text.
+    */
+  def aggGroupByAll(spark: SparkSession, sfDir: String): DataFrame =
+    sqlQuery("agg_group_by_all")(spark, sfDir)
 
   /** D7 — correlated EXISTS / NOT EXISTS pair: customers WITH orders but
     * NONE above the threshold — Catalyst plans the pair as one semi plus

@@ -530,6 +530,12 @@ object OracleSql {
 
     // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
     // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
+    "agg_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin.replace("\n", " "),
+
+    // NOTE: runs verbatim in BOTH Spark and DuckDB (shared text).
     "subquery_not_exists" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -959,11 +965,15 @@ object OracleSql {
         |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin.replace("\n", " "),
 
     "cte_recursive" ->
-      """WITH RECURSIVE m(month) AS (
-        |SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+      // the recursion CARRIES its stop bound as a column: a scalar
+      // subquery in the step predicate would re-scan orders once PER
+      // ITERATION (~84 scans — measured 10 s at sf0.1 before this fix)
+      """WITH RECURSIVE m(month, last_month) AS (
+        |SELECT date_trunc('month', MIN(o_orderdate)),
+        |date_trunc('month', MAX(o_orderdate)) FROM orders
         |UNION ALL
-        |SELECT month + INTERVAL '1' MONTH FROM m
-        |WHERE month < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+        |SELECT month + INTERVAL '1' MONTH, last_month FROM m
+        |WHERE month < last_month
         |),
         |r AS (SELECT date_trunc('month', o_orderdate) AS month,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -133,6 +133,35 @@ class AnalyticSpec extends SparkSpec {
     assert(total == 1000) // sf0.001 events
   }
 
+  test("E10/H4 law: unpivot inverts pivot (round-trip restores the long form)") {
+    import org.apache.spark.sql.functions.col
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val wide = run("pivot_event_type")
+    val long = wide.unpivot(Array(col("user_id")),
+        types.map(col).toArray, "event_type", "n")
+      .where(col("n") > 0)
+    val model = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type")).count()
+    assert(long.exceptAll(model.toDF("user_id", "event_type", "n")).count() == 0 &&
+      model.count() == long.count(),
+      "unpivot(pivot(x)) must restore the per-(user,type) counts")
+  }
+
+  test("observe: pipeline emits audit metrics without a second pass") {
+    import org.apache.spark.sql.functions._
+    // production instrumentation: row counts / sums ride along the SAME
+    // job via CollectMetrics — no extra scan for the audit numbers
+    val obs = new org.apache.spark.sql.Observation("audit")
+    val df = Tables.orders(spark, sf)
+      .observe(obs, count(lit(1)).as("rows_in"),
+        sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("outliers"))
+      .where(col("o_totalprice") <= 400000)
+    val kept = df.count()
+    val m = obs.get
+    assert(m("rows_in").asInstanceOf[Long] == kept + m("outliers").asInstanceOf[Long],
+      s"metrics $m inconsistent with kept=$kept")
+  }
+
   test("H1/H2: distinct arm equals union of key sets; intersect is subset") {
     val dist = run("set_union_all_distinct").where("tag = 'dist'").count()
     val inter = run("set_intersect").count()
