@@ -58,6 +58,30 @@ object DataQuality {
       .orderBy(col("col_name"))
   }
 
+  /** N1v2 — the profiling scale twin: same single-scan shape as N1 with
+    * `approx_count_distinct` (HLL++, mergeable, no Expand multiplication
+    * of the scan) in place of the exact distincts — the variant you run
+    * on a 100 TB table when ±2% cardinality suffices. The exact metrics
+    * (nulls, min/max) are unchanged. No SQL oracle (approx + engine-
+    * specific sketch); AnalyticSpec asserts each estimate within 5% of
+    * N1's exact count.
+    */
+  def dqProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val metrics = count(lit(1)).as("n_rows") +:
+      // rsd 0.02: the default 0.05 misses small-cardinality columns by >5%
+      cols.flatMap(c => Seq(nn(c), approx_count_distinct(col(c), 0.02).as(s"nd_$c")))
+    val agg = o.agg(metrics.head, metrics.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    agg.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) as (col_name, n_nulls, approx_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("approx_distinct"))
+      .orderBy(col("col_name"))
+  }
+
   /** N2 — rule-based validation: every row-level rule folded into ONE
     * conditional aggregate over one scan, plus a referential-integrity
     * anti-join (orders → customer), emitted as (rule, n_violations, pct).

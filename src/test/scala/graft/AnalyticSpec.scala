@@ -133,6 +133,21 @@ class AnalyticSpec extends SparkSpec {
     assert(total == 1000) // sf0.001 events
   }
 
+  test("N1v2 dq_profile_approx: estimates within 5% of exact; nulls identical") {
+    val exact = run("dq_profile_table").collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct")))).toMap
+    val approx = run("dq_profile_approx").collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (nn, nd) = exact(r.getAs[String]("col_name"))
+      assert(r.getAs[Long]("n_nulls") == nn)
+      val est = r.getAs[Long]("approx_distinct")
+      assert(math.abs(est - nd) <= math.max(1, nd * 0.05),
+        s"${r.getAs[String]("col_name")}: $est vs $nd")
+    }
+  }
+
   test("E10/H4 law: unpivot inverts pivot (round-trip restores the long form)") {
     import org.apache.spark.sql.functions.col
     val types = Seq("view", "click", "purchase", "signup", "error")

@@ -10,8 +10,8 @@ class RelationalSpec extends SparkSpec {
   test("contract: only the declared exclusions lack an oracle (SURVEY §7.3)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("agg_approx_hll", "agg_hll_sketch_union",
-      "agg_percentile_approx", "agg_tdigest", "mm_decode_features",
-      "stream_watermark_late"),
+      "agg_percentile_approx", "agg_tdigest", "dq_profile_approx",
+      "mm_decode_features", "stream_watermark_late"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
