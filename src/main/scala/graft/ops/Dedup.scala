@@ -274,6 +274,46 @@ object Dedup {
   def connectedComponentsStar(spark: SparkSession, sfDir: String): DataFrame =
     starComponents(minhashPairs(spark, sfDir).select(col("a_id"), col("b_id")))._1
 
+  /** dedup_cluster_canonical — the step a dedup pipeline actually ends
+    * with: for every near-dup cluster (v2 star components), KEEP ONE
+    * canonical representative — the longest document, ties to the lowest
+    * doc_id, via a unique `max_by` ordering value (n_chars·10⁶ − doc_id).
+    * One keyed join (component labels ⋈ documents) + one hash agg on the
+    * component key; composes on the O(log²) clustering, so the whole
+    * keep-best path is scale-safe.
+    */
+  def clusterCanonical(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponentsStar(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        expr("max_by(doc_id, n_chars * 1000000 - doc_id)").as("canonical_doc"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("component"))
+
+  /** text_decontaminate_overlap — train/test contamination check (the
+    * decontamination step every training pipeline runs before eval):
+    * test docs (doc_id ≡ 0 mod 10) are scored by the fraction of their
+    * distinct 3-shingles that appear ANYWHERE in the train split. The
+    * probe is one left-semi join keyed on the shingle — shuffle on the
+    * shingle hash, no pairwise doc comparison, linear in corpus size.
+    */
+  def decontaminateOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir, Int.MaxValue)
+    val test = sh.where(col("doc_id") % 10 === 0)
+    val train = sh.where(col("doc_id") % 10 =!= 0).select(col("s")).distinct()
+    val totals = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = test.join(train, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 6)
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_simhash — 16-bit SimHash from the leading md5 nibble of each
     * token occurrence; bit j set iff Σ(±1 over tokens) > 0.
     */

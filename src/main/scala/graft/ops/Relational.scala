@@ -107,6 +107,26 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A11 — ORC round-trip (the remaining lake format with a bundled Spark
+    * connector — Avro's is absent from this container, SURVEY §7.6):
+    * orders → ORC (snappy) → read back → aggregate. The oracle aggregates
+    * the ORIGINAL parquet table, so values must survive the ORC writer/
+    * reader byte-exactly — including the ms-precision timestamp max.
+    */
+  def sourceOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Cols.tmpPath("graft_orc_orders")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("double").as("total_price"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A5 — dynamic partition pruning, live (VERDICT r1 "What's missing" #4):
     * the fact side is the year-partitioned orders layout; the dim side is a
     * tiny year dimension filtered on a NON-key attribute (leap-year label),

@@ -44,6 +44,9 @@ object OracleSql {
       "inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni FROM cand c JOIN sh x ON x.doc_id = c.a_id " +
       "JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s GROUP BY c.a_id, c.b_id)"
 
+  /** The unbounded shingle CTE (all documents), for corpus-level ops. */
+  private val shingleCteAll: String = shingleCte("")
+
   /** 16-bit simhash SQL, generated to mirror Dedup.simhash exactly. */
   private val simhashSql: String = {
     val bitCases = (1 to 16).map(j =>
@@ -60,15 +63,21 @@ object OracleSql {
     * shared by dedup_connected_components (propagation loop) and its
     * large-star/small-star twin dedup_connected_components_v2.
     */
-  private val connectedComponentsSql: String =
+  /** The recursive chain up to per-node component labels, reused by the
+    * CC contract queries AND the canonical-pick composition below.
+    */
+  private val componentChain: String =
     s"WITH RECURSIVE $lshPairChain, " +
       "pairs AS (SELECT i.a_id, i.b_id FROM inter i " +
       "JOIN cnt ca ON ca.doc_id = i.a_id JOIN cnt cb ON cb.doc_id = i.b_id " +
       "WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8), " +
       "edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
       "reach AS (SELECT a AS node, a AS label FROM edges " +
-      "UNION SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node) " +
-      "SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node ORDER BY doc_id"
+      "UNION SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node), " +
+      "comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)"
+
+  private val connectedComponentsSql: String =
+    s"$componentChain SELECT doc_id, component FROM comp ORDER BY doc_id"
 
   /** Top-2-per-customer oracle, shared by the window query (topk_per_group)
     * and its mergeable TopKSketch twin (topk_per_group_agg).
@@ -839,6 +848,33 @@ object OracleSql {
     // alternating large-star/small-star v2 — one oracle, two implementations)
     "dedup_connected_components" -> connectedComponentsSql,
     "dedup_connected_components_v2" -> connectedComponentsSql,
+
+    "dedup_cluster_canonical" ->
+      (componentChain +
+        """ SELECT component,
+          |arg_max(c.doc_id, d.n_chars * 1000000 - c.doc_id) AS canonical_doc,
+          |COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+          |FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+          |GROUP BY component ORDER BY component""".stripMargin.replace("\n", " ")),
+
+    "text_decontaminate_overlap" ->
+      (s"WITH ${shingleCteAll}, " +
+        """t AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0),
+          |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0),
+          |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM t GROUP BY 1),
+          |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM t
+          |WHERE s IN (SELECT s FROM tr) GROUP BY 1)
+          |SELECT tot.doc_id, tot.n_sh,
+          |CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+          |round(COALESCE(hit.n_hit, 0) * 1.0 / tot.n_sh, 6) AS contamination
+          |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+          |ORDER BY tot.doc_id""".stripMargin.replace("\n", " ")),
+
+    "source_orc_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |MAX(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
 
     "sample_weighted_mix" ->
       """WITH a AS (SELECT doc_id, source,
