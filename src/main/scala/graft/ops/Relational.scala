@@ -107,6 +107,23 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** H5 — union by NAME with missing columns (schema evolution): two
+    * batch slices with different column sets union on names, absent
+    * columns null-filled (`unionByName(allowMissingColumns)` ≡ DuckDB
+    * `UNION ALL BY NAME`) — the shape every multi-vintage lake ingest
+    * hits when a new field appears mid-corpus.
+    */
+  def setUnionByName(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val v1 = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val v2 = o.where(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        Cols.dec2(col("o_totalprice")).cast("double").as("o_price"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** A11 — ORC round-trip (the remaining lake format with a bundled Spark
     * connector — Avro's is absent from this container, SURVEY §7.6):
     * orders → ORC (snappy) → read back → aggregate. The oracle aggregates

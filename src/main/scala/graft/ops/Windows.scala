@@ -167,6 +167,27 @@ object Windows {
       .orderBy(col("c_nationkey"), desc("c_acctbal"), asc("c_custkey"))
   }
 
+  /** F11 — rolling 7-day revenue: RANGE frame over epoch-day integers on
+    * the DAY-level aggregate (dimension-sized — the fact table never
+    * enters a window). RANGE, not ROWS: missing days must still shrink
+    * the trailing window, which a row frame would silently ignore.
+    * Denominated in exact decimal; the division to double happens last.
+    */
+  def winRolling7d(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = graft.Tables.orders(spark, sfDir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("d"))
+      .agg(sum(Cols.dec2(col("o_totalprice"))).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+    val w7 = Window.orderBy(col("d")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", sum(col("rev_dec")).over(w7).cast("double"))
+      .withColumn("n_7d", sum(col("n_orders")).over(w7))
+      .select(col("d"), col("rev_dec").cast("double").as("revenue"),
+        col("rev_7d"), col("n_7d"))
+      .orderBy(col("d"))
+  }
+
   /** F10 — ratio-to-report: each nation's revenue share within its region
     * and of the whole ledger. Both windows run over the 25-row
     * region×nation AGGREGATE — dimension-sized, so the unpartitioned

@@ -1018,6 +1018,24 @@ object OracleSql {
         |CAST(COALESCE(r.n_orders, 0) AS BIGINT) AS n_orders
         |FROM m LEFT JOIN r ON m.month = r.month ORDER BY month""".stripMargin.replace("\n", " "),
 
+    "win_rolling_7d" ->
+      """WITH daily AS (SELECT (o_orderdate::DATE - DATE '1970-01-01') AS d,
+        |SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+        |COUNT(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT d, CAST(rev_dec AS DOUBLE) AS revenue,
+        |CAST(SUM(rev_dec) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
+        |CAST(SUM(n_orders) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily ORDER BY d""".stripMargin.replace("\n", " "),
+
+    "set_union_by_name" ->
+      """SELECT * FROM (
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_orderstatus,
+        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_price
+        |FROM orders WHERE o_orderkey % 2 <> 0)
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "),
+
     "win_streak_islands" ->
       """WITH days AS (SELECT DISTINCT o_custkey,
         |(o_orderdate::DATE - DATE '1970-01-01') AS d FROM orders),
