@@ -271,6 +271,43 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
 
+  // one rule-injected, broadcast-off clone per parent session (same
+  // isolation pattern as bloomSessions below): extraOptimizations and the
+  // broadcast threshold are session-level state
+  private val rangeRuleSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  /** C11 — KEY-LESS interval join rescued by a custom optimizer rule:
+    * events joined to 2-day campaign windows on `lo <= ts_us <= hi` ONLY
+    * (no equi key). Vanilla Spark must plan a cartesian /
+    * broadcast-nested-loop — quadratic when both sides are fact-sized —
+    * so [[graft.plans.BinnedRangeJoinRule]] (installed per-session via
+    * `experimental.extraOptimizations`, broadcast disabled so the rescue
+    * is real) rewrites it to a bin equi-join: intervals replicate to the
+    * 6-hour bins they overlap, points hash to their bin, and the planner
+    * picks a SortMergeJoin keyed on the bin (PlanSpec gate: no
+    * BNLJ/cartesian in the executed plan).
+    */
+  def joinRangeBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = rangeRuleSessions.getOrElseUpdate(spark, {
+      val c = spark.newSession()
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.experimental.extraOptimizations =
+        c.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+      c
+    })
+    val ev = Tables.events(s2, sfDir)
+    val camp = ev.select(date_trunc("week", col("ts")).as("w")).distinct()
+      .select(unix_micros(col("w")).as("lo_us"),
+        (unix_micros(col("w")) + lit(2L * 24 * 3600 * 1000000)).as("hi_us"))
+    ev.select(col("ts_us"), col("user_id"))
+      .join(camp, col("ts_us") >= col("lo_us") && col("ts_us") <= col("hi_us"))
+      .groupBy(col("lo_us").as("campaign_us"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("campaign_us"))
+  }
+
   // one runtime-filter-conf'd clone per parent session (the same isolation
   // pattern as Streaming's state-v2 session): the thresholds are
   // session-level SQL confs, and mutating the caller's session would change

@@ -1018,6 +1018,15 @@ object OracleSql {
         |CAST(COALESCE(r.n_orders, 0) AS BIGINT) AS n_orders
         |FROM m LEFT JOIN r ON m.month = r.month ORDER BY month""".stripMargin.replace("\n", " "),
 
+    "join_range_binned" ->
+      (EV + """, c AS (SELECT DISTINCT date_trunc('week', ts) AS w FROM ev),
+        |ci AS (SELECT epoch_us(CAST(w AS TIMESTAMP)) AS lo_us,
+        |epoch_us(CAST(w AS TIMESTAMP)) + 172800000000 AS hi_us FROM c)
+        |SELECT ci.lo_us AS campaign_us, COUNT(*) AS n_events,
+        |COUNT(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN ci ON e.ts_us >= ci.lo_us AND e.ts_us <= ci.hi_us
+        |GROUP BY 1 ORDER BY campaign_us""".stripMargin.replace("\n", " ")),
+
     "win_rolling_7d" ->
       """WITH daily AS (SELECT (o_orderdate::DATE - DATE '1970-01-01') AS d,
         |SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,

@@ -160,6 +160,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k should TakeOrdered:\n$plan")
   }
 
+  test("C11: BinnedRangeJoinRule turns the key-less interval join into a keyed join") {
+    val df = run("join_range_binned")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // broadcast is disabled in the rule session, so without the rewrite
+    // this could only be a CartesianProduct/BNLJ — the rule must have
+    // produced a bin-keyed join instead
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rule failed to rescue the key-less range join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("__l_bin") || plan.contains("__r_bin"),
+      s"expected bin keys in the join:\n$plan")
+  }
+
   test("A5: dim-filtered star over partitioned layout fires dynamic partition pruning") {
     val df = run("join_dpp_partitioned")
     df.collect()
