@@ -66,6 +66,57 @@ object TextAnalysis {
       .orderBy(col("source"), col("quota_rank"))
   }
 
+  /** pipeline_training_emit — the FULL training-corpus emit, one lazy
+    * plan: normalize → quality gate (≥10 tokens) → exact dedup
+    * keep-first on the norm fingerprint → train/eval split (doc_id mod
+    * 10) → DECONTAMINATE train against eval 3-shingles (drop train docs
+    * with >50% shingle overlap) → per-source quota (20) → per-source
+    * corpus stats. Every stage is a keyed shuffle or a shingle-keyed
+    * semi join; nothing global, nothing driver-paced — the composition
+    * a 100 TB curation run executes end-to-end. Oracle mirrors it
+    * stage by stage (same convention as pipeline_corpus_curation).
+    */
+  def trainingEmit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("n_tok", size(split(col("norm"), " ")))
+      .where(col("n_tok") >= 10)
+      .withColumn("fp", md5(col("norm").cast("binary")))
+      .withColumn("dup_rank",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("dup_rank") === 1)
+    def shinglesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("norm"), " ").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(t) < 3 THEN array()
+          |ELSE transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+          |END""".stripMargin))).as("s"))
+    val evalSh = shinglesOf(base.where(col("doc_id") % 10 === 0))
+      .select(col("s")).distinct()
+    val train = base.where(col("doc_id") % 10 =!= 0)
+    val trainSh = shinglesOf(train)
+    val tot = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hit = trainSh.join(evalSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val contam = tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh")).as("frac"))
+    train.join(contam, Seq("doc_id"), "left")
+      .where(coalesce(col("frac"), lit(0.0)) <= 0.5)
+      .withColumn("quota_rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .where(col("quota_rank") <= 20)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"))
+  }
+
   /** pipeline_incremental_merge — the MERGE/upsert shape every incremental
     * curation pipeline runs daily: today's crawl batch ⊕ the existing
     * curated corpus, keyed by content fingerprint (the 8-token-prefix md5

@@ -1262,6 +1262,33 @@ object OracleSql {
 
     // normalize → quality gate → fingerprint dedup keep-first → per-source
     // quota: the full curation chain, replicated stage by stage
+    "pipeline_training_emit" ->
+      """WITH n AS (SELECT doc_id, source,
+        |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM documents),
+        |q AS (SELECT doc_id, source, norm, CAST(len(string_split(norm, ' ')) AS INT) AS n_tok
+        |FROM n WHERE len(string_split(norm, ' ')) >= 10),
+        |dd AS (SELECT * FROM (SELECT *,
+        |ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS dup_rank FROM q)
+        |WHERE dup_rank = 1),
+        |shall AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |ELSE list_transform(range(1, len(t) - 1), i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2]) END)) AS s
+        |FROM (SELECT doc_id, string_split(norm, ' ') AS t FROM dd)),
+        |ev AS (SELECT DISTINCT s FROM shall WHERE doc_id % 10 = 0),
+        |tsh AS (SELECT * FROM shall WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY 1),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM tsh WHERE s IN (SELECT s FROM ev) GROUP BY 1),
+        |cl AS (SELECT dd.* FROM dd
+        |LEFT JOIN tot ON dd.doc_id = tot.doc_id
+        |LEFT JOIN hit ON dd.doc_id = hit.doc_id
+        |WHERE dd.doc_id % 10 <> 0
+        |AND COALESCE(COALESCE(hit.n_hit, 0) * 1.0 / tot.n_sh, 0.0) <= 0.5),
+        |qa AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS quota_rank FROM cl)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM qa WHERE quota_rank <= 20 GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+
     "pipeline_corpus_curation" ->
       """WITH n AS (SELECT doc_id, source,
         |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm

@@ -174,6 +174,37 @@ class PlanSpec extends SparkSpec {
       s"expected bin keys in the join:\n$plan")
   }
 
+  test("C11: rule preserves semantics on synthetic data incl. bin-boundary points") {
+    import org.apache.spark.sql.functions._
+    val s = SparkSpec.spark
+    import s.implicits._
+    val W = graft.plans.BinnedRangeJoinRule.binWidthUs
+    // points: every quarter-bin plus exact bin boundaries; intervals of
+    // 0.5–8 bins starting at varied offsets (some span many bins, one is
+    // a single point lo == hi on a boundary)
+    val pts = (0L to 40L).map(i => i * W / 4).toDF("p")
+    val ivs = Seq(
+      (0L, W / 2), (W, 3 * W), (W / 4, W / 4), (2 * W, 10 * W),
+      (5 * W, 5 * W), (W * 3 / 2, W * 7 / 2)).toDF("lo", "hi")
+    // plain session (no rule): reference semantics
+    val ref = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "lo", "hi").collect().map(_.toString).sorted
+    // rule session: same join through the rewrite
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+    import scala.jdk.CollectionConverters._
+    val ptsR = s2.createDataFrame(pts.collect().toList.asJava, pts.schema)
+    val ivsR = s2.createDataFrame(ivs.collect().toList.asJava, ivs.schema)
+    val got = ptsR.join(ivsR, col("p") >= col("lo") && col("p") <= col("hi"))
+    val gotRows = got.select("p", "lo", "hi").collect().map(_.toString).sorted
+    assert(gotRows.sameElements(ref), "rewrite changed join semantics")
+    val plan = got.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"synthetic key-less join not rescued:\n$plan")
+  }
+
   test("A5: dim-filtered star over partitioned layout fires dynamic partition pruning") {
     val df = run("join_dpp_partitioned")
     df.collect()
