@@ -46,6 +46,28 @@ class DedupStarSpec extends SparkSpec {
     assert(rounds == 1)
   }
 
+  test("star CC: random graphs match a union-find model (fixed seeds)") {
+    for (seed <- Seq(7L, 23L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // model: union-find → min node per component
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val members = (0 until n).groupBy(find)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val want = members.values.flatMap { ms =>
+        val mn = ms.min.toLong
+        ms.filter(m => touched.contains(m.toLong)).map(m => m.toLong -> mn)
+      }.toMap
+      val (labels, _) = Dedup.starComponents(edges.toDF("a_id", "b_id"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed: $got vs $want")
+    }
+  }
+
   test("star CC query agrees row-for-row with the propagation-loop query") {
     val a = run("dedup_connected_components")
     val b = run("dedup_connected_components_v2")

@@ -451,6 +451,33 @@ class StreamingSpec extends SparkSpec {
     assert(written.values.sum == 3, s"got $written")
   }
 
+  test("L13 late data: a purchase behind the watermark is dropped from the join") {
+    implicit val ctx = s.sqlContext
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("CAST(value AS BIGINT) AS event_id", "ts", "user_id")
+    val (mv, mp) = (MemoryStream[Ev], MemoryStream[Ev])
+    val joined = Streaming.viewPurchaseJoin(
+      shape(mv.toDF()).withWatermark("ts", "10 minutes"),
+      shape(mp.toDF()).withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin_late")
+      .outputMode("append").start()
+    // batch 1: a view plus far-future events on both sides advance the
+    // watermark well past the view's 1-hour match window
+    mv.addData(Ev(t("2024-01-01 00:00:00"), 1, 100, "view"),
+      Ev(t("2024-01-01 09:00:00"), 9, 900, "view"))
+    mp.addData(Ev(t("2024-01-01 09:00:00"), 9, 901, "purchase"))
+    q.processAllAvailable()
+    // batch 2: an in-window purchase for view 100 arrives HOURS behind
+    // the ~08:50 watermark — state for that window is gone, no output
+    mp.addData(Ev(t("2024-01-01 00:30:00"), 1, 200, "purchase"))
+    q.processAllAvailable()
+    val got = s.table("t_ssjoin_late").select("v_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(!got.contains((100L, 200L)),
+      s"late purchase must be dropped by watermark eviction, got $got")
+  }
+
   test("L13 twin: watermarked stream-stream interval join matches batch") {
     implicit val ctx = s.sqlContext
     // event_id rides in `value` (Ev has no id field); body reads event_id
