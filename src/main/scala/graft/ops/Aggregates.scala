@@ -285,6 +285,36 @@ object Aggregates {
       .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** E19 — incremental aggregate maintenance: yesterday's per-status
+    * rollup (sum/count/max are all MERGEABLE states) combined with
+    * today's batch WITHOUT re-scanning history — full-outer join on the
+    * group key, states coalesced and merged. The daily-rollup-refresh
+    * idiom: at 100 TB the history side is a tiny aggregate table, the
+    * batch side aggregates only the new partition, and the merge is a
+    * group-key join of two dimension-sized relations. Splits orders on
+    * orderkey parity to simulate history ⊕ batch; the oracle aggregates
+    * the union directly — merged states must equal the full recompute.
+    */
+  def aggIncrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def rollup(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(Cols.dec2(col("o_totalprice"))).as("rev_dec"),
+        max(Cols.dec2(col("o_totalprice"))).as("max_dec"))
+    val history = rollup(o.where(col("o_orderkey") % 2 === 0))
+    val batch = rollup(o.where(col("o_orderkey") % 2 =!= 0))
+    history.as("h").join(batch.as("b"),
+        col("h.o_orderstatus") === col("b.o_orderstatus"), "full_outer")
+      .select(
+        coalesce(col("h.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"),
+        (coalesce(col("h.n"), lit(0L)) + coalesce(col("b.n"), lit(0L))).as("n"),
+        (coalesce(col("h.rev_dec"), lit(0).cast("decimal(12,2)")) +
+          coalesce(col("b.rev_dec"), lit(0).cast("decimal(12,2)")))
+          .cast("double").as("revenue"),
+        greatest(col("h.max_dec"), col("b.max_dec")).cast("double").as("max_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** E17 — robust statistics per group: exact interpolated median, IQR,
     * and MAD (median absolute deviation). MAD needs the group median
     * FIRST, so it is a two-stage plan: group percentiles → broadcast the

@@ -967,6 +967,14 @@ object OracleSql {
         |MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin).replace("\n", " "),
 
+    // the merged incremental states must equal a full recompute over
+    // the union — so the oracle IS the full recompute
+    "agg_incremental_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
+
     "agg_robust_stats" ->
       """WITH b AS (SELECT l_returnflag,
         |round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
