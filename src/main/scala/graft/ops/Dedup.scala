@@ -30,18 +30,30 @@ object Dedup {
 
   /** MinHash signature: k=4 independent hashes h_i(s) = md5(i || '|' || s),
     * signature_i = min over shingles.
+    *
+    * Minima are carried as 16-byte BINARY digests, not 32-char hex strings
+    * (VERDICT r3 #5): unsigned byte order of an md5 digest ≡ lexicographic
+    * order of its hex encoding, so `min` picks the same shingle and the
+    * agg state + every downstream shuffle (band keys, candidate joins) is
+    * half as wide. Hex appears only at the output projection for queries
+    * whose contract emits strings.
     */
   private def signatures(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("0|"), col("s")))).as("s0"),
-        min(md5(concat(lit("1|"), col("s")))).as("s1"),
-        min(md5(concat(lit("2|"), col("s")))).as("s2"),
-        min(md5(concat(lit("3|"), col("s")))).as("s3"))
+        min(unhex(md5(concat(lit("0|"), col("s"))))).as("s0"),
+        min(unhex(md5(concat(lit("1|"), col("s"))))).as("s1"),
+        min(unhex(md5(concat(lit("2|"), col("s"))))).as("s2"),
+        min(unhex(md5(concat(lit("3|"), col("s"))))).as("s3"))
 
-  /** dedup_minhash_sig — per-doc MinHash signature (k=4, 3-shingles). */
+  /** dedup_minhash_sig — per-doc MinHash signature (k=4, 3-shingles).
+    * `lower(hex(...))` at the output reproduces md5's hex form exactly.
+    */
   def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
     signatures(shingles(spark, sfDir, Int.MaxValue))
+      .select(col("doc_id"),
+        lower(hex(col("s0"))).as("s0"), lower(hex(col("s1"))).as("s1"),
+        lower(hex(col("s2"))).as("s2"), lower(hex(col("s3"))).as("s3"))
       .orderBy(col("doc_id"))
 
   /** dedup_minhash_sig_agg — identical signatures computed by the custom
@@ -67,8 +79,12 @@ object Dedup {
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir, 200).cache()
     val sig = signatures(sh)
-    val band = sig.select(col("doc_id"), md5(concat(col("s0"), col("s1"))).as("b"))
-      .unionAll(sig.select(col("doc_id"), md5(concat(col("s2"), col("s3"))).as("b")))
+    // band key stays binary end-to-end: concat of two fixed-width 16-byte
+    // digests is injective on (s_i, s_j), so bucket collisions — and hence
+    // the candidate-pair set — are identical to the hex formulation while
+    // the self-join shuffles 16-byte keys instead of 32-char strings
+    val band = sig.select(col("doc_id"), unhex(md5(concat(col("s0"), col("s1")))).as("b"))
+      .unionAll(sig.select(col("doc_id"), unhex(md5(concat(col("s2"), col("s3")))).as("b")))
     val cand = band.as("x").join(band.as("y"),
         col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -106,8 +122,9 @@ object Dedup {
     // cached plans disable AQE partition coalescing by default, which makes
     // every tiny iteration schedule full-width stages; allowing the cached
     // plan's output partitioning to change restores AQE inside the loop.
-    // Session-level by necessity (the conf is read at execution time);
-    // set only when the user hasn't chosen a value themselves.
+    // Session-level by necessity (the conf is read at execution time); set
+    // for the duration of this query only — an explicit user value is
+    // overridden while the loop runs and restored in the finally below.
     val coalesceKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
     val savedCoalesce = spark.conf.getOption(coalesceKey)
     spark.conf.set(coalesceKey, "true")
