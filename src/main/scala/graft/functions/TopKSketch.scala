@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -36,6 +37,16 @@ case class TopKSketch(
   extends TypedImperativeAggregate[java.util.ArrayList[(Double, Long)]] {
 
   override def children: Seq[Expression] = Seq(score, key)
+  // update() casts with asInstanceOf, so misuse (decimal/int args via the
+  // registered SQL function) must fail at ANALYSIS with a clear type error,
+  // not as a runtime ClassCastException (ADVICE r3). ExpectsInputTypes is
+  // private[sql] in Spark 4 (see LogisticScore), so the check is direct.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && key.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_topk requires (DOUBLE score, BIGINT key), got " +
+        s"(${score.dataType.sql}, ${key.dataType.sql})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -429,10 +429,13 @@ object Streaming {
     val s = ev.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    if (s.conf.getOption(providerKey).isEmpty)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // transformWithState REQUIRES the RocksDB provider, so set it
+    // unconditionally (ADVICE r3: getOption returns the registered default
+    // even when unset, so an isEmpty guard never fires). Callers wanting
+    // conf isolation pass a DataFrame built on a cloned session, as
+    // streamStatefulCountV2 does.
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ev.selectExpr("user_id", "ts_us", "ts")
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
@@ -448,12 +451,13 @@ object Streaming {
     // transformWithState requires the RocksDB state store provider even for
     // its one-shot batch execution (the v2 column-family layout); this is
     // the provider a production deployment of this library would run anyway.
+    // Set unconditionally (ADVICE r3: getOption returns the registered
+    // default even when unset, so an isEmpty guard is dead code — and a
+    // non-RocksDB user choice would only make transformWithState fail).
     // Session-level by necessity (read at execution time, and this builder
-    // returns a lazy plan); respects an explicit user-chosen provider.
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    if (s.conf.getOption(providerKey).isEmpty)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // returns a lazy plan); the contract entry isolates it on a clone.
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // batch execution loads a state store outside any streaming query —
     // the coordinator endpoint must exist first (see GraftBridge)
     org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(s)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Optimizer rule: rewrite a KEY-LESS point-in-interval join
   * `L ⋈ R ON R.lo <= L.p AND L.p <= R.hi` (which Spark can only plan as a
@@ -54,8 +54,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
       // Sequence is TimeZoneAwareExpression: a None zone leaves it
       // UNRESOLVED and the optimizer's plan-integrity check rejects the
       // rewrite — set the session zone even though LongType ignores it
-      val bins = Sequence(IntegralDivide(lo, w), IntegralDivide(hi, w),
-        Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+      // guard degenerate intervals (ADVICE r3): an ascending Sequence with
+      // start > stop THROWS at runtime, whereas the unrewritten join just
+      // emits zero rows for a lo > hi (or null-bounded) interval — keep
+      // that behavior by generating an empty bin array instead
+      val bins = If(LessThanOrEqual(lo, hi),
+        Sequence(IntegralDivide(lo, w), IntegralDivide(hi, w),
+          Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)),
+        Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
       val rBin = AttributeReference("__r_bin", LongType, nullable = false)()
       val rGen = Generate(Explode(bins), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(rBin),
