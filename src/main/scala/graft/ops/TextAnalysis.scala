@@ -139,23 +139,40 @@ object TextAnalysis {
     * (fp)-projected distinct keys; no row of either side moves twice and
     * nothing is cartesian (PlanSpec gate). The audit aggregate is 4 rows.
     */
-  def incrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 8-token-prefix content fingerprint the whole exact-dedup/merge
+    * family keys on (same expression as dedup_exact_keep_first).
+    */
+  private[graft] def contentFp =
+    md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary"))
+
+  /** One MERGE round — the per-batch body shared by batch M27 and its
+    * streaming foreachBatch twin (VERDICT r3 #3): classify `batch`
+    * (doc_id, source, fp) against the corpus fingerprint set with
+    * keep-first-seen semantics. Returns (doc_id, source, fp, action) with
+    * action ∈ {batch_dup, dup, insert}; callers append the `insert` rows
+    * to the corpus. One keyed window + one keyed membership join, both
+    * hash-partitioned on fp.
+    */
+  private[graft] def classifyMergeBatch(batch: DataFrame, corpusFps: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary"))
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), fp.as("fp"))
-    val existing = docs.where(col("doc_id") % 2 === 0)
-    val batch = docs.where(col("doc_id") % 3 === 0)
+    batch
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-    val corpusFps = existing.select(col("fp")).distinct()
-      .withColumn("in_corpus", lit(1))
-    val classified = batch
-      .join(corpusFps, Seq("fp"), "left")
+      .join(corpusFps.select(col("fp")).distinct().withColumn("in_corpus", lit(1)),
+        Seq("fp"), "left")
       .withColumn("action",
         when(col("rn") > 1, "batch_dup")
           .when(col("in_corpus").isNotNull, "dup")
           .otherwise("insert"))
+      .select(col("doc_id"), col("source"), col("fp"), col("action"))
+  }
+
+  def incrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), contentFp.as("fp"))
+    val existing = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    val classified = classifyMergeBatch(batch, existing)
       .select(col("doc_id"), col("source"), col("action"))
       .unionAll(existing.select(col("doc_id"), col("source"), lit("keep").as("action")))
     classified

@@ -257,6 +257,102 @@ class StreamingSpec extends SparkSpec {
     assert(back.selectExpr("sum(value)").head().getDouble(0) == 7.5)
   }
 
+  test("checkpoint RESTART: a NEW query on the same checkpoint resumes exactly-once") {
+    implicit val ctx = s.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
+    val ms = MemoryStream[Ev]
+    def start() = ms.toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    ms.addData(Ev(t("2024-01-01 00:01:00"), 1, 1.0, "view"),
+      Ev(t("2024-01-01 00:02:00"), 2, 2.0, "view"))
+    q1.processAllAvailable()
+    q1.stop()
+    // data arriving while NO query runs — recovery must pick it up, the
+    // committed prefix must NOT be re-emitted (the whole point of the
+    // checkpoint in a 100 TB pipeline: a crashed writer restarts without
+    // duplicating or losing rows)
+    ms.addData(Ev(t("2024-01-01 00:03:00"), 3, 4.0, "view"))
+    val q2 = start()
+    ms.addData(Ev(t("2024-01-01 00:04:00"), 4, 8.0, "view"))
+    q2.processAllAvailable()
+    q2.stop()
+    val back = s.read.parquet(out)
+    // exactly-once: 4 distinct users, each exactly once, nothing lost
+    assert(back.count() == 4, s"expected 4 rows exactly-once, got ${back.count()}")
+    assert(back.select("user_id").distinct().count() == 4)
+    assert(back.selectExpr("sum(value)").head().getDouble(0) == 15.0)
+  }
+
+  test("M27 streaming twin: per-micro-batch MERGE equals the batch merge") {
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    // the SAME classify body as batch pipeline_incremental_merge, driven
+    // per micro-batch via foreachBatch against a parquet corpus table —
+    // the daily-crawl-as-a-stream idiom (VERDICT r3 #3)
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"), graft.ops.TextAnalysis.contentFp.as("fp"))
+    val existing = docs.where(col("doc_id") % 2 === 0).cache()
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    existing.write.mode("overwrite").parquet(corpusDir)
+    val audit = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("doc_id", "source", "fp").writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val classified = graft.ops.TextAnalysis
+          .classifyMergeBatch(df, s.read.parquet(corpusDir)).cache()
+        // materialize (audit) BEFORE appending, so the corpus read under
+        // the cached join never races the corpus write below
+        classified.groupBy("action").count().collect().foreach { r =>
+          val k = r.getString(0)
+          audit.put(k, audit.getOrElse(k, 0L) + r.getLong(1))
+        }
+        classified.where("action = 'insert'")
+          .select("doc_id", "source", "fp")
+          .write.mode("append").parquet(corpusDir)
+        classified.unpersist(); ()
+      }
+      .start()
+    // today's crawl arrives as two ordered micro-batches (doc_id order, so
+    // first-seen == lowest doc_id, matching the batch keep-first contract)
+    val crawl = docs.where(col("doc_id") % 3 === 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val (half1, half2) = crawl.splitAt(crawl.length / 2)
+    ms.addData(half1.toSeq)
+    q.processAllAvailable()
+    ms.addData(half2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // batch reference on identical data
+    val batchAudit = run("pipeline_incremental_merge").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // inserts and total drops must agree exactly; a collision SPANNING the
+    // two micro-batches classifies as `dup` (corpus hit) where the one-shot
+    // batch says `batch_dup` — same kept set, so compare the drop total
+    assert(audit.getOrElse("insert", 0L) == batchAudit.getOrElse("insert", 0L),
+      s"insert mismatch: stream=$audit batch=$batchAudit")
+    assert(
+      audit.getOrElse("dup", 0L) + audit.getOrElse("batch_dup", 0L) ==
+        batchAudit.getOrElse("dup", 0L) + batchAudit.getOrElse("batch_dup", 0L),
+      s"drop-total mismatch: stream=$audit batch=$batchAudit")
+    // cross-batch keep-first: the final curated corpus is exactly
+    // existing ∪ first-seen crawl inserts — same set the batch merge keeps
+    val expected = graft.ops.TextAnalysis
+      .classifyMergeBatch(docs.where(col("doc_id") % 3 === 0), existing)
+      .where("action = 'insert'").select("doc_id")
+      .unionAll(existing.select("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val got = s.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"corpus diverged: missing=${expected -- got} extra=${got -- expected}")
+    existing.unpersist()
+  }
+
   test("foreachBatch sink: custom handler sees each micro-batch exactly once") {
     implicit val ctx = s.sqlContext
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
