@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
   * recorded by name with the error class (ADVICE r1: a crashing query must
   * not silently pass the bench) and excluded from the total.
   *
-  * warm2 protocol (VERDICT r2 #8): every query runs twice, `queries` and
-  * the total report the second (warm) run — per-query numbers are then
-  * comparable across rounds without run-order JIT/scheduler noise.
+  * warm-median3 protocol (VERDICT r3 #4, refining r2's warm2): every query
+  * runs once cold then THREE times warm; `queries` and the total report the
+  * MEDIAN of the three warm runs. The builder measured a 36.5–42 s
+  * run-to-run spread for identical code under warm2 (SURVEY §7.5c), so a
+  * single warm sample cannot flag <2× regressions; the median of three is
+  * robust to one GC/scheduler outlier in either direction.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,11 +40,11 @@ object Bench {
       Tables.registerAll(spark, sfDir)
     } catch { case _: Throwable => }
     var failures = List.empty[(String, String)]
-    // Warm protocol (VERDICT r2 #8): each query runs twice and the SECOND
-    // (warm) time is the reported number — run-order JIT/scheduler noise
-    // (the round-2 vec_knn_topk 4× "regression" was exactly this) stops
-    // polluting per-query comparisons across rounds. Cold times are kept
-    // in a separate map for the curious.
+    // warm-median3 (VERDICT r3 #4): 1 cold + 3 warm runs per query, report
+    // the warm MEDIAN — robust to a single GC/scheduler outlier, so
+    // cross-round per-query comparisons can flag genuine <2× regressions.
+    // Cold times are kept in a separate map for the curious.
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -52,7 +55,10 @@ object Bench {
         }
       }
       val cold = once()
-      val warm = if (cold.isDefined) once() else None
+      val warms = if (cold.isDefined)
+        Seq.fill(warmRuns)(once()).flatten else Seq.empty
+      val warm = if (warms.nonEmpty) Some(warms.sorted.apply(warms.size / 2))
+        else None
       (name, cold.getOrElse(0.0), warm.getOrElse(cold.getOrElse(0.0)))
     }
     // full JSON string escape: failure messages can carry newlines/tabs,
@@ -73,9 +79,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._3).sum
     val perQuery =
-      s"""{"metric":"per_query","protocol":"warm2","queries":$qs,"cold":$cs,"failures":$fs}"""
+      s"""{"metric":"per_query","protocol":"warm-median3","queries":$qs,"cold":$cs,"failures":$fs}"""
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm2","n_queries":${ok.size},"n_failed":${failures.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm-median3","n_queries":${ok.size},"n_failed":${failures.size},"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"),
       s"$perQuery\n$totalLine\n")
     println(perQuery)
