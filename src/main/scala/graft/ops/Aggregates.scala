@@ -426,6 +426,63 @@ object Aggregates {
       .orderBy(col("hour"))
   }
 
+  /** E20 agg_decay_halflife — exponentially time-decayed engagement per
+    * user with a ONE-DAY half-life: each event contributes 2^-age_days
+    * (integer-floored age vs the corpus max timestamp, capped at 20 days,
+    * older events contribute 0).
+    *
+    * Determinism by construction: every decay factor is an exact dyadic
+    * rational (1 / (1 << k), k ≤ 19 — integer shift, no libm pow), so
+    * `decayed_count` is a sum of exact multiples of 2^-19 bounded well
+    * under 2^53 — bit-exact in ANY addition order on both engines, no
+    * rounding needed. The value-weighted sum multiplies arbitrary doubles
+    * and is rounded to 6 dp like every irreducible float.
+    *
+    * 100 TB: the reference timestamp is a 1-row broadcast; the decayed
+    * aggregate is an ordinary mergeable sum — map-side combine applies,
+    * and the sketch-free exactness makes it composable with E19-style
+    * incremental maintenance (yesterday's sums halve, today's add).
+    */
+  def aggDecayHalflife(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val ref = ev.agg(max(col("ts_us")).as("ref_us"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("age_days", expr("(ref_us - ts_us) div 86400000000"))
+      .where(col("age_days") < 20)
+      .withColumn("decay",
+        expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(age_days AS INT)) AS DOUBLE)"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_recent"),
+        sum(col("decay")).as("decayed_count"),
+        (round(sum(col("value") * col("decay")), 6) + lit(0.0)).as("decayed_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** E21 agg_bitmap_distinct — EXACT distinct counting in mergeable form:
+    * users bucketed 64-per-mask, one bit_or'd BIGINT bitmap per
+    * (event_type, bucket), popcounts summed (32 per mask — see below). This is the roaring-bitmap
+    * pattern reduced to its SQL core: unlike COUNT(DISTINCT) (whose Expand
+    * multiplies the scan, see dq_profile_table) the bitmap is a bounded
+    * mergeable partial state — map-side combine ships ≤ one BIGINT per
+    * (group, 32-user bucket), and bitmap tables for different days union
+    * by re-OR-ing, giving exact distinct-over-any-window at 100 TB. The
+    * oracle is a literal COUNT(DISTINCT), so the algorithm itself is
+    * verified, not replicated.
+    */
+  def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    // 32 users per mask, not 64: a shift by 63 overflows DuckDB's checked
+    // signed <<, and the oracle must run the same algorithm
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("user_id div 32").as("bucket"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))")
+        .as("mask"))
+      .groupBy(col("event_type"))
+      .agg(
+        expr("CAST(sum(bit_count(mask)) AS BIGINT)").as("n_users"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy(col("event_type"))
+
   /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */
   def pivotEventType(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("view", "click", "purchase", "signup", "error")

@@ -115,4 +115,30 @@ object DataQuality {
         round(col("n_violations").cast("double") / col("n_rows"), 6).as("pct"))
       .orderBy(col("rule"))
   }
+
+  /** N3 dq_anomaly_mad — robust time-series anomaly detection on the daily
+    * event volume: a day is anomalous when its count deviates from the
+    * cross-day MEDIAN by more than 3× the median absolute deviation.
+    * Median/MAD (not mean/stddev) because volume outliers are exactly what
+    * is being hunted — they would poison their own threshold.
+    *
+    * Determinism: counts are integers, medians of integers are exact
+    * halves (.0/.5), 3× an exact half is exact — every comparison is
+    * bit-deterministic, no rounding needed. Scale: the daily rollup is the
+    * only data-sized aggregate; median/MAD run over ~days rows and attach
+    * back as two 1-row broadcasts.
+    */
+  def dqAnomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.agg(expr("CAST(median(n_events) AS DOUBLE)").as("med"))
+    val withMed = daily.crossJoin(broadcast(med))
+    val mad = withMed.agg(
+      expr("CAST(median(abs(n_events - med)) AS DOUBLE)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"), col("med"), col("mad"),
+        (abs(col("n_events") - col("med")) > col("mad") * 3.0).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
 }

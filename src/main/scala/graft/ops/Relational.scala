@@ -785,6 +785,32 @@ object Relational {
   def joinLateralTopn(spark: SparkSession, sfDir: String): DataFrame =
     sqlQuery("join_lateral_topn")(spark, sfDir)
 
+  /** C12 join_interval_overlap — interval×interval OVERLAP join (the
+    * missing sibling of C8's point-in-range and C11's binned
+    * point-in-interval): per user, every 30-minute view-activity interval
+    * paired with every 10-minute error-outage interval it overlaps, with
+    * the overlap length. The user_id equi-key carries the join (one
+    * hash-partitioned SortMergeJoin); the interval predicate
+    * `v_lo < e_hi AND e_lo < v_hi` is the residual filter — no
+    * nested-loop, no bin replication needed when a natural key exists.
+    * All integer-µs arithmetic: exact on both engines.
+    */
+  def joinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("ts_us").as("v_lo"), (col("ts_us") + 1800000000L).as("v_hi"))
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_id"),
+        col("ts_us").as("e_lo"), (col("ts_us") + 600000000L).as("e_hi"))
+    views.join(errs, Seq("user_id"))
+      .where(col("v_lo") < col("e_hi") && col("e_lo") < col("v_hi"))
+      .select(col("user_id"), col("v_id"), col("e_id"),
+        (least(col("v_hi"), col("e_hi")) - greatest(col("v_lo"), col("e_lo")))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("v_id"), col("e_id"))
+  }
+
   /** D3 — CTE referenced twice (TPC-H Q15 shape). Spark inlines CTEs, so
     * the naive SQL scans lineitem twice; here the per-supplier aggregate is
     * computed once and the global MAX is attached via a window over that

@@ -32,9 +32,12 @@ object Similarity {
     * full cross join never exists. Recall < 1 by design — the oracle
     * replicates the algorithm, so results still hash-match.
     */
-  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.DotProduct.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
+  /** The IVF candidate pipeline shared by ann_ivf_topk and ann_recall_at_k:
+    * build the 10-centroid coarse quantizer, assign every vector to its
+    * cell (the index build), probe `nprobe` cells per query vector
+    * (vec_id < qBound), return scored candidates (a_id, b_id, sim_raw).
+    */
+  private def ivfCandidates(e: DataFrame, qBound: Int, nprobe: Int): DataFrame = {
     // centroid per label, components rounded to 6 dp
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
       .groupBy(col("label"), col("dim"))
@@ -55,28 +58,74 @@ object Similarity {
     val assigned = dots.withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    // Probe list: nprobe=2 cells per QUERY vector only — ranked over the
+    // Probe list: nprobe cells per QUERY vector only — ranked over the
     // pre-filtered |queries|×|cells| slice, not the full corpus ranking.
-    val probe = dots.where(col("vec_id") < 20)
+    val probe = dots.where(col("vec_id") < qBound)
       .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") <= 2)
+      .where(col("rn") <= nprobe)
       .select(col("vec_id").as("a_id"), col("cell"))
     // search only the probed cells' inverted lists; the probe×query side is
     // nprobe×|queries| rows → broadcast it so the corpus never shuffles
-    val qVec = e.where(col("vec_id") < 20)
+    val qVec = e.where(col("vec_id") < qBound)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val cand = assigned
+    assigned
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
       .join(broadcast(probe.join(qVec, "a_id")), Seq("cell"))
       .where(col("a_id") =!= col("b_id"))
       // codegen'd kernel; IEEE-identical to the HOF form (see DotProduct)
       .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+  }
+
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
     val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
-    cand.withColumn("rn", row_number().over(wTop))
+    ivfCandidates(e, qBound = 20, nprobe = 2)
+      .withColumn("rn", row_number().over(wTop))
       .where(col("rn") <= 3)
       .select(col("a_id"), col("b_id"),
         (round(col("sim_raw"), 4) + lit(0.0)).as("sim"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** M37 ann_recall_at_k — the eval harness every ANN deployment needs:
+    * recall@10 of the IVF index (nprobe=2) against exact brute-force
+    * ground truth, per query vector. Ground truth is the J3 pattern (10
+    * broadcast query vectors × corpus, WindowGroupLimit top-k); the IVF
+    * side reuses the ann_ivf_topk index verbatim. The rank cut on both
+    * sides orders by raw sim with a full id tiebreak — sequential
+    * array-order dots are IEEE-identical cross-engine, so both top-k sets
+    * (and hence recall) are exactly reproducible.
+    *
+    * 100 TB: ground truth stays bounded to the eval query set (recall is
+    * always measured on a sample); the corpus-sized work is the same
+    * cell-pruned probe the production query path runs.
+    */
+  def annRecallAtK(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val k = 10
+    val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val exact = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .join(broadcast(q))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"))
+    val ivf = ivfCandidates(e, qBound = 10, nprobe = 2)
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    exact.join(ivf, Seq("a_id", "b_id"), "left")
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("a_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("a_id"))
   }
 
   /** ann_lsh_bucket — top-3 same-bucket neighbors for each query vector. */

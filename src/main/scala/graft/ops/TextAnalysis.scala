@@ -185,6 +185,55 @@ object TextAnalysis {
       .orderBy(col("action"))
   }
 
+  /** M38 pipeline_split_train_eval — the deterministic train/val/test split
+    * every training pipeline runs before anything else: documents routed by
+    * the first two md5 hex chars of their id (md5 is bit-identical
+    * cross-engine, the G4 idiom) into ≈90/5/5 buckets ('00'-'e5' train,
+    * 'e6'-'f2' val, rest test), with the per-split audit a production run
+    * logs. Hash-routing is partition-independent and stable under corpus
+    * growth — a doc never changes split when new data arrives, the property
+    * random splits lack. Per-row hash + one keyed agg; no shuffle beyond
+    * the 3-group aggregate at any scale.
+    */
+  def splitTrainEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(h <= "e5", "train").when(h <= "f2", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+  }
+
+  /** M39 text_zipf_slope — corpus statistics check: the log-log slope of
+    * the token rank-frequency curve per language (Zipf's law predicts
+    * ≈ −1; a strongly different slope flags synthetic/duplicated text).
+    * Top-100 ranks per language (row_number with full tiebreak), then
+    * regr_slope/regr_r2 over (ln rank, ln freq) — ≤100-term aggregates,
+    * rounded 6 dp. One explode + two keyed apertures; the rank window is
+    * per-language, the regression per-language — everything keyed.
+    */
+  def textZipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(desc("f"), asc("w"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("rk", row_number().over(w)) // "rank" is reserved in DuckDB
+      .where(col("rk") <= 100)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_ranks"),
+        (round(expr("regr_slope(ln(f), ln(rk))"), 6) + lit(0.0)).as("zipf_slope"),
+        (round(expr("regr_r2(ln(f), ln(rk))"), 6) + lit(0.0)).as("r2"))
+      .orderBy(col("lang"))
+  }
+
   /** text_pii_redact — the PII scrubbing pass a public-web corpus gets
     * before training: regex-redact emails and phone numbers, count the
     * redactions, and emit the md5 of the redacted text (bit-exact oracle

@@ -228,6 +228,47 @@ object VectorText {
       .orderBy(col("doc_id"))
   }
 
+  /** M36 text_sparse_cosine_topk — document-pair cosine similarity over
+    * SPARSE tf-idf vectors through an INVERTED-INDEX self-join: pairs meet
+    * only through tokens they share, so the dense |D|² pair space never
+    * exists. The classic scale guard is the df cap (tokens appearing in
+    * > 50 docs are dropped from the vocabulary — stop-tokens contribute
+    * ~nothing to cosine but dominate join fan-out), which bounds per-token
+    * pair generation at df² ≤ 2500 regardless of corpus size.
+    *
+    * 100 TB: one token-keyed shuffle builds the index, one token-keyed
+    * self-join emits partial products, one (a,b)-keyed sum reduces them —
+    * the exact shape distributed sparse-similarity engines use. Top-20 by
+    * rounded similarity with full id tiebreak.
+    */
+  def sparseCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // tf-idf weights over the df-capped vocabulary
+    val wtd = tf.join(dfreq.where(col("df") <= 50), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("wt",
+        col("tf") * expr("ln(CAST(n_docs AS DOUBLE) / df)"))
+      .select(col("w"), col("doc_id"), col("wt"))
+    val norm = wtd.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+    val dots = wtd.select(col("w"), col("doc_id").as("a_id"), col("wt").as("wa"))
+      .join(wtd.select(col("w"), col("doc_id").as("b_id"), col("wt").as("wb")), Seq("w"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norm.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
+      .join(norm.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (round(col("dot") / (col("na") * col("nb")), 6) + lit(0.0)).as("sim"))
+      .orderBy(desc("sim"), asc("a_id"), asc("b_id"))
+      .limit(20)
+  }
+
   /** J10 — corpus stats per (lang, source). */
   def textLangStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -246,6 +246,60 @@ object Windows {
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("d"))
       .distinct())
 
+  /** L15 ts_interval_union — total COVERED time per user when every event
+    * opens a 30-minute activity interval [ts_us, ts_us+30m): the classic
+    * interval-union via running-max-end gaps-and-islands. A new island
+    * starts exactly when an event's start exceeds the max end of all its
+    * predecessors; covered time is Σ (island max end − island min start).
+    *
+    * 100 TB: both window passes and the island aggregate cluster on
+    * user_id — per-key sorted state, nothing global; all arithmetic is
+    * integer µs, so results are exact and partition-order-independent.
+    */
+  def tsIntervalUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val lenUs = 30L * 60 * 1000000
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") + lenUs).as("end_us"))
+      .withColumn("prev_max_end", max(col("end_us")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("ts_us") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wOrd))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts_us")).as("s"), max(col("end_us")).as("e"),
+        count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("n")).as("n_events"),
+        sum(col("e") - col("s")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** F12 win_pattern_match — sequential pattern detection (the
+    * MATCH_RECOGNIZE shape): a view IMMEDIATELY followed by a click then a
+    * purchase in the same user's event stream, the whole triple within one
+    * hour. Pure lead() chains over the per-user ordered window — one keyed
+    * sort, no self-join, integer-µs arithmetic throughout.
+    */
+  def winPatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("ts2", lead(col("ts_us"), 2).over(w))
+      .withColumn("id2", lead(col("event_id"), 2).over(w))
+      .where(col("event_type") === "view" && col("t1") === "click" &&
+        col("t2") === "purchase" &&
+        col("ts2") - col("ts_us") <= 3600L * 1000000)
+      .select(col("user_id"), col("event_id").as("start_event"),
+        col("id2").as("end_event"), col("ts_us").as("start_us"),
+        (col("ts2") - col("ts_us")).as("span_us"))
+      .orderBy(col("user_id"), col("start_event"))
+  }
+
   /** F6 — first/last over an explicit full-partition frame; spread in
     * exact decimal.
     */

@@ -1446,5 +1446,132 @@ object OracleSql {
         |CAST(64 + octet_length(encode(text)) % 64 AS INT) AS fake_w,
         |CAST(64 + (octet_length(encode(text)) // 64) % 64 AS INT) AS fake_h
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    // ── round-4 additions ──
+
+    // interval union: running-max-end islands, all integer µs
+    "ts_interval_union" ->
+      (EV + """, iv AS (SELECT user_id, event_id, ts_us, ts_us + 1800000000 AS end_us FROM ev),
+        |m AS (SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end FROM iv),
+        |mk AS (SELECT *, CASE WHEN prev_max_end IS NULL OR ts_us > prev_max_end THEN 1 ELSE 0 END AS new_island FROM m),
+        |isl AS (SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM mk),
+        |g AS (SELECT user_id, island, min(ts_us) AS s, max(end_us) AS e, count(*) AS n
+        |FROM isl GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands, CAST(sum(n) AS BIGINT) AS n_events,
+        |CAST(sum(e - s) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+
+    "win_pattern_match" ->
+      (EV + """, x AS (SELECT user_id, event_id, ts_us, event_type,
+        |lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2,
+        |lead(ts_us, 2) OVER w AS ts2, lead(event_id, 2) OVER w AS id2
+        |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, event_id AS start_event, id2 AS end_event, ts_us AS start_us,
+        |ts2 - ts_us AS span_us
+        |FROM x WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |AND ts2 - ts_us <= 3600000000
+        |ORDER BY user_id, start_event""".stripMargin.replace("\n", " ")),
+
+    // decay factors are exact dyadics (1 / (1 << k)) — no libm pow
+    "agg_decay_halflife" ->
+      (EV + """, r AS (SELECT max(ts_us) AS ref_us FROM ev),
+        |a AS (SELECT user_id, value, ((r.ref_us - ts_us) // 86400000000) AS age_days FROM ev, r),
+        |d AS (SELECT user_id, value,
+        |1.0 / CAST((CAST(1 AS BIGINT) << CAST(age_days AS INT)) AS DOUBLE) AS decay
+        |FROM a WHERE age_days < 20)
+        |SELECT user_id, count(*) AS n_recent, sum(decay) AS decayed_count,
+        |round(sum(value * decay), 6) + 0.0 AS decayed_value
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+
+    // the oracle is the LITERAL distinct count — verifies the bitmap
+    // algorithm rather than replicating it
+    "agg_bitmap_distinct" ->
+      (EV + """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |count(DISTINCT (user_id // 32)) AS n_buckets
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")),
+
+    "dq_anomaly_mad" ->
+      (EV + """, daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
+        |FROM ev GROUP BY 1),
+        |m AS (SELECT CAST(median(n_events) AS DOUBLE) AS med FROM daily),
+        |wm AS (SELECT daily.day, daily.n_events, m.med FROM daily, m),
+        |md AS (SELECT CAST(median(abs(n_events - med)) AS DOUBLE) AS mad FROM wm)
+        |SELECT wm.day, wm.n_events, wm.med, md.mad,
+        |abs(wm.n_events - wm.med) > md.mad * 3.0 AS is_anomaly
+        |FROM wm, md ORDER BY wm.day""".stripMargin.replace("\n", " ")),
+
+    "join_interval_overlap" ->
+      (EV + """, v AS (SELECT user_id, event_id AS v_id, ts_us AS v_lo, ts_us + 1800000000 AS v_hi
+        |FROM ev WHERE event_type = 'view'),
+        |e AS (SELECT user_id, event_id AS e_id, ts_us AS e_lo, ts_us + 600000000 AS e_hi
+        |FROM ev WHERE event_type = 'error')
+        |SELECT v.user_id AS user_id, v_id, e_id,
+        |least(v_hi, e_hi) - greatest(v_lo, e_lo) AS overlap_us
+        |FROM v JOIN e ON v.user_id = e.user_id AND v_lo < e_hi AND e_lo < v_hi
+        |ORDER BY user_id, v_id, e_id""".stripMargin.replace("\n", " ")),
+
+    "text_sparse_cosine_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY doc_id, w),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |wtd AS (SELECT tf.doc_id, tf.w, tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df) AS wt
+        |FROM tf JOIN dfq ON tf.w = dfq.w AND dfq.df <= 50, n),
+        |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wtd GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.wt * b.wt) AS dot
+        |FROM wtd a JOIN wtd b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) + 0.0 AS sim
+        |FROM dots JOIN nrm na ON na.doc_id = a_id JOIN nrm nb ON nb.doc_id = b_id
+        |ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin.replace("\n", " "),
+
+    // both top-k lists replicated algorithmically (IVF = ann_ivf_topk's
+    // chain with nprobe=2, rank 10; exact = vec_knn_topk's chain)
+    "ann_recall_at_k" ->
+      """WITH comp AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+        |FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM comp GROUP BY label),
+        |dots AS (SELECT e.vec_id, e.embedding, c.cell,
+        |list_dot_product(CAST(e.embedding AS DOUBLE[]), cvec) AS d
+        |FROM embeddings e CROSS JOIN cent c),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn FROM dots),
+        |assigned AS (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+        |probe AS (SELECT vec_id AS a_id, cell FROM ranked WHERE rn <= 2 AND vec_id < 10),
+        |icand AS (SELECT p.a_id, b.vec_id AS b_id,
+        |list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw
+        |FROM probe p JOIN embeddings q ON q.vec_id = p.a_id
+        |JOIN assigned b ON b.cell = p.cell AND b.vec_id <> p.a_id),
+        |ivf AS (SELECT a_id, b_id FROM (SELECT *, ROW_NUMBER() OVER
+        |(PARTITION BY a_id ORDER BY sim_raw DESC, b_id) AS rn FROM icand) t WHERE rn <= 10),
+        |ecand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |exact AS (SELECT a_id, b_id FROM (SELECT *, ROW_NUMBER() OVER
+        |(PARTITION BY a_id ORDER BY sim_raw DESC, b_id) AS rn FROM ecand) t WHERE rn <= 10),
+        |g AS (SELECT e.a_id, count(*) AS n_exact,
+        |CAST(coalesce(sum(CASE WHEN i.b_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+        |FROM exact e LEFT JOIN ivf i ON i.a_id = e.a_id AND i.b_id = e.b_id GROUP BY e.a_id)
+        |SELECT a_id, n_exact, n_hit, CAST(n_hit AS DOUBLE) / n_exact AS recall
+        |FROM g ORDER BY a_id""".stripMargin.replace("\n", " "),
+
+    "pipeline_split_train_eval" ->
+      """WITH s AS (SELECT *, CASE
+        |WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'train'
+        |WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'f2' THEN 'val'
+        |ELSE 'test' END AS split FROM documents)
+        |SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY split ORDER BY split""".stripMargin.replace("\n", " "),
+
+    "text_zipf_slope" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT lang, w, count(*) AS f FROM t GROUP BY lang, w),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, w) AS rk FROM f)
+        |SELECT lang, count(*) AS n_ranks,
+        |round(regr_slope(ln(f), ln(rk)), 6) + 0.0 AS zipf_slope,
+        |round(regr_r2(ln(f), ln(rk)), 6) + 0.0 AS r2
+        |FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
   )
 }

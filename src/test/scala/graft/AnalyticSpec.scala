@@ -202,4 +202,92 @@ class AnalyticSpec extends SparkSpec {
   test("D3 cte_reuse: returns the argmax supplier(s)") {
     assert(run("cte_reuse").count() >= 1)
   }
+
+  // ── round-4 additions ──
+
+  test("L15 ts_interval_union: covered time bounded by [one interval, n×interval]") {
+    val df = run("ts_interval_union")
+    val intervalUs = 30L * 60 * 1000000
+    assert(df.where(s"covered_us < $intervalUs").count() == 0,
+      "every user covers at least one full interval")
+    assert(df.where(s"covered_us > n_events * $intervalUs").count() == 0,
+      "union length cannot exceed the disjoint sum")
+    assert(df.where("n_islands > n_events").count() == 0)
+    // islands are maximal: total covered equals Σ islands only when
+    // n_islands == n_events would every interval be disjoint
+    assert(df.count() == Tables.events(spark, sf)
+      .select("user_id").distinct().count())
+  }
+
+  test("F12 win_pattern_match: spans within the hour, strictly ordered") {
+    val df = run("win_pattern_match")
+    assert(df.where("span_us < 0 OR span_us > 3600000000").count() == 0)
+    assert(df.where("end_event = start_event").count() == 0)
+  }
+
+  test("E20 agg_decay_halflife: decayed count bounded by recency arithmetic") {
+    val df = run("agg_decay_halflife")
+    assert(df.where("decayed_count <= 0 OR decayed_count > n_recent").count() == 0,
+      "each event contributes (0, 1] to the decayed count")
+    // dyadic exactness: decayed_count scaled by 2^19 must be integral
+    assert(df.where(
+      "decayed_count * 524288.0 <> round(decayed_count * 524288.0)").count() == 0,
+      "decay sums must be exact multiples of 2^-19")
+  }
+
+  test("E21 agg_bitmap_distinct: bitmap popcounts equal literal COUNT DISTINCT") {
+    val df = run("agg_bitmap_distinct")
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n_users"))
+    val joined = df.join(direct.withColumnRenamed("n_users", "expected"), "event_type")
+    assert(joined.where("n_users <> expected").count() == 0)
+  }
+
+  test("N3 dq_anomaly_mad: flags are exactly the 3×MAD rule applied to the row") {
+    val df = run("dq_anomaly_mad")
+    assert(df.where("is_anomaly <> (abs(n_events - med) > mad * 3.0)").count() == 0)
+    assert(df.select("med").distinct().count() == 1, "one global median")
+  }
+
+  test("C12 join_interval_overlap: overlap positive and bounded by the shorter interval") {
+    val df = run("join_interval_overlap")
+    assert(df.count() > 0, "sf0.001 must produce overlapping pairs")
+    assert(df.where("overlap_us <= 0 OR overlap_us > 600000000").count() == 0,
+      "overlap is strictly positive and at most the 10-min outage window")
+  }
+
+  test("M37 ann_recall_at_k: recall in [0,1] over exactly 10 ground-truth rows each") {
+    val df = run("ann_recall_at_k")
+    assert(df.count() == 10)
+    assert(df.where("n_exact <> 10").count() == 0)
+    assert(df.where("recall < 0.0 OR recall > 1.0 OR n_hit > n_exact").count() == 0)
+  }
+
+  test("M38 pipeline_split_train_eval: splits partition the corpus, train dominates") {
+    val df = run("pipeline_split_train_eval")
+    assert(df.count() == 3)
+    val total = df.selectExpr("sum(n_docs)").head().getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+    val byName = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("train") > byName("val") + byName("test"),
+      s"expected ~90/5/5, got $byName")
+  }
+
+  test("M36 text_sparse_cosine_topk: cosine bounded, descending, full tiebreak") {
+    val df = run("text_sparse_cosine_topk")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getDouble(2) >= -1.0000001 && r.getDouble(2) <= 1.0000001))
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "descending")
+  }
+
+  test("M39 text_zipf_slope: negative slope per language with plausible fit") {
+    val df = run("text_zipf_slope")
+    assert(df.count() > 0)
+    assert(df.where("zipf_slope >= 0.0").count() == 0,
+      "rank-frequency slope must be negative")
+    assert(df.where("r2 < 0.0 OR r2 > 1.0").count() == 0)
+  }
 }

@@ -110,7 +110,11 @@ class PlanSpec extends SparkSpec {
       "text_tfidf_top",         // broadcast 1-row corpus count
       "ann_ivf_topk",           // broadcast 10-row centroid table
       "param_sweep_argmin",     // broadcast ≤7-row param grid
-      "dq_rule_violations")     // 1-row rule agg × 1-row denominator agg
+      "dq_rule_violations",     // 1-row rule agg × 1-row denominator agg
+      "agg_decay_halflife",     // broadcast 1-row reference timestamp
+      "dq_anomaly_mad",         // broadcast 1-row median + 1-row MAD
+      "text_sparse_cosine_topk", // broadcast 1-row corpus count
+      "ann_recall_at_k")        // 10 broadcast query vectors (J3 pattern)
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
