@@ -483,6 +483,112 @@ object Aggregates {
         count(lit(1)).as("n_buckets"))
       .orderBy(col("event_type"))
 
+  /** L16 ts_downsample_ohlc — time-series downsampling to hourly OHLC bars
+    * per event type: open/close are the first/last value in (ts, event_id)
+    * order (full tiebreak → deterministic), high/low are min/max, volume is
+    * the row count. Two row_number windows over the SAME partitioning keys
+    * as the final group-by, so the whole query is ONE hash exchange on
+    * (event_type, hour) followed by two in-partition sorts and a hash agg —
+    * the canonical "compact a 100 TB event stream to dashboard bars" shape.
+    * No double SUMs anywhere: open/high/low/close are element picks, so the
+    * output is bit-deterministic under any partitioning.
+    */
+  def tsDownsampleOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("event_type"), col("hour"))
+    val wAsc = part.orderBy(col("ts_us"), col("event_id"))
+    val wDesc = part.orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("hour"),
+        col("ts_us"), col("event_id"), col("value"))
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** E22 agg_weighted_median — exact weighted median (the robust "typical
+    * price" with quantity as mass): order each group by (price, orderkey,
+    * linenumber), take the first price whose running weight reaches half
+    * the total. Weights are integerized (round→LONG), so every cumulative
+    * sum is exact integer arithmetic — no float-order hazard in the running
+    * window. One range-free keyed sort per group + a min() pick; at 100 TB
+    * the sort is the cost and it is per-group parallel.
+    */
+  def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 0).cast("long").as("w"))
+      .withColumn("cumw", sum(col("w")).over(wCum))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .where(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_extendedprice")).as("weighted_median"),
+        min(col("totw")).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** E23 agg_skew_kurtosis — exact higher-moment stats (skewness, excess
+    * kurtosis) without trusting either engine's built-in definition: prices
+    * are quantized to integers (round→LONG), the four raw power sums
+    * S1..S4 are EXACT integer/decimal(38,0) arithmetic (single-pass,
+    * mergeable — the 100 TB shape: one map-side-combined agg, no second
+    * scan), and the central moments come out of one fixed IEEE expression
+    * tree over the exact sums. The oracle replicates the identical
+    * expression tree over HUGEINT sums, so the comparison is
+    * bit-deterministic after 6 dp rounding.
+    */
+  def aggSkewKurtosis(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = round(col("l_extendedprice"), 0).cast("long")
+    val d = q.cast("decimal(38,0)")
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val s2d = col("s2").cast("double") / nD
+    val s3d = col("s3").cast("double") / nD
+    val s4d = col("s4").cast("double") / nD
+    val m2 = s2d - mu * mu
+    val m3 = s3d - lit(3.0) * mu * s2d + lit(2.0) * mu * mu * mu
+    val m4 = s4d - lit(4.0) * mu * s3d + lit(6.0) * mu * mu * s2d -
+      lit(3.0) * mu * mu * mu * mu
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        // all four sums in decimal(38,0): q^4 ≈ 1e20 per row and ~1e12 rows
+        // at 100 TB still fit precision 38; LONG would overflow S3/S4
+        sum(q.cast("decimal(38,0)")).as("s1"),
+        sum((q * q).cast("decimal(38,0)")).as("s2"),
+        sum(d * d * d).as("s3"),
+        sum(d * d * d * d).as("s4"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        // RAW doubles, deliberately un-rounded: every input is an exact
+        // integer sum and every op below is a correctly-rounded IEEE
+        // primitive (+,-,*,/,sqrt), so both engines produce the identical
+        // bit pattern — whereas round(x, 6) at magnitude ~9e8 differs
+        // between engines (DuckDB's multiply-based rounding flips the
+        // last digit; caught by the sf0.01 preflight)
+        (mu + lit(0.0)).as("mean_q"),
+        (m2 + lit(0.0)).as("m2"),
+        (m3 / (m2 * sqrt(m2)) + lit(0.0)).as("skewness"),
+        (m4 / (m2 * m2) - lit(3.0) + lit(0.0)).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */
   def pivotEventType(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("view", "click", "purchase", "signup", "error")

@@ -141,4 +141,33 @@ object DataQuality {
         (abs(col("n_events") - col("med")) > col("mad") * 3.0).as("is_anomaly"))
       .orderBy(col("day"))
   }
+
+  /** N4 dq_referential_integrity — foreign-key orphan audit across the
+    * star schema's four FK edges: each relationship reports its child row
+    * count and how many children reference a missing parent. One left
+    * join + count-when per edge; parents are dimension-sized (AQE
+    * broadcasts them at any realistic scale), and the audit never
+    * materializes the orphans themselves — counts only, so the output is
+    * O(#edges) regardless of data size. The nightly invariant check a
+    * 100 TB lake runs before publishing a snapshot.
+    */
+  def dqReferentialIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          count(when(col(pk).isNull, 1)).as("orphan_rows"))
+        .select(lit(rel).as("relationship"), col("child_rows"), col("orphan_rows"))
+    val li = Tables.lineitem(spark, sfDir)
+    audit("lineitem->orders", li, "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey")
+      .unionAll(audit("lineitem->part", li, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"))
+      .unionAll(audit("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(spark, sfDir), "s_suppkey"))
+      .unionAll(audit("orders->customer", Tables.orders(spark, sfDir), "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey"))
+      .orderBy(col("relationship"))
+  }
 }

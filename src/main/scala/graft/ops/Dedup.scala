@@ -370,6 +370,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** M41 dedup_ngram_corpus_frac — the corpus-level duplicated-n-gram
+    * signal (the "what fraction of this document also appears elsewhere"
+    * filter a web-scale curation pass runs before training): per document,
+    * the fraction of its 5-gram occurrences whose 5-gram is shared with at
+    * least one OTHER document. 5-grams come from lead() chains over the
+    * per-doc position window (no UDTF, no self-join); corpus sharing is
+    * one shingle-keyed aggregate (countDistinct doc_id > 1) joined back to
+    * the occurrences — linear in total 5-grams, never pairwise. At 100 TB
+    * both shuffles are keyed (shingle, then doc) and the shared-shingle
+    * set is the only intermediate that grows with corpus redundancy.
+    */
+  def ngramCorpusFrac(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(wDoc))
+      .withColumn("w2", lead(col("w"), 2).over(wDoc))
+      .withColumn("w3", lead(col("w"), 3).over(wDoc))
+      .withColumn("w4", lead(col("w"), 4).over(wDoc))
+      .where(col("w4").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"), col("w4")).as("g"))
+    val shared = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("g"), lit(1).as("is_shared"))
+    grams.join(shared, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_5grams"), count(col("is_shared")).as("n_shared"))
+      .select(col("doc_id"), col("n_5grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_5grams")).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dedup_embedding_topk — the 20 most-similar embedding pairs (cosine ≡
     * dot, unit-norm corpus): the verification stage of embedding near-dup.
     */

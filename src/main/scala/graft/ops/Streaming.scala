@@ -566,4 +566,75 @@ object Streaming {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("signup_ts_us"))
       .orderBy(col("event_id"))
   }
+
+  /** C9n join_asof_nearest — NEAREST-neighbor as-of: each event picks the
+    * closest signup in time in EITHER direction (ties → the earlier one).
+    * Composed from the two directional as-of primitives in one pass: a
+    * backward last-non-null window and a forward first-non-null window
+    * over the same user-keyed partition (one exchange, two in-partition
+    * sorts — the orderings differ only in how a same-µs signup ties
+    * against the probe, so the signup itself counts as distance 0 in both
+    * directions). Distances are exact integer µs, so the pick is
+    * bit-deterministic. Never a join: the "dimension" rides along in the
+    * same stream, the 100 TB-safe form of nearest-event attribution.
+    */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val wBack = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("back_pri"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("fwd_pri"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val nearest = when(col("back_us").isNull, col("fwd_us"))
+      .when(col("fwd_us").isNull, col("back_us"))
+      .when(col("ts_us") - col("back_us") <= col("fwd_us") - col("ts_us"),
+        col("back_us"))
+      .otherwise(col("fwd_us"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("event_type") === "signup", col("ts_us")).as("s_ts_raw"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("back_pri"),
+        when(col("event_type") === "signup", 1).otherwise(0).as("fwd_pri"))
+      .withColumn("back_us", last(col("s_ts_raw"), ignoreNulls = true).over(wBack))
+      .withColumn("fwd_us", first(col("s_ts_raw"), ignoreNulls = true).over(wFwd))
+      .withColumn("nearest_signup_us", nearest)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("back_us"), col("fwd_us"), col("nearest_signup_us"),
+        abs(col("ts_us") - col("nearest_signup_us")).as("diff_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** C13 join_scd2_point_in_time — point-in-time lookup against a slowly
+    * changing dimension: the SCD2 interval table (L12's shape — per-user
+    * event_type change intervals, [valid_from, valid_to)) joined by each
+    * purchase fact at its own timestamp. The join is user-keyed equi +
+    * interval residual, so Spark plans a sort-merge join on user_id and
+    * evaluates the range predicate in-partition — never a cartesian.
+    * Intervals chain per user (lead() gives valid_to = next valid_from),
+    * so exactly one interval contains each fact; zero-length intervals
+    * from same-µs change collisions are excluded by the half-open
+    * predicate. The "what did the dimension look like when this fact
+    * happened" query every SCD2 warehouse runs.
+    */
+  def joinScd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val dim = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id").as("d_user"), col("event_type").as("attr"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"), col("version"))
+    val fact = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    fact.join(dim,
+        fact("user_id") === dim("d_user") &&
+          fact("ts_us") >= dim("valid_from_us") &&
+          (dim("valid_to_us").isNull || fact("ts_us") < dim("valid_to_us")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("attr"), col("version"), col("valid_from_us"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -234,6 +234,46 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** M40 text_repetition_stats — the repetition-based quality filters a
+    * web corpus is gated on (the "repetitious text" family): per document,
+    * the unique-token fraction, the mass of the single most frequent
+    * token, and the fraction of 3-gram occurrences that are within-doc
+    * duplicates. Tokens explode once; trigrams come from lead() chains
+    * over the per-doc position window (no self-join); both stats funnels
+    * are doc-keyed aggregates joined back on doc_id — every shuffle is
+    * keyed by doc, so the op is embarrassingly parallel over documents at
+    * 100 TB. All ratios are single int→double divisions (exact inputs,
+    * one IEEE op — bit-deterministic).
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val tokStats = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_uniq"),
+        max(col("c")).as("top_cnt"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val triStats = toks
+      .withColumn("w1", lead(col("w"), 1).over(wDoc))
+      .withColumn("w2", lead(col("w"), 2).over(wDoc))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("tri"))
+      .groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("tri_total"), count(lit(1)).as("tri_uniq"))
+    tokStats.join(triStats, Seq("doc_id"))
+      .where(col("n_tok") >= 3)
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_uniq").cast("double") / col("n_tok")).as("uniq_token_frac"),
+        (col("top_cnt").cast("double") / col("n_tok")).as("top_token_frac"),
+        (lit(1.0) - col("tri_uniq").cast("double") / col("tri_total"))
+          .as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** text_pii_redact — the PII scrubbing pass a public-web corpus gets
     * before training: regex-redact emails and phone numbers, count the
     * redactions, and emit the md5 of the redacted text (bit-exact oracle

@@ -269,6 +269,29 @@ object VectorText {
       .limit(20)
   }
 
+  /** J14 arr_struct_sort — arrays of STRUCTs as first-class values: per
+    * order, collect its lineitems as (price, linenumber) structs, sort the
+    * array lexicographically by field order, and pick both ends. Exercises
+    * struct construction, array-of-struct sorting, field extraction, and
+    * negative element_at — the nested-type surface a log-analytics schema
+    * leans on. One keyed hash agg (collect_list partials merge map-side);
+    * the per-group array is bounded by lines-per-order (≤7), so memory is
+    * O(group) not O(table) at any scale.
+    */
+  def arrStructSort(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(struct(col("l_extendedprice"), col("l_linenumber"))))
+          .as("items"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_orderkey"), col("n_items"),
+        col("items").getItem(0).getField("l_extendedprice").as("min_price"),
+        col("items").getItem(0).getField("l_linenumber").as("min_price_line"),
+        element_at(col("items"), -1).getField("l_extendedprice").as("max_price"),
+        element_at(col("items"), -1).getField("l_linenumber").as("max_price_line"))
+      .orderBy(col("l_orderkey"))
+
   /** J10 — corpus stats per (lang, source). */
   def textLangStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -300,6 +300,32 @@ object Windows {
       .orderBy(col("user_id"), col("start_event"))
   }
 
+  /** F13 win_rolling_median — EXACT rolling median of `value` over each
+    * user's last 7 events (ROWS 6 PRECEDING..CURRENT). Neither engine
+    * windows an exact median natively at this shape, so both sides compute
+    * the same element-pick formula: collect the ≤7-row frame, sort it, and
+    * average the two middle elements with one fixed `(a+b)/2` IEEE op —
+    * deterministic because the frame is tiny, fully ordered, and no
+    * accumulation order exists. One keyed sort; frames are O(7) so state
+    * per row is constant — this is the bounded-frame robust smoother a
+    * 100 TB metrics stream can actually afford (contrast an unbounded
+    * percentile, which cannot window).
+    */
+  def winRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("slst", array_sort(collect_list(col("value")).over(w)))
+      .withColumn("n_win", size(col("slst")))
+      .select(col("user_id"), col("event_id"), col("n_win"),
+        ((element_at(col("slst"), (expr("(n_win - 1) div 2") + 1).cast("int")) +
+          element_at(col("slst"), (expr("n_win div 2") + 1).cast("int"))) / 2.0)
+          .as("rolling_median"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** F6 — first/last over an explicit full-partition frame; spread in
     * exact decimal.
     */

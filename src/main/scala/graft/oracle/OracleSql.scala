@@ -1573,5 +1573,114 @@ object OracleSql {
         |round(regr_slope(ln(f), ln(rk)), 6) + 0.0 AS zipf_slope,
         |round(regr_r2(ln(f), ln(rk)), 6) + 0.0 AS r2
         |FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+
+    // ---- round-4 batch 2 ----
+
+    "dq_referential_integrity" ->
+      """SELECT * FROM (
+        |SELECT 'lineitem->orders' AS relationship, count(*) AS child_rows, count(*) FILTER (WHERE o_orderkey IS NULL) AS orphan_rows FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL SELECT 'lineitem->part', count(*), count(*) FILTER (WHERE p_partkey IS NULL) FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |UNION ALL SELECT 'lineitem->supplier', count(*), count(*) FILTER (WHERE s_suppkey IS NULL) FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |UNION ALL SELECT 'orders->customer', count(*), count(*) FILTER (WHERE c_custkey IS NULL) FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |) ORDER BY relationship""".stripMargin.replace("\n", " "),
+
+    "ts_downsample_ohlc" ->
+      (EV + """, r AS (SELECT event_type, date_trunc('hour', ts) AS hour, value,
+        |ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts_us, event_id) AS rn_a,
+        |ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts_us DESC, event_id DESC) AS rn_d FROM ev)
+        |SELECT event_type, hour, max(value) FILTER (WHERE rn_a = 1) AS open, max(value) AS high,
+        |min(value) AS low, max(value) FILTER (WHERE rn_d = 1) AS close, count(*) AS n_events
+        |FROM r GROUP BY event_type, hour ORDER BY event_type, hour""".stripMargin.replace("\n", " ")),
+
+    "agg_weighted_median" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber, CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem),
+        |c AS (SELECT *, sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |sum(w) OVER (PARTITION BY l_returnflag) AS totw FROM t)
+        |SELECT l_returnflag, min(l_extendedprice) AS weighted_median, CAST(min(totw) AS BIGINT) AS total_weight
+        |FROM c WHERE cumw * 2 >= totw GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    // identical fixed IEEE expression tree as the Spark side; exact
+    // integer power sums (HUGEINT here, decimal(38,0) there) make the
+    // inputs bit-equal before the float stage
+    "agg_skew_kurtosis" ->
+      """WITH t AS (SELECT l_returnflag, CAST(round(l_extendedprice) AS BIGINT) AS q FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n, sum(q) AS s1, sum(q*q) AS s2,
+        |sum(CAST(q AS HUGEINT)*q*q) AS s3, sum(CAST(q AS HUGEINT)*q*q*q) AS s4 FROM t GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS s3d,
+        |CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS s4d FROM s)
+        |SELECT l_returnflag, n, mu + 0.0 AS mean_q,
+        |s2d - mu*mu + 0.0 AS m2,
+        |(s3d - 3.0*mu*s2d + 2.0*mu*mu*mu) / ((s2d - mu*mu) * sqrt(s2d - mu*mu)) + 0.0 AS skewness,
+        |(s4d - 4.0*mu*s3d + 6.0*mu*mu*s2d - 3.0*mu*mu*mu*mu) / ((s2d - mu*mu) * (s2d - mu*mu)) - 3.0 + 0.0 AS kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    // same element-pick median formula as the Spark side — no engine
+    // median builtin on either side, so interpolation semantics can't drift
+    "win_rolling_median" ->
+      (EV + """, w AS (SELECT user_id, event_id,
+        |list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS lst FROM ev)
+        |SELECT user_id, event_id, CAST(len(lst) AS INT) AS n_win,
+        |(list_sort(lst)[(len(lst)-1)//2 + 1] + list_sort(lst)[len(lst)//2 + 1]) / 2.0 AS rolling_median
+        |FROM w ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")),
+
+    "join_asof_nearest" ->
+      (EV + """, b AS (SELECT event_id, user_id, ts_us,
+        |CASE WHEN event_type = 'signup' THEN ts_us END AS s_ts_raw,
+        |CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS back_pri,
+        |CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS fwd_pri FROM ev),
+        |w AS (SELECT event_id, user_id, ts_us,
+        |last_value(s_ts_raw IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, back_pri, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+        |first_value(s_ts_raw IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, fwd_pri, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us FROM b),
+        |n AS (SELECT *, CASE WHEN back_us IS NULL THEN fwd_us WHEN fwd_us IS NULL THEN back_us
+        |WHEN ts_us - back_us <= fwd_us - ts_us THEN back_us ELSE fwd_us END AS nearest_signup_us FROM w)
+        |SELECT event_id, user_id, ts_us, back_us, fwd_us, nearest_signup_us,
+        |abs(ts_us - nearest_signup_us) AS diff_us FROM n ORDER BY event_id""".stripMargin.replace("\n", " ")),
+
+    "join_scd2_point_in_time" ->
+      (EV + """, d AS (SELECT user_id, event_id, ts_us, event_type,
+        |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM ev),
+        |iv0 AS (SELECT user_id, event_id, ts_us, event_type FROM d WHERE prev_type IS NULL OR prev_type <> event_type),
+        |iv AS (SELECT user_id AS d_user, event_type AS attr, ts_us AS valid_from_us,
+        |lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS version FROM iv0),
+        |f AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts_us, iv.attr, iv.version, iv.valid_from_us
+        |FROM f JOIN iv ON f.user_id = iv.d_user AND f.ts_us >= iv.valid_from_us AND (iv.valid_to_us IS NULL OR f.ts_us < iv.valid_to_us)
+        |ORDER BY f.event_id""".stripMargin.replace("\n", " ")),
+
+    "text_repetition_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w FROM d),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_uniq, max(c) AS top_cnt FROM tc GROUP BY doc_id),
+        |tri0 AS (SELECT doc_id, w, lead(w, 1) OVER dw AS w1, lead(w, 2) OVER dw AS w2 FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+        |trc AS (SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS tri, count(*) AS c FROM tri0 WHERE w2 IS NOT NULL GROUP BY doc_id, w || ' ' || w1 || ' ' || w2),
+        |trs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tri_total, count(*) AS tri_uniq FROM trc GROUP BY doc_id)
+        |SELECT tstat.doc_id, tstat.n_tok,
+        |CAST(tstat.n_uniq AS DOUBLE) / tstat.n_tok AS uniq_token_frac,
+        |CAST(tstat.top_cnt AS DOUBLE) / tstat.n_tok AS top_token_frac,
+        |1.0 - CAST(trs.tri_uniq AS DOUBLE) / trs.tri_total AS dup_trigram_frac
+        |FROM tstat JOIN trs USING (doc_id) WHERE tstat.n_tok >= 3 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "dedup_ngram_corpus_frac" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w FROM d),
+        |g0 AS (SELECT doc_id, w, lead(w, 1) OVER dw AS w1, lead(w, 2) OVER dw AS w2, lead(w, 3) OVER dw AS w3, lead(w, 4) OVER dw AS w4
+        |FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+        |gr AS (SELECT doc_id, w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS g FROM g0 WHERE w4 IS NOT NULL),
+        |sh AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM gr GROUP BY g) WHERE nd > 1)
+        |SELECT gr.doc_id, count(*) AS n_5grams, count(sh.g) AS n_shared,
+        |CAST(count(sh.g) AS DOUBLE) / count(*) AS shared_frac
+        |FROM gr LEFT JOIN sh ON gr.g = sh.g GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin.replace("\n", " "),
+
+    "arr_struct_sort" ->
+      """WITH r AS (SELECT l_orderkey, l_extendedprice AS p, l_linenumber AS ln,
+        |ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber) AS rn_a,
+        |ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn_d FROM lineitem)
+        |SELECT l_orderkey, count(*) AS n_items,
+        |max(p) FILTER (WHERE rn_a = 1) AS min_price, max(ln) FILTER (WHERE rn_a = 1) AS min_price_line,
+        |max(p) FILTER (WHERE rn_d = 1) AS max_price, max(ln) FILTER (WHERE rn_d = 1) AS max_price_line
+        |FROM r GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
   )
 }

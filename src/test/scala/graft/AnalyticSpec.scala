@@ -290,4 +290,116 @@ class AnalyticSpec extends SparkSpec {
       "rank-frequency slope must be negative")
     assert(df.where("r2 < 0.0 OR r2 > 1.0").count() == 0)
   }
+
+  test("N4 dq_referential_integrity: one row per FK edge, orphans bounded") {
+    val df = run("dq_referential_integrity")
+    assert(df.count() == 4)
+    assert(df.where("orphan_rows < 0 OR orphan_rows > child_rows").count() == 0)
+    val li = Tables.lineitem(spark, sf).count()
+    val byRel = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRel("lineitem->orders") == li && byRel("lineitem->part") == li,
+      "left join must preserve every child row")
+  }
+
+  test("L16 ts_downsample_ohlc: bars bounded, volumes partition the stream") {
+    val df = run("ts_downsample_ohlc")
+    assert(df.where(
+      "open < low OR open > high OR close < low OR close > high OR low > high")
+      .count() == 0)
+    assert(df.where("n_events < 1").count() == 0)
+    val total = df.selectExpr("sum(n_events)").head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("E22 agg_weighted_median: half the mass on each side, exactly") {
+    import org.apache.spark.sql.functions._
+    val df = run("agg_weighted_median")
+    assert(df.count() == 3)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        round(col("l_quantity"), 0).cast("long").as("w"))
+    df.collect().foreach { r =>
+      val (flag, wm, tot) = (r.getString(0), r.getDouble(1), r.getLong(2))
+      val below = li.where(col("l_returnflag") === flag &&
+        col("l_extendedprice") < wm).agg(sum("w")).head().getLong(0)
+      val atOrBelow = li.where(col("l_returnflag") === flag &&
+        col("l_extendedprice") <= wm).agg(sum("w")).head().getLong(0)
+      assert(below * 2 < tot, s"$flag: mass strictly below the median must be < half")
+      assert(atOrBelow * 2 >= tot, s"$flag: mass at-or-below must reach half")
+    }
+  }
+
+  test("E23 agg_skew_kurtosis: moment inequalities hold on exact sums") {
+    val df = run("agg_skew_kurtosis")
+    assert(df.count() == 3)
+    assert(df.where("m2 <= 0.0").count() == 0, "variance must be positive")
+    // kurtosis + 3 = m4/m2^2 >= 1 + skew^2 (Pearson's inequality)
+    assert(df.where("kurtosis + 3.0 < skewness * skewness + 1.0 - 1e-9").count() == 0)
+  }
+
+  test("F13 win_rolling_median: frame sizes in [1,7], median inside value range") {
+    val df = run("win_rolling_median")
+    assert(df.count() == Tables.events(spark, sf).count())
+    assert(df.where("n_win < 1 OR n_win > 7").count() == 0)
+    assert(df.where("n_win = 1").count() > 0, "every user's first event has a 1-frame")
+    val mm = Tables.events(spark, sf)
+      .selectExpr("min(value) AS lo", "max(value) AS hi").head()
+    assert(df.where(s"rolling_median < ${mm.getDouble(0)} OR rolling_median > ${mm.getDouble(1)}")
+      .count() == 0)
+  }
+
+  test("C9n join_asof_nearest: picks the closer direction, ties backward") {
+    val df = run("join_asof_nearest")
+    assert(df.count() == Tables.events(spark, sf).count())
+    assert(df.where("diff_us < 0").count() == 0)
+    assert(df.where(
+      "nearest_signup_us IS NOT NULL AND nearest_signup_us <> back_us AND nearest_signup_us <> fwd_us")
+      .count() == 0)
+    // when both candidates exist the pick is the true minimum distance,
+    // backward on ties
+    assert(df.where(
+      """back_us IS NOT NULL AND fwd_us IS NOT NULL AND (
+        |  (ts_us - back_us <= fwd_us - ts_us AND nearest_signup_us <> back_us) OR
+        |  (ts_us - back_us >  fwd_us - ts_us AND nearest_signup_us <> fwd_us))""".stripMargin)
+      .count() == 0)
+  }
+
+  test("C13 join_scd2_point_in_time: every purchase hits exactly one interval") {
+    val df = run("join_scd2_point_in_time")
+    val purchases = Tables.events(spark, sf).where("event_type = 'purchase'").count()
+    assert(df.count() == purchases, "interval chain must cover each fact once")
+    assert(df.select("event_id").distinct().count() == purchases)
+    assert(df.where("ts_us < valid_from_us OR version < 1").count() == 0)
+  }
+
+  test("M40 text_repetition_stats: ratios well-formed, corpus repetition detected") {
+    val df = run("text_repetition_stats")
+    assert(df.count() > 0)
+    assert(df.where(
+      "uniq_token_frac <= 0.0 OR uniq_token_frac > 1.0 OR " +
+        "top_token_frac <= 0.0 OR top_token_frac > 1.0 OR " +
+        "dup_trigram_frac < 0.0 OR dup_trigram_frac >= 1.0").count() == 0)
+    assert(df.where("top_token_frac * n_tok < 1.0").count() == 0)
+    assert(df.where("dup_trigram_frac > 0.0").count() > 0,
+      "the synthetic corpus repeats trigrams — some doc must show it")
+  }
+
+  test("M41 dedup_ngram_corpus_frac: shared bounded by total, sharing is symmetric") {
+    val df = run("dedup_ngram_corpus_frac")
+    assert(df.count() > 0)
+    assert(df.where("n_shared < 0 OR n_shared > n_5grams").count() == 0)
+    assert(df.where("shared_frac < 0.0 OR shared_frac > 1.0").count() == 0)
+    // a 5-gram shared by doc A is by definition shared by some other doc:
+    // at least two docs must carry a shared gram (or none do)
+    val sharers = df.where("n_shared > 0").count()
+    assert(sharers != 1, "sharing cannot involve exactly one document")
+  }
+
+  test("J14 arr_struct_sort: ends of the sorted struct array bound the group") {
+    val df = run("arr_struct_sort")
+    assert(df.where("min_price > max_price").count() == 0)
+    assert(df.where("n_items = 1 AND min_price_line <> max_price_line").count() == 0)
+    val total = df.selectExpr("sum(n_items)").head().getLong(0)
+    assert(total == Tables.lineitem(spark, sf).count())
+  }
 }
