@@ -526,13 +526,20 @@ object Aggregates {
     val wCum = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(spark, sfDir)
+    val base = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"),
         round(col("l_quantity"), 0).cast("long").as("w"))
+    // group totals as a broadcast-joined keyed agg, NOT an unordered
+    // full-partition window: the window form buffers each group in executor
+    // memory, which a 100 TB group cannot afford; the running window below
+    // streams. Parallelism of the cumulative scan equals group cardinality —
+    // contract semantics here (3 flags); a high-cardinality-value corpus
+    // would bucket prices first (histogram route, cf. E11b) and scan only
+    // the straddling bucket.
+    val totals = base.groupBy(col("l_returnflag")).agg(sum(col("w")).as("totw"))
+    base.join(broadcast(totals), Seq("l_returnflag"))
       .withColumn("cumw", sum(col("w")).over(wCum))
-      .withColumn("totw", sum(col("w")).over(wAll))
       .where(col("cumw") * 2 >= col("totw"))
       .groupBy(col("l_returnflag"))
       .agg(
@@ -587,6 +594,36 @@ object Aggregates {
         (m3 / (m2 * sqrt(m2)) + lit(0.0)).as("skewness"),
         (m4 / (m2 * m2) - lit(3.0) + lit(0.0)).as("kurtosis"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** L17 ts_autocorr_hourly — lag-1 autocorrelation of the hourly event
+    * volume (the "is traffic self-similar hour-over-hour" seasonality
+    * probe). Same exactness pattern as E23: the hourly counts are
+    * integers, the five correlation sums over (x_t, x_{t+1}) pairs are
+    * exact LONG arithmetic, and Pearson's r is one fixed IEEE tree at the
+    * end — raw double, bit-equal across engines. The global window runs
+    * over the HOURS relation (dimension-sized: data was already collapsed
+    * by the keyed agg), the documented acceptable global-window shape.
+    */
+  def tsAutocorrHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("hour"))
+    // numerator/radicands in exact LONG arithmetic; ONE cast each, then
+    // the fixed float tree (div, sqrt, mul) — bit-equal across engines
+    val r = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+        sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("HOUR", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .where(col("y").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_pairs"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_x"),
+        (r + lit(0.0)).as("lag1_autocorr"))
   }
 
   /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */

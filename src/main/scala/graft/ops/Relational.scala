@@ -421,6 +421,26 @@ object Relational {
         concat_ws("-", col("r_name"), col("n_name")).as("label"))
       .orderBy(col("r_regionkey"), col("n_nationkey"))
 
+  /** C14 join_null_safe — null-safe equality join (`<=>` / IS NOT DISTINCT
+    * FROM): NULL keys match each other instead of vanishing, the semantics
+    * a dimension with an "unknown" bucket needs. Keys are nullified
+    * deterministically (nation 3 → NULL) so the NULL group is real and its
+    * pair count is the product of both sides' NULL populations. Catalyst
+    * plans EqualNullSafe as a true equi-join key (coalesce-keyed hash
+    * join), so this shuffles and scales exactly like C1 — no fallback to
+    * a filtered cross product.
+    */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(nullif(col("c_nationkey"), lit(3)).as("ck"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(nullif(col("s_nationkey"), lit(3)).as("sk"))
+    c.join(s, col("ck") <=> col("sk"))
+      .groupBy(col("ck").as("nation_key"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("nation_key"))
+  }
+
   // ─────────────────────── sort / limit / top-k (§2.G) ───────────────────
 
   /** G1 — multi-key sort with explicit null placement. */

@@ -234,6 +234,57 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** M43 text_source_entropy — Shannon entropy of the source mix per
+    * language: the corpus-diversity diagnostic a data-mixing plan is tuned
+    * against (low entropy = one source dominates the language). Float
+    * determinism: the per-source terms are summed by an ORDERED running
+    * window (sequential in source order on both engines — a bare SUM over
+    * doubles would be addition-order-dependent), `ln` inputs are exact
+    * int-ratio divisions, and the result is rounded at O(1) magnitude
+    * where 6-dp rounding is portable. Group count is dimension-sized, so
+    * the windows cost nothing at any scale.
+    */
+  def sourceEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy(col("lang"))
+    val wCum = wl.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = col("c").cast("double") / col("n_docs")
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .withColumn("n_docs", sum(col("c")).over(wl))
+      .withColumn("k_sources", count(lit(1)).over(wl))
+      .withColumn("ent", sum(-(p * log(p))).over(wCum))
+      .withColumn("rn", row_number().over(wl.orderBy(desc("source"))))
+      .where(col("rn") === 1)
+      .select(col("lang"), col("n_docs"), col("k_sources"),
+        (round(col("ent"), 6) + lit(0.0)).as("source_entropy"))
+      .orderBy(col("lang"))
+  }
+
+  /** I12 fn_url_suite — URL decomposition with `parse_url` (HOST / PATH /
+    * QUERY / keyed query params). The corpus has no URL column, so each doc
+    * synthesizes one deterministically from its own fields; the oracle
+    * constructs the expected components directly from the same fields,
+    * independently validating Spark's parser against ground truth rather
+    * than against another parser. Pure per-row projection — codegen'd,
+    * shuffle-free.
+    */
+  def fnUrlSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = concat(lit("https://ex"), (col("doc_id") % 5).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"),
+      lit("?q="), col("source"), lit("&page="), (col("doc_id") % 7).cast("string"))
+    Tables.documents(spark, sfDir)
+      .withColumn("url", url)
+      .select(col("doc_id"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'q')").as("q_param"),
+        expr("parse_url(url, 'QUERY', 'page')").as("page_param"))
+      .orderBy(col("doc_id"))
+  }
+
   /** M40 text_repetition_stats — the repetition-based quality filters a
     * web corpus is gated on (the "repetitious text" family): per document,
     * the unique-token fraction, the mass of the single most frequent

@@ -269,6 +269,31 @@ object VectorText {
       .limit(20)
   }
 
+  /** J15 vec_norm_stats — L2-norm distribution per label: the embedding
+    * sanity check before any cosine work (un-normalized vectors silently
+    * corrupt cosine ≡ dot shortcuts). Per-row norm is a sequential fold
+    * (bit-equal to the oracle's list_dot_product loop); min/max are
+    * element picks (raw doubles); the MEAN norm avoids float-order hazard
+    * by integerizing each norm to exact micro-units first (round→LONG),
+    * so the sum is exact and the mean is one fixed division tree. One
+    * keyed agg, no shuffle beyond it — linear at any corpus size.
+    */
+  def vecNormStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = sqrt(expr(
+      "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), norm.as("nrm"))
+      .withColumn("q", round(col("nrm") * lit(1e6), 0).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        sum(col("q")).as("sq"))
+      .select(col("label"), col("n_vecs"), col("min_norm"), col("max_norm"),
+        (col("sq").cast("double") / col("n_vecs") / lit(1e6)).as("avg_norm"))
+      .orderBy(col("label"))
+  }
+
   /** J14 arr_struct_sort — arrays of STRUCTs as first-class values: per
     * order, collect its lineitems as (price, linenumber) structs, sort the
     * array lexicographically by field order, and pick both ends. Exercises

@@ -300,6 +300,23 @@ object Windows {
       .orderBy(col("user_id"), col("start_event"))
   }
 
+  /** F14 win_cume_dist_pct — the two normalized-rank window functions not
+    * yet in the F-series: cume_dist (fraction of peers at-or-below) and
+    * percent_rank ((rank-1)/(n-1)), per nation over account balance with
+    * a full tiebreak. Both are exact integer-ratio divisions — rank and
+    * partition counts — so cross-engine equality is structural, no
+    * rounding. Same keyed-window scaling story as F1.
+    */
+  def winCumeDistPct(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .orderBy(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+  }
+
   /** F13 win_rolling_median — EXACT rolling median of `value` over each
     * user's last 7 events (ROWS 6 PRECEDING..CURRENT). Neither engine
     * windows an exact median natively at this shape, so both sides compute

@@ -1682,5 +1682,71 @@ object OracleSql {
         |max(p) FILTER (WHERE rn_a = 1) AS min_price, max(ln) FILTER (WHERE rn_a = 1) AS min_price_line,
         |max(p) FILTER (WHERE rn_d = 1) AS max_price, max(ln) FILTER (WHERE rn_d = 1) AS max_price_line
         |FROM r GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin.replace("\n", " "),
+
+    // ---- round-4 batch 3 ----
+
+    "graph_triangle_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
+        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
+        |FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        |knn AS (SELECT a_id, b_id FROM d WHERE rn <= 5),
+        |und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+        |tri AS (SELECT e1.u FROM und e1 JOIN und e2 ON e1.v = e2.u JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |vx AS (SELECT count(DISTINCT x) AS n_vertices FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und))
+        |SELECT vx.n_vertices, (SELECT count(*) FROM und) AS n_edges,
+        |(SELECT count(*) FROM tri) AS n_triangles FROM vx""".stripMargin.replace("\n", " "),
+
+    // exact LONG/HUGEINT sums; identical float tree (one cast per factor,
+    // then div/sqrt/mul) — see agg_skew_kurtosis
+    "ts_autocorr_hourly" ->
+      (EV + """, h AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS x FROM ev GROUP BY date_trunc('hour', ts)),
+        |p AS (SELECT x, lead(x) OVER (ORDER BY hour) AS y FROM h),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |sum(x*x) AS sxx, sum(y*y) AS syy FROM p WHERE y IS NOT NULL)
+        |SELECT n AS n_pairs, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+        |CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) + 0.0 AS lag1_autocorr
+        |FROM s""".stripMargin.replace("\n", " ")),
+
+    // ordered running window = sequential addition on both engines; a bare
+    // SUM over double terms would be addition-order-dependent
+    "text_source_entropy" ->
+      """WITH cs AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
+        |t AS (SELECT lang, source, c, sum(c) OVER (PARTITION BY lang) AS n_docs,
+        |count(*) OVER (PARTITION BY lang) AS k_sources FROM cs),
+        |u AS (SELECT lang, n_docs, k_sources,
+        |sum(-(CAST(c AS DOUBLE) / n_docs * ln(CAST(c AS DOUBLE) / n_docs))) OVER (PARTITION BY lang ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ent,
+        |ROW_NUMBER() OVER (PARTITION BY lang ORDER BY source DESC) AS rn FROM t)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, k_sources,
+        |round(ent, 6) + 0.0 AS source_entropy FROM u WHERE rn = 1 ORDER BY lang""".stripMargin.replace("\n", " "),
+
+    "join_null_safe" ->
+      """SELECT nullif(c_nationkey, 3) AS nation_key, count(*) AS n_pairs
+        |FROM customer JOIN supplier ON nullif(c_nationkey, 3) IS NOT DISTINCT FROM nullif(s_nationkey, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    "vec_norm_stats" ->
+      """WITH v AS (SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+        |q AS (SELECT label, nrm, CAST(round(nrm * 1e6) AS BIGINT) AS qn FROM v)
+        |SELECT label, count(*) AS n_vecs, min(nrm) AS min_norm, max(nrm) AS max_norm,
+        |CAST(sum(qn) AS DOUBLE) / count(*) / 1e6 AS avg_norm
+        |FROM q GROUP BY label ORDER BY label""".stripMargin.replace("\n", " "),
+
+    // expected components constructed from the same fields the URL was
+    // synthesized from — validates parse_url against ground truth
+    "fn_url_suite" ->
+      """SELECT doc_id,
+        |'ex' || (doc_id % 5) || '.example.com' AS host,
+        |'/p/' || doc_id AS path,
+        |'q=' || source || '&page=' || (doc_id % 7) AS query,
+        |source AS q_param,
+        |CAST(doc_id % 7 AS VARCHAR) AS page_param
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "win_cume_dist_pct" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin.replace("\n", " "),
   )
 }

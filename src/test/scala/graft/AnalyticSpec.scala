@@ -395,6 +395,74 @@ class AnalyticSpec extends SparkSpec {
     assert(sharers != 1, "sharing cannot involve exactly one document")
   }
 
+  test("M42 graph_triangle_knn: census consistent with a 5-NN graph") {
+    val r = run("graph_triangle_knn").head()
+    val (nv, ne, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv > 0 && nv <= 500)
+    // symmetrized 5-NN: between 5V/2 (all mutual) and 5V (no mutual) edges
+    assert(ne * 2 >= nv * 5 && ne <= nv * 5, s"edges $ne out of 5-NN range for $nv vertices")
+    assert(nt > 0, "clustered embeddings must close some triangles")
+    // triangles cannot exceed edges * max_degree (≤ 2k = 10)
+    assert(nt <= ne * 10)
+  }
+
+  test("L17 ts_autocorr_hourly: Pearson r in [-1,1] over hours-1 pairs") {
+    val r = run("ts_autocorr_hourly").head()
+    assert(r.getLong(0) > 0)
+    val corr = r.getDouble(2)
+    assert(corr >= -1.0 - 1e-12 && corr <= 1.0 + 1e-12)
+  }
+
+  test("M43 text_source_entropy: bounded by ln k, one row per language") {
+    val df = run("text_source_entropy")
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(df.count() == langs)
+    assert(df.where("source_entropy < 0.0 OR source_entropy > ln(k_sources) + 1e-9")
+      .count() == 0, "entropy must lie in [0, ln k]")
+  }
+
+  test("C14 join_null_safe: NULL bucket pairs = product of the nullified sides") {
+    val df = run("join_null_safe")
+    val c3 = Tables.customer(spark, sf).where("c_nationkey = 3").count()
+    val s3 = Tables.supplier(spark, sf).where("s_nationkey = 3").count()
+    val nullRow = df.where("nation_key IS NULL").collect()
+    assert(nullRow.length == (if (c3 * s3 > 0) 1 else 0))
+    if (nullRow.nonEmpty)
+      assert(nullRow.head.getLong(1) == c3 * s3,
+        "NULL <=> NULL must pair every nullified customer with every nullified supplier")
+    assert(df.where("nation_key = 3").count() == 0, "key 3 was nullified away")
+  }
+
+  test("J15 vec_norm_stats: min <= avg <= max within quantization tolerance") {
+    val df = run("vec_norm_stats")
+    val total = df.selectExpr("sum(n_vecs)").head().getLong(0)
+    assert(total == Tables.embeddings(spark, sf).count())
+    assert(df.where("min_norm > max_norm").count() == 0)
+    assert(df.where("avg_norm < min_norm - 1e-6 OR avg_norm > max_norm + 1e-6").count() == 0)
+  }
+
+  test("I12 fn_url_suite: parser recovers every synthesized component") {
+    val df = run("fn_url_suite")
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.where(
+      "host IS NULL OR path IS NULL OR query IS NULL OR q_param IS NULL OR page_param IS NULL")
+      .count() == 0)
+    assert(df.where("host NOT LIKE 'ex%.example.com' OR path NOT LIKE '/p/%'").count() == 0)
+  }
+
+  test("F14 win_cume_dist_pct: ratio ranges and endpoints per partition") {
+    val df = run("win_cume_dist_pct")
+    assert(df.where("cd <= 0.0 OR cd > 1.0 OR pr < 0.0 OR pr >= 1.0 + 1e-12").count() == 0)
+    // the last row of each partition has cd = 1, the first has pr = 0
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    val marked = df.withColumn("rn", row_number().over(w))
+      .withColumn("nmax", max("rn").over(Window.partitionBy("c_nationkey")))
+    assert(marked.where("rn = nmax AND cd <> 1.0").count() == 0)
+    assert(marked.where("rn = 1 AND pr <> 0.0").count() == 0)
+  }
+
   test("J14 arr_struct_sort: ends of the sorted struct array bound the group") {
     val df = run("arr_struct_sort")
     assert(df.where("min_price > max_price").count() == 0)

@@ -114,7 +114,8 @@ class PlanSpec extends SparkSpec {
       "agg_decay_halflife",     // broadcast 1-row reference timestamp
       "dq_anomaly_mad",         // broadcast 1-row median + 1-row MAD
       "text_sparse_cosine_topk", // broadcast 1-row corpus count
-      "ann_recall_at_k")        // 10 broadcast query vectors (J3 pattern)
+      "ann_recall_at_k",        // 10 broadcast query vectors (J3 pattern)
+      "graph_triangle_knn")     // vec_id < 500 bounded k-NN build + 1-row count joins
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
