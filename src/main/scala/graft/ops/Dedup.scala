@@ -405,6 +405,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** M44 dedup_semantic_clusters — the embedding-space twin of the MinHash
+    * dedup pipeline: mutual-2-NN graph (an edge only where BOTH endpoints
+    * rank each other top-2 — the standard mutual-kNN sparsifier; k=2 is
+    * the tightest setting that yields chains as well as pairs, so the
+    * histogram exercises multi-size clusters at every SF) → large-star/small-star
+    * connected components (the SAME O(log²) clustering the text pipeline
+    * uses, composed, not re-implemented) → cluster-size histogram, the
+    * shape a dedup report leads with. Mutual edges come from one count-2
+    * aggregate over the directed edge list (no self-join); singletons are
+    * by definition not clusters. At corpus scale the directed edges come
+    * from the IVF/LSH candidate chains and the component stage is
+    * unchanged — clustering cost depends on the edge list, not the corpus.
+    */
+  def semanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
+    val mutual = Similarity.knnDirected(e, 2)
+      .groupBy(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") === 2)
+      .select(col("u"), col("v"))
+    starComponents(mutual)._1
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** dedup_embedding_topk — the 20 most-similar embedding pairs (cosine ≡
     * dot, unit-norm corpus): the verification stage of embedding near-dup.
     */

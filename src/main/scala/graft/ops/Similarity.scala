@@ -164,18 +164,29 @@ object Similarity {
     * vertices at fixed k, the property that keeps this computable at
     * 100 TB.
     */
-  def graphTriangleKnn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Directed k-NN edge list (a_id → b_id) over a bounded embedding set:
+    * the shared graph builder for the triangle census (M42) and the
+    * semantic-dedup clustering (M44). Exact build — callers bound the
+    * vertex set; the IVF/LSH chains are the corpus-scale candidate
+    * generators.
+    */
+  private[ops] def knnDirected(e: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.DotProduct.register(spark)
-    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     val wA = Window.partitionBy(col("a_id"))
       .orderBy(desc("dot"), asc("b_id"))
-    val knn = a.join(b, col("a_id") =!= col("b_id"))
+    a.join(b, col("a_id") =!= col("b_id"))
       .withColumn("dot", expr("graft_dot(a_emb, b_emb)"))
       .withColumn("rn", row_number().over(wA))
-      .where(col("rn") <= 5)
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  def graphTriangleKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
+    val knn = knnDirected(e, 5)
     // localCheckpoint: the edge list is tiny (≤ 5|V| rows) but feeds FIVE
     // downstream consumers (both wedge sides, the closing semi-join probe,
     // and the vertex/edge counters) — without it Catalyst would inline and

@@ -1743,6 +1743,22 @@ object OracleSql {
         |CAST(doc_id % 7 AS VARCHAR) AS page_param
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
 
+    // mutual-5-NN graph + recursive min-label closure (same reach pattern
+    // as the MinHash component oracle) + size histogram
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
+        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
+        |FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        |knn AS (SELECT a_id, b_id FROM d WHERE rn <= 2),
+        |mut AS (SELECT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+        |edges AS (SELECT u AS a, v AS b FROM mut UNION ALL SELECT v, u FROM mut),
+        |reach AS (SELECT a AS node, a AS label FROM edges
+        |UNION SELECT e2.b AS node, r.label FROM reach r JOIN edges e2 ON e2.a = r.node),
+        |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+        |cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+        |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " "),
+
     "win_cume_dist_pct" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr

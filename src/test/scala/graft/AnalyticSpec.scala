@@ -463,6 +463,15 @@ class AnalyticSpec extends SparkSpec {
     assert(marked.where("rn = 1 AND pr <> 0.0").count() == 0)
   }
 
+  test("M44 dedup_semantic_clusters: histogram of mutual-2NN components, sizes >= 2") {
+    val df = run("dedup_semantic_clusters")
+    assert(df.where("cluster_size < 2").count() == 0,
+      "a mutual edge implies both endpoints — no singleton clusters")
+    assert(df.count() > 1, "mutual-2NN must yield multiple cluster sizes")
+    val clustered = df.selectExpr("sum(cluster_size * n_clusters)").head().getLong(0)
+    assert(clustered <= 500, "clustered vectors bounded by the vertex cap")
+  }
+
   test("J14 arr_struct_sort: ends of the sorted struct array bound the group") {
     val df = run("arr_struct_sort")
     assert(df.where("min_price > max_price").count() == 0)

@@ -38,6 +38,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 2) // hour 0 (2 events), hour 1 (1 event)
   }
 
+  test("L16 twin: streaming OHLC bars equal batch, open/close pick the time ends") {
+    implicit val ctx = s.sqlContext
+    // ts-unique per (hour, type) so min_by/max_by need no tiebreak
+    val data = Seq(
+      Ev(t("2024-01-01 00:05:00"), 1, 10.0, "view"),
+      Ev(t("2024-01-01 00:20:00"), 2, 2.0, "view"),
+      Ev(t("2024-01-01 00:50:00"), 3, 7.5, "view"),
+      Ev(t("2024-01-01 00:30:00"), 4, 99.0, "click"),
+      Ev(t("2024-01-01 01:10:00"), 1, 4.0, "view"))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.ohlcAgg(ms.toDF()).writeStream
+      .format("memory").queryName("t_ohlc").outputMode("complete").start()
+    ms.addData(data: _*)
+    q.processAllAvailable()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("window.start AS ws", "event_type", "open", "high", "low", "close", "n_events")
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    val streamed = canon(s.table("t_ohlc"))
+    q.stop()
+    val batch = canon(Streaming.ohlcAgg(data.toDF()))
+    assert(streamed == batch)
+    // hour-0 view bar: open = value at 00:05, close = value at 00:50
+    val bar = streamed.find(b => b._2 == "view" && b._1.startsWith("2024-01-01 00")).get
+    assert(bar._3 == 10.0 && bar._6 == 7.5 && bar._4 == 10.0 && bar._5 == 2.0 && bar._7 == 3L)
+  }
+
   test("L7 twin: streaming dropDuplicates keeps first arrival per key") {
     implicit val ctx = s.sqlContext
     val data = Seq(
