@@ -1759,6 +1759,49 @@ object OracleSql {
         |cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
         |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " "),
 
+    // ---- composite workload queries (decimal protocol = pricing summary) ----
+
+    "wk_q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue, o_orderdate, o_orderpriority FROM (
+        |SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY rev DESC, o_orderdate, l_orderkey LIMIT 10)
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey""".stripMargin.replace("\n", " "),
+
+    "wk_q5_region_volume" ->
+      """SELECT n_name, CAST(rev AS DOUBLE) AS revenue FROM (
+        |SELECT n_name, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name) ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", " "),
+
+    "wk_q10_returns" ->
+      """SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue, c_acctbal, n_name FROM (
+        |SELECT c_custkey, c_name, c_acctbal, n_name,
+        |SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY rev DESC, c_custkey LIMIT 20)
+        |ORDER BY revenue DESC, c_custkey""".stripMargin.replace("\n", " "),
+
+    "pipeline_dataset_card" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |count(*) FILTER (WHERE n_chars < 100) AS n_short,
+        |CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+        |FROM documents""".stripMargin.replace("\n", " "),
+
     "win_cume_dist_pct" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr

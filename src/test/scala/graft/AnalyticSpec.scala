@@ -472,6 +472,36 @@ class AnalyticSpec extends SparkSpec {
     assert(clustered <= 500, "clustered vectors bounded by the vertex cap")
   }
 
+  test("W1 wk_q3_shipping_priority: top-10 by revenue, dates straddle the cutoff") {
+    val rows = run("wk_q3_shipping_priority").collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "revenue must be descending")
+    assert(rows.forall(_.getAs[java.time.LocalDateTime]("o_orderdate")
+      .isBefore(java.time.LocalDateTime.of(1998, 3, 15, 0, 0))))
+  }
+
+  test("W2 wk_q5_region_volume: at most the region's nations, positive revenue") {
+    val df = run("wk_q5_region_volume")
+    assert(df.count() <= 5 && df.count() > 0)
+    assert(df.where("revenue <= 0.0").count() == 0)
+  }
+
+  test("W3 wk_q10_returns: 20 customers, descending revenue") {
+    val rows = run("wk_q10_returns").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("M45 pipeline_dataset_card: one-row card consistent with the corpus") {
+    val r = run("pipeline_dataset_card").head()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.getLong(0) == nDocs)
+    assert(r.getLong(4) >= r.getLong(0), "every doc has at least one token")
+    assert(math.abs(r.getDouble(6) - r.getLong(3).toDouble / r.getLong(0)) == 0.0)
+  }
+
   test("J14 arr_struct_sort: ends of the sorted struct array bound the group") {
     val df = run("arr_struct_sort")
     assert(df.where("min_price > max_price").count() == 0)
