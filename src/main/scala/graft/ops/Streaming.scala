@@ -485,6 +485,49 @@ object Streaming {
       .toDF("user_id", "n_events")
   }
 
+  /** L10's counter with a processing-time state TTL — the retention knob a
+    * production deployment uses so abandoned keys don't grow RocksDB
+    * forever. An expired value simply reads back as absent, so the count
+    * restarts — exercised by the TTL twin spec (sleep past the TTL between
+    * micro-batches). TTL is per-value and lazily enforced (expired entries
+    * are also vacuumed by the store's maintenance pass at scale).
+    */
+  class CountProcessorTtl(ttlMillis: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, (Long, Long)] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var countState: ValueState[Long] = _
+    override def init(outputMode: streaming.OutputMode,
+        timeMode: streaming.TimeMode): Unit =
+      countState = getHandle.getValueState[Long](
+        "count", Encoders.scalaLong, TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(n)
+      Iterator((key, n))
+    }
+  }
+
+  /** TTL twin builder (streaming only — TTL needs processing time). Same
+    * provider/coordinator preconditions as [[statefulCountV2]]: without the
+    * coordinator endpoint the exec's store RPC blocks for the full ask
+    * timeout during planning.
+    */
+  def statefulCountV2Ttl(ev: DataFrame, ttlMillis: Long): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(s)
+    ev.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .transformWithState(new CountProcessorTtl(ttlMillis),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("user_id", "n_events")
+  }
+
   // one cloned session per parent: isolates the RocksDB provider conf
   // without re-reading parquet footers on every call
   private val stateSessions =

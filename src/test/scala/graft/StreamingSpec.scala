@@ -188,6 +188,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("L10 TTL: ValueState expires between micro-batches, count restarts") {
+    // Poll the sink, do NOT processAllAvailable: in ProcessingTime
+    // time-mode the TTL machinery keeps scheduling micro-batches, so the
+    // "all available processed" condition never settles — but real data
+    // still lands in the memory table within a batch or two, and no-data
+    // batches emit nothing in update mode. (Trigger.AvailableNow is no
+    // escape either: its MultiBatchExecutor trips a planner NPE in
+    // TransformWithStateExec metric init on this Spark build.)
+    implicit val ctx = s.sqlContext
+    val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = Streaming.statefulCountV2Ttl(ms.toDF(), ttlMillis = 1500)
+        .writeStream.format("memory").queryName("t_state_ttl")
+        .outputMode("update").start()
+      def awaitRow(n: Long, timeoutMs: Long = 60000): Unit = {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        while (s.table("t_state_ttl").where(s"user_id = 1 AND n_events = $n").isEmpty) {
+          assert(System.nanoTime() < deadline, s"(1, $n) never reached the sink")
+          Thread.sleep(200)
+        }
+      }
+      ms.addData(Ev(t("2024-01-01 00:01:00"), 1, 1.0, "view"),
+        Ev(t("2024-01-01 00:02:00"), 1, 1.0, "click"))
+      awaitRow(2) // first batch counts user 1 → 2
+      Thread.sleep(4000) // 1.5 s TTL, 4 s wait: state well past expiry
+      ms.addData(Ev(t("2024-01-01 00:10:00"), 1, 1.0, "view"))
+      awaitRow(1) // expired state reads absent → count RESTARTS at 1
+      val all = s.table("t_state_ttl").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      q.stop()
+      assert(!all.contains((1L, 3L)), s"state survived past its TTL: $all")
+    } finally saved match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("L10 twin: transformWithState (state v2) accumulates across micro-batches") {
     implicit val ctx = s.sqlContext
     val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
