@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY §2.E): hash aggregates with partial (map-side)
@@ -624,6 +624,54 @@ object Aggregates {
       .select(col("n").as("n_pairs"),
         (col("sx").cast("double") / col("n").cast("double")).as("mean_x"),
         (r + lit(0.0)).as("lag1_autocorr"))
+  }
+
+  /** E24 pivot_multi_agg — pivot with TWO aggregates per pivot value
+    * (count + exact-decimal sum): the wide-dashboard shape E10's
+    * count-only pivot doesn't cover. Spark names the columns
+    * `<value>_<aggAlias>`; counts are null-filled to 0 (DuckDB's
+    * count FILTER is never NULL) while sums stay NULL for absent cells
+    * (both engines agree an empty SUM is NULL). One hash agg with
+    * map-side combine, exactly like E10.
+    */
+  def pivotMultiAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"),
+        sum(Cols.dec2(col("value"))).cast("double").as("sv"))
+      .na.fill(0L, types.map(_ + "_n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** E25 agg_corr_pairs — the 3×3 correlation matrix of (quantity, price,
+    * discount) in ONE pass: all ten cross/power sums accumulate as exact
+    * decimal(38,0) over integerized inputs (discount ×100 — products of
+    * exact int doubles round identically in both engines), then each
+    * Pearson r is one fixed IEEE tree over the exact sums (E23's
+    * pattern). Single-pass and mergeable — the feature-correlation scan
+    * a modeling pipeline runs over 100 TB without a second read. Raw
+    * doubles; bit-equal by construction.
+    */
+  def aggCorrPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = round(col("l_quantity"), 0).cast("long").cast("decimal(38,0)")
+    val p = round(col("l_extendedprice"), 0).cast("long").cast("decimal(38,0)")
+    val d = round(col("l_discount") * 100, 0).cast("long").cast("decimal(38,0)")
+    val dn = col("n").cast("decimal(38,0)")
+    def corr(sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column): Column =
+      (dn * sxy - sx * sy).cast("double") /
+        (sqrt((dn * sxx - sx * sx).cast("double")) *
+          sqrt((dn * syy - sy * sy).cast("double"))) + lit(0.0)
+    Tables.lineitem(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(p).as("sp"), sum(d).as("sd"),
+        sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(d * d).as("sdd"),
+        sum(q * p).as("sqp"), sum(q * d).as("sqd"), sum(p * d).as("spd"))
+      .select(col("n"),
+        corr(col("sq"), col("sp"), col("sqp"), col("sqq"), col("spp")).as("corr_qty_price"),
+        corr(col("sq"), col("sd"), col("sqd"), col("sqq"), col("sdd")).as("corr_qty_disc"),
+        corr(col("sp"), col("sd"), col("spd"), col("spp"), col("sdd")).as("corr_price_disc"))
   }
 
   /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */

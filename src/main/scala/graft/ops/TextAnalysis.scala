@@ -325,6 +325,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** M46 text_keywords_per_doc — per-document keyword extraction: top-3
+    * terms by tf-idf (the snippet/tagging primitive). Portability trick
+    * inherited from J9: the idf is ROUNDED to 6 dp BEFORE ranking, so the
+    * rank key `tf * idf` is one exact-int × rounded-double multiply —
+    * identical doubles on both engines, making the top-3 cut
+    * deterministic. Doc-keyed rank window; df is one token-keyed agg.
+    */
+  def keywordsPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 100)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("w"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("w").as("term"), col("tf"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** text_pii_redact — the PII scrubbing pass a public-web corpus gets
     * before training: regex-redact emails and phone numbers, count the
     * redactions, and emit the md5 of the redacted text (bit-exact oracle

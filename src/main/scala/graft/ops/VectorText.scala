@@ -269,6 +269,30 @@ object VectorText {
       .limit(20)
   }
 
+  /** J16 arr_flatten_nested — nested arrays as first-class values: per
+    * order collect its sorted price array, then per customer collect the
+    * ARRAY OF ARRAYS, flatten, and sort — two-level collection the way a
+    * sessionized log rolls up. Every output is an element pick or a count
+    * over the sorted flattened multiset, so collection order (which Spark
+    * does not guarantee) never leaks into the result. Two keyed aggs, one
+    * keyed join — per-customer arrays bounded by orders-per-customer.
+    */
+  def arrFlattenNested(spark: SparkSession, sfDir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("arr"))
+    Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_arrays"),
+        array_sort(flatten(collect_list(col("arr")))).as("fl"))
+      .select(col("o_custkey"), col("n_arrays"),
+        size(col("fl")).as("n_items"),
+        element_at(col("fl"), 1).as("min_price"),
+        element_at(col("fl"), -1).as("max_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** J15 vec_norm_stats — L2-norm distribution per label: the embedding
     * sanity check before any cosine work (un-normalized vectors silently
     * corrupt cosine ≡ dot shortcuts). Per-row norm is a sequential fold

@@ -1802,6 +1802,62 @@ object OracleSql {
         |CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
         |FROM documents""".stripMargin.replace("\n", " "),
 
+    // ---- round-4 batch 5 ----
+
+    // count FILTER is never NULL (matches Spark's filled 0); SUM over an
+    // empty filtered set is NULL in both engines
+    "pivot_multi_agg" ->
+      (EV + """SELECT user_id,
+        |COUNT(*) FILTER (WHERE event_type = 'view') AS view_n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_sv,
+        |COUNT(*) FILTER (WHERE event_type = 'click') AS click_n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_sv,
+        |COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_sv,
+        |COUNT(*) FILTER (WHERE event_type = 'signup') AS signup_n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup_sv,
+        |COUNT(*) FILTER (WHERE event_type = 'error') AS error_n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_sv
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")),
+
+    // exact HUGEINT cross/power sums; fixed IEEE tree per Pearson r —
+    // the decimal(38,0) twin on the Spark side
+    "agg_corr_pairs" ->
+      """WITH t AS (SELECT CAST(round(l_quantity) AS BIGINT) q, CAST(round(l_extendedprice) AS BIGINT) p,
+        |CAST(round(l_discount * 100) AS BIGINT) d FROM lineitem),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) n, sum(CAST(q AS HUGEINT)) sq, sum(CAST(p AS HUGEINT)) sp, sum(CAST(d AS HUGEINT)) sd,
+        |sum(CAST(q AS HUGEINT)*q) sqq, sum(CAST(p AS HUGEINT)*p) spp, sum(CAST(d AS HUGEINT)*d) sdd,
+        |sum(CAST(q AS HUGEINT)*p) sqp, sum(CAST(q AS HUGEINT)*d) sqd, sum(CAST(p AS HUGEINT)*d) spd FROM t)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |CAST(n*sqp - sq*sp AS DOUBLE) / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) + 0.0 AS corr_qty_price,
+        |CAST(n*sqd - sq*sd AS DOUBLE) / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) + 0.0 AS corr_qty_disc,
+        |CAST(n*spd - sp*sd AS DOUBLE) / (sqrt(CAST(n*spp - sp*sp AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) + 0.0 AS corr_price_disc
+        |FROM s""".stripMargin.replace("\n", " "),
+
+    // idf rounded BEFORE ranking (J9's portability trick) so the top-3
+    // cut is over identical doubles on both engines
+    "text_keywords_per_doc" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+        |n AS (SELECT COUNT(*) AS n_docs FROM docs)
+        |SELECT doc_id, rk, term, tf, round(tfidf, 6) AS tfidf FROM (
+        |SELECT tf.doc_id, tf.w AS term, tf.tf,
+        |tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+        |ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
+        |tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC, tf.w) AS rk
+        |FROM tf JOIN df ON tf.w = df.w CROSS JOIN n) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin.replace("\n", " "),
+
+    "arr_flatten_nested" ->
+      """WITH l1 AS (SELECT l_orderkey, list_sort(list(l_extendedprice)) AS arr FROM lineitem GROUP BY l_orderkey),
+        |c AS (SELECT o_custkey, count(*) AS n_arrays, list_sort(flatten(list(arr))) AS fl
+        |FROM orders JOIN l1 ON o_orderkey = l_orderkey GROUP BY o_custkey)
+        |SELECT o_custkey, n_arrays, CAST(len(fl) AS INT) AS n_items,
+        |fl[1] AS min_price, fl[-1] AS max_price
+        |FROM c ORDER BY o_custkey""".stripMargin.replace("\n", " "),
+
     "win_cume_dist_pct" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr

@@ -502,6 +502,47 @@ class AnalyticSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - r.getLong(3).toDouble / r.getLong(0)) == 0.0)
   }
 
+  test("E24 pivot_multi_agg: counts partition the stream, sums null iff count 0") {
+    val df = run("pivot_multi_agg")
+    val total = df.selectExpr(
+      "sum(view_n + click_n + purchase_n + signup_n + error_n)").head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    Seq("view", "click", "purchase", "signup", "error").foreach { t =>
+      assert(df.where(s"${t}_n = 0 AND ${t}_sv IS NOT NULL").count() == 0)
+      assert(df.where(s"${t}_n > 0 AND ${t}_sv IS NULL").count() == 0)
+    }
+  }
+
+  test("E25 agg_corr_pairs: every Pearson r in [-1, 1], one row") {
+    val r = run("agg_corr_pairs").head()
+    assert(r.getLong(0) == Tables.lineitem(spark, sf).count())
+    Seq(1, 2, 3).foreach { i =>
+      val c = r.getDouble(i)
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"corr out of range: $c")
+    }
+  }
+
+  test("M46 text_keywords_per_doc: at most 3 per doc, descending tf-idf") {
+    val df = run("text_keywords_per_doc")
+    assert(df.where("rk < 1 OR rk > 3").count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("doc_id").orderBy("rk")
+    val bad = df.withColumn("prev", lag("tfidf", 1).over(w))
+      .where("prev IS NOT NULL AND tfidf > prev").count()
+    assert(bad == 0, "tf-idf must be non-increasing within a doc")
+  }
+
+  test("J16 arr_flatten_nested: flattened multiset sizes reconcile with lineitem") {
+    val df = run("arr_flatten_nested")
+    assert(df.where("min_price > max_price OR n_items < n_arrays").count() == 0)
+    val items = df.selectExpr("sum(n_items)").head().getLong(0)
+    assert(items == Tables.lineitem(spark, sf).count())
+    // inner join: only orders that HAVE lineitems contribute an array
+    val orders = df.selectExpr("sum(n_arrays)").head().getLong(0)
+    assert(orders == Tables.lineitem(spark, sf).select("l_orderkey").distinct().count())
+  }
+
   test("J14 arr_struct_sort: ends of the sorted struct array bound the group") {
     val df = run("arr_struct_sort")
     assert(df.where("min_price > max_price").count() == 0)

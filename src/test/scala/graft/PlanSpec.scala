@@ -115,7 +115,8 @@ class PlanSpec extends SparkSpec {
       "dq_anomaly_mad",         // broadcast 1-row median + 1-row MAD
       "text_sparse_cosine_topk", // broadcast 1-row corpus count
       "ann_recall_at_k",        // 10 broadcast query vectors (J3 pattern)
-      "graph_triangle_knn")     // vec_id < 500 bounded k-NN build + 1-row count joins
+      "graph_triangle_knn",     // vec_id < 500 bounded k-NN build + 1-row count joins
+      "text_keywords_per_doc")  // broadcast 1-row corpus count (J9 pattern)
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
