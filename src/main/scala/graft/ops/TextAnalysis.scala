@@ -285,6 +285,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** M47 pipeline_quality_funnel — the per-filter attrition report every
+    * curation run publishes: an ORDERED battery of quality gates
+    * (min-chars → min-tokens → unique-token fraction → digit-density)
+    * with, for each stage, how many docs entered, failed, and survived.
+    * All four conditions evaluate per-row in ONE scan; the cumulative
+    * survivor counts are conjunctions inside a single aggregate, and the
+    * 4-row report is shaped from that one agg row (explode of a literal
+    * struct array — no second pass, no union of scans). At 100 TB this is
+    * one map-side-combined aggregate over the corpus.
+    */
+  def qualityFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val c1 = col("n_chars") >= 100
+    val c2 = size(toks) >= 20
+    val c3 = size(array_distinct(toks)).cast("double") / size(toks) >= 0.4
+    val c4 = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+      col("n_chars") < 0.3
+    def stage(i: Int, name: String, in: Column, out: Column) =
+      struct(lit(i).as("stage"), lit(name).as("filter"), in.as("n_in"),
+        (in - out).as("n_fail"), out.as("n_out"))
+    Tables.documents(spark, sfDir)
+      .agg(
+        count(lit(1)).as("total"),
+        count(when(c1, 1)).as("s1"),
+        count(when(c1 && c2, 1)).as("s2"),
+        count(when(c1 && c2 && c3, 1)).as("s3"),
+        count(when(c1 && c2 && c3 && c4, 1)).as("s4"))
+      .select(explode(array(
+        stage(1, "min_chars", col("total"), col("s1")),
+        stage(2, "min_tokens", col("s1"), col("s2")),
+        stage(3, "uniq_frac", col("s2"), col("s3")),
+        stage(4, "digit_frac", col("s3"), col("s4")))).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("stage"))
+  }
+
   /** M40 text_repetition_stats — the repetition-based quality filters a
     * web corpus is gated on (the "repetitious text" family): per document,
     * the unique-token fraction, the mass of the single most frequent

@@ -1858,6 +1858,21 @@ object OracleSql {
         |fl[1] AS min_price, fl[-1] AS max_price
         |FROM c ORDER BY o_custkey""".stripMargin.replace("\n", " "),
 
+    // DuckDB regexp_replace needs the 'g' flag (Spark's is global by default)
+    "pipeline_quality_funnel" ->
+      """WITH b AS (SELECT n_chars >= 100 AS c1,
+        |len(string_split(text, ' ')) >= 20 AS c2,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) >= 0.4 AS c3,
+        |CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n_chars < 0.3 AS c4 FROM documents),
+        |s AS (SELECT count(*) AS total, count(*) FILTER (WHERE c1) AS s1,
+        |count(*) FILTER (WHERE c1 AND c2) AS s2, count(*) FILTER (WHERE c1 AND c2 AND c3) AS s3,
+        |count(*) FILTER (WHERE c1 AND c2 AND c3 AND c4) AS s4 FROM b) SELECT * FROM (
+        |SELECT 1 AS stage, 'min_chars' AS filter, total AS n_in, total - s1 AS n_fail, s1 AS n_out FROM s
+        |UNION ALL SELECT 2, 'min_tokens', s1, s1 - s2, s2 FROM s
+        |UNION ALL SELECT 3, 'uniq_frac', s2, s2 - s3, s3 FROM s
+        |UNION ALL SELECT 4, 'digit_frac', s3, s3 - s4, s4 FROM s
+        |) ORDER BY stage""".stripMargin.replace("\n", " "),
+
     "win_cume_dist_pct" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr

@@ -543,6 +543,20 @@ class AnalyticSpec extends SparkSpec {
     assert(orders == Tables.lineitem(spark, sf).select("l_orderkey").distinct().count())
   }
 
+  test("M47 pipeline_quality_funnel: stages chain — n_out feeds the next n_in") {
+    val rows = run("pipeline_quality_funnel").collect()
+    assert(rows.length == 4)
+    assert(rows.head.getLong(2) == Tables.documents(spark, sf).count(),
+      "stage 1 must see the whole corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(2) == r.getLong(3) + r.getLong(4),
+        s"in = fail + out must hold: $r")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) == b.getLong(2), "survivors must feed the next stage")
+    }
+  }
+
   test("J14 arr_struct_sort: ends of the sorted struct array bound the group") {
     val df = run("arr_struct_sort")
     assert(df.where("min_price > max_price").count() == 0)
