@@ -118,6 +118,74 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("F-law: rolling 7-frame median formula matches the brute-force model") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val series = Gen.listOfN(15, Gen.choose(-50, 50).map(_.toDouble / 2))
+    check(Prop.forAll(series) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+      val w = Window.orderBy(col("i")).rowsBetween(-6, Window.currentRow)
+      val got = df
+        .withColumn("slst", array_sort(collect_list(col("v")).over(w)))
+        .withColumn("n", size(col("slst")))
+        .select(col("i"),
+          ((element_at(col("slst"), (expr("(n - 1) div 2") + 1).cast("int")) +
+            element_at(col("slst"), (expr("n div 2") + 1).cast("int"))) / 2.0).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      xs.indices.forall { i =>
+        val frame = xs.slice(math.max(0, i - 6), i + 1).sorted
+        val model = (frame((frame.size - 1) / 2) + frame(frame.size / 2)) / 2.0
+        got(i.toLong) == model
+      }
+    })
+  }
+
+  test("E-law: cumulative-weight median pick = brute-force weighted median") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0, 30), Gen.choose(1L, 9L)))
+    check(Prop.forAll(rows) { vw =>
+      val df = vw.zipWithIndex
+        .map { case ((v, wt), i) => (v.toDouble, wt, i.toLong) }
+        .toDF("v", "w", "id")
+      val wCum = Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = vw.map(_._2).sum
+      val got = df.withColumn("cumw", sum(col("w")).over(wCum))
+        .where(col("cumw") * 2 >= tot)
+        .agg(min(col("v"))).head().getDouble(0)
+      // model: walk the (v, id)-sorted rows until half the mass is covered
+      val sorted = vw.zipWithIndex.sortBy { case ((v, _), i) => (v, i) }
+      val cums = sorted.map(_._1._2).scanLeft(0L)(_ + _).tail
+      val modelV = sorted(cums.indexWhere(_ * 2 >= tot))._1._1.toDouble
+      got == modelV
+    })
+  }
+
+  test("E-law: exact-sums Pearson r equals the naive two-pass model") {
+    import org.apache.spark.sql.functions._
+    val pairs = Gen.listOfN(12, Gen.zip(Gen.choose(1, 40), Gen.choose(1, 40)))
+      .suchThat(l => l.map(_._1).distinct.size > 1 && l.map(_._2).distinct.size > 1)
+    check(Prop.forAll(pairs) { xy =>
+      val df = xy.map { case (x, y) => (x.toLong, y.toLong) }.toDF("x", "y")
+      val a = df.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy")).head()
+      val (n, sx, sy, sxy, sxx, syy) =
+        (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4), a.getLong(5))
+      val got = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+      val (mx, my) = (xy.map(_._1).sum.toDouble / n, xy.map(_._2).sum.toDouble / n)
+      val cov = xy.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val vx = xy.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      val vy = xy.map { case (_, y) => (y - my) * (y - my) }.sum
+      val model = cov / (math.sqrt(vx) * math.sqrt(vy))
+      math.abs(got - model) < 1e-9
+    })
+  }
+
   test("L-law: session count = 1 + gaps >= 30min (single user)") {
     // strictly increasing minute offsets over a day
     val gaps = Gen.listOfN(8, Gen.choose(1, 70))
