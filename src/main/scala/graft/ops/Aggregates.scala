@@ -674,6 +674,55 @@ object Aggregates {
         corr(col("sp"), col("sd"), col("spd"), col("spp"), col("sdd")).as("corr_price_disc"))
   }
 
+  /** L18 ts_hourofday_profile — diurnal seasonality profile: events and
+    * distinct users per hour-of-day, each hour's share of total traffic,
+    * and a peak flag. The share is one int→double division (exact inputs);
+    * the peak flag is a max over the 24-row profile (dimension-sized
+    * global window — data was already collapsed by the keyed agg).
+    */
+  def tsHourOfDayProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    Tables.events(spark, sfDir)
+      .groupBy(hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .withColumn("share",
+        col("n_events").cast("double") / sum(col("n_events")).over(wAll))
+      .withColumn("is_peak", col("n_events") === max(col("n_events")).over(wAll))
+      .orderBy(col("hod"))
+  }
+
+  /** E26 agg_gini_revenue — Gini concentration index of (integerized)
+    * line-item price per return flag: how concentrated revenue is across
+    * line items, the inequality metric a spend report quotes. Uses the
+    * rank formulation G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the
+    * fully-tiebroken sort: both Σ terms are EXACT decimal(38,0) sums
+    * (i·x fits LONG per row, summed wide), the final value one fixed
+    * IEEE tree — raw double, bit-equal (E23's pattern). Tie order cannot
+    * change the result: equal x contribute the same Σ i·x over any
+    * permutation of their rank block. Parallelism of the rank scan equals
+    * group cardinality — contract semantics (3 flags), cf. E22.
+    */
+  def aggGiniRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+    val nD = col("n").cast("double")
+    val gini = (lit(2.0) * col("swi").cast("double") -
+      (col("n") + 1).cast("double") * col("s1").cast("double")) /
+      (nD * col("s1").cast("double"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 0).cast("long").as("q"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("s1"),
+        sum((col("i") * col("q")).cast("decimal(38,0)")).as("swi"))
+      .select(col("l_returnflag"), col("n"), (gini + lit(0.0)).as("gini"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** E10 — pivot with explicit value list (determinism) per SURVEY E10. */
   def pivotEventType(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("view", "click", "purchase", "signup", "error")

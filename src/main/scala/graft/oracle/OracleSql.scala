@@ -1873,6 +1873,23 @@ object OracleSql {
         |UNION ALL SELECT 4, 'digit_frac', s3, s3 - s4, s4 FROM s
         |) ORDER BY stage""".stripMargin.replace("\n", " "),
 
+    "ts_hourofday_profile" ->
+      (EV + """SELECT * FROM (
+        |SELECT hour(ts) AS hod, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share,
+        |count(*) = max(count(*)) OVER () AS is_peak
+        |FROM ev GROUP BY hour(ts)) ORDER BY hod""".stripMargin.replace("\n", " ")),
+
+    // rank-formulation Gini over exact HUGEINT/decimal(38,0) sums; one
+    // fixed IEEE tree (E23's pattern), raw double
+    "agg_gini_revenue" ->
+      """WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber, CAST(round(l_extendedprice) AS BIGINT) AS q FROM lineitem),
+        |r AS (SELECT l_returnflag, q, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY q, l_orderkey, l_linenumber) AS i FROM t),
+        |s AS (SELECT l_returnflag, count(*) AS n, sum(CAST(q AS HUGEINT)) AS s1, sum(CAST(i * q AS HUGEINT)) AS swi FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |(2.0 * CAST(swi AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)) + 0.0 AS gini
+        |FROM s ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+
     "win_cume_dist_pct" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr

@@ -557,6 +557,25 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("L18 ts_hourofday_profile: 24 shares summing to 1, exactly the max rows peak") {
+    val df = run("ts_hourofday_profile")
+    assert(df.count() <= 24)
+    val total = df.selectExpr("sum(n_events)").head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    val shareSum = df.selectExpr("sum(share)").head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    val maxN = df.selectExpr("max(n_events)").head().getLong(0)
+    assert(df.where(s"is_peak <> (n_events = $maxN)").count() == 0)
+  }
+
+  test("E26 agg_gini_revenue: Gini in [0, 1), zero iff all values equal") {
+    val df = run("agg_gini_revenue")
+    assert(df.count() == 3)
+    assert(df.where("gini < 0.0 OR gini >= 1.0").count() == 0)
+    // prices vary within every flag, so concentration is strictly positive
+    assert(df.where("gini <= 0.0").count() == 0)
+  }
+
   test("J14 arr_struct_sort: ends of the sorted struct array bound the group") {
     val df = run("arr_struct_sort")
     assert(df.where("min_price > max_price").count() == 0)
