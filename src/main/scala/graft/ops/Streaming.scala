@@ -509,6 +509,60 @@ object Streaming {
     }
   }
 
+  /** L10 list/map state — the two remaining arbitrary-state-v2 primitives
+    * (ValueState is covered by [[CountProcessor]], timers by the
+    * sessionizer): per user, a ListState ring of the LAST 3 values (append
+    * + trim — the bounded-recency buffer a feature store keeps) and a
+    * MapState of per-event-type counts (the composite key form — state key
+    * = grouping key × user map key). Emits (user, distinct types seen,
+    * ring size) every batch so cross-batch persistence is observable.
+    */
+  class ProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Double), (Long, Int, Int)] {
+    import org.apache.spark.sql.streaming.{ListState, MapState, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var recent: ListState[Double] = _
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: streaming.OutputMode,
+        timeMode: streaming.TimeMode): Unit = {
+      recent = getHandle.getListState[Double](
+        "recent", Encoders.scalaDouble, TTLConfig.NONE)
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Double)],
+        timers: TimerValues): Iterator[(Long, Int, Int)] = {
+      rows.foreach { case (_, et, v) =>
+        val prev = if (counts.containsKey(et)) counts.getValue(et) else 0L
+        counts.updateValue(et, prev + 1)
+        recent.appendValue(v)
+      }
+      val kept = recent.get().toSeq.takeRight(3)
+      recent.clear()
+      kept.foreach(recent.appendValue)
+      Iterator((key, counts.keys().size, kept.size))
+    }
+  }
+
+  /** Builder for the list/map-state profile (same preconditions as
+    * [[statefulCountV2]]). Batch execution = one-shot group pass.
+    */
+  def statefulProfileV2(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.GraftBridge.ensureStateStoreCoordinator(s)
+    ev.selectExpr("user_id", "event_type", "value")
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_types", "n_recent")
+  }
+
   /** TTL twin builder (streaming only — TTL needs processing time). Same
     * provider/coordinator preconditions as [[statefulCountV2]]: without the
     * coordinator endpoint the exec's store RPC blocks for the full ask

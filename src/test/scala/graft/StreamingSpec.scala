@@ -227,6 +227,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("L10 list/map state: ring trims to 3, map counts persist across batches") {
+    implicit val ctx = s.sqlContext
+    val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = Streaming.statefulProfileV2(ms.toDF())
+        .writeStream.format("memory").queryName("t_profile_v2")
+        .outputMode("update").start()
+      ms.addData(Ev(t("2024-01-01 00:01:00"), 1, 1.0, "view"),
+        Ev(t("2024-01-01 00:02:00"), 1, 2.0, "click"))
+      q.processAllAvailable()
+      // batch 1: 2 distinct types, ring holds 2
+      ms.addData(Ev(t("2024-01-01 00:03:00"), 1, 3.0, "view"),
+        Ev(t("2024-01-01 00:04:00"), 1, 4.0, "error"))
+      q.processAllAvailable()
+      val rows = s.table("t_profile_v2").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      q.stop()
+      assert(rows.contains((1L, 2, 2)), s"first-batch profile missing in $rows")
+      // batch 2: map remembers view+click, adds error → 3 types; the
+      // 4-value ring is trimmed to the LAST 3
+      assert(rows.contains((1L, 3, 3)), s"cross-batch map/list state missing in $rows")
+    } finally saved match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("L10 twin: transformWithState (state v2) accumulates across micro-batches") {
     implicit val ctx = s.sqlContext
     val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
