@@ -55,6 +55,34 @@ object Multimodal {
       .withColumn("fake_h", expr("CAST(64 + (n_bytes div 64) % 64 AS INT)"))
       .orderBy(col("doc_id"))
 
+  /** M48 mm_chunk_dedup — content-addressable-storage dedup estimate for
+    * media blobs: split each payload into fixed 64-byte blocks, hash each
+    * block, and report per document how many of its blocks also occur in
+    * some OTHER document — the dedup ratio a blob store (or a transfer
+    * protocol) would achieve on this corpus. Chunk count is exact integer
+    * arithmetic ((n+63) div 64); chunking/hashing is per-row (transform
+    * over a sequence — no UDF); block sharing is ONE hash-keyed aggregate
+    * joined back, linear in total blocks, never pairwise. The byte-level
+    * sibling of the token-level dedup_ngram_corpus_frac.
+    */
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0L, (n_chars + 63) div 64 - 1),
+          |  i -> md5(cast(substring(text, cast(i as int) * 64 + 1, 64) as binary)))"""
+          .stripMargin)).as("h"))
+    val shared = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("h"), lit(1).as("is_shared"))
+    chunks.join(shared, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), count(col("is_shared")).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_chunks")).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** mm_frame_sample — frame-sampling plumbing: derive a deterministic
     * fake frame count from the payload size (stand-in for container
     * metadata), emit every 10th frame index. The schema/batching shape is

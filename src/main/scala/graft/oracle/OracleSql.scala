@@ -1890,6 +1890,16 @@ object OracleSql {
         |(2.0 * CAST(swi AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)) + 0.0 AS gini
         |FROM s ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
+    // fixed 64-byte blocks; DuckDB md5(VARCHAR) hashes the same UTF-8
+    // bytes Spark's md5(CAST AS BINARY) does
+    "mm_chunk_dedup" ->
+      """WITH c AS (SELECT doc_id, unnest(list_transform(range(0, (n_chars + 63) // 64),
+        |i -> md5(substring(text, CAST(i AS INT) * 64 + 1, 64)))) AS h FROM documents),
+        |sh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM c GROUP BY h) WHERE nd > 1)
+        |SELECT c.doc_id, count(*) AS n_chunks, count(sh.h) AS n_shared,
+        |CAST(count(sh.h) AS DOUBLE) / count(*) AS shared_frac
+        |FROM c LEFT JOIN sh ON c.h = sh.h GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin.replace("\n", " "),
+
     "win_cume_dist_pct" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr

@@ -576,6 +576,18 @@ class AnalyticSpec extends SparkSpec {
     assert(df.where("gini <= 0.0").count() == 0)
   }
 
+  test("M48 mm_chunk_dedup: block counts match ceil(bytes/64), sharing symmetric") {
+    import org.apache.spark.sql.functions._
+    val df = run("mm_chunk_dedup")
+    assert(df.count() == Tables.documents(spark, sf).count())
+    val badCount = df.join(
+        Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")), "doc_id")
+      .where("n_chunks <> (n_chars + 63) div 64").count()
+    assert(badCount == 0, "chunk count must be ceil(n_chars / 64)")
+    assert(df.where("n_shared < 0 OR n_shared > n_chunks").count() == 0)
+    assert(df.where("n_shared > 0").count() != 1, "block sharing needs >= 2 docs")
+  }
+
   test("J14 arr_struct_sort: ends of the sorted struct array bound the group") {
     val df = run("arr_struct_sort")
     assert(df.where("min_price > max_price").count() == 0)
