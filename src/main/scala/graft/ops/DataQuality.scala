@@ -142,6 +142,39 @@ object DataQuality {
       .orderBy(col("day"))
   }
 
+  /** N5 dq_distribution_drift — categorical drift detection between two
+    * time slices: the event-type mix of the first half of the stream vs
+    * the second (fixed boundary date), as a chi-square contingency
+    * table. All counts are exact integers; expected values and each
+    * type's chi² contribution are one fixed IEEE tree per ROW (per-type
+    * output deliberately avoids a cross-type float sum — rows are
+    * independent, so no accumulation order exists). The grand totals ride
+    * along as a broadcast 1-row aggregate. The nightly "did the mix
+    * shift" check a feature pipeline runs before retraining.
+    */
+  def dqDistributionDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val boundary = lit("2024-01-16").cast("timestamp_ntz")
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("ts") < boundary, 1)).as("n_early"),
+        count(when(col("ts") >= boundary, 1)).as("n_late"))
+    val tot = per.agg(
+      sum(col("n_early")).as("tot_early"),
+      sum(col("n_late")).as("tot_late"))
+    val grand = (col("tot_early") + col("tot_late")).cast("double")
+    val rowTot = (col("n_early") + col("n_late")).cast("double")
+    val expE = rowTot * col("tot_early").cast("double") / grand
+    val expL = rowTot * col("tot_late").cast("double") / grand
+    val dE = col("n_early").cast("double") - expE
+    val dL = col("n_late").cast("double") - expL
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        (expE + lit(0.0)).as("expected_early"),
+        (dE * dE / expE + dL * dL / expL + lit(0.0)).as("chi2_contrib"))
+      .orderBy(col("event_type"))
+  }
+
   /** N4 dq_referential_integrity — foreign-key orphan audit across the
     * star schema's four FK edges: each relationship reports its child row
     * count and how many children reference a missing parent. One left

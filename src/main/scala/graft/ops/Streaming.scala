@@ -718,6 +718,31 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** C9t join_asof_tolerance — as-of with MAX STALENESS: the backward
+    * match is discarded when it is older than the tolerance (1 h here) —
+    * how every production as-of join actually runs (an attribution
+    * older than the window is noise, not signal). Same single keyed
+    * window pass as C9; the tolerance is one integer-µs comparison on
+    * top, so the scale story is unchanged.
+    */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val tolUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_sign"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("event_type") === "signup", col("ts_us")).as("s_ts_raw"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("is_sign"))
+      .withColumn("raw_match_us", last(col("s_ts_raw"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("ts_us") - col("raw_match_us") <= tolUs, col("raw_match_us"))
+          .as("signup_ts_us"),
+        (col("raw_match_us").isNotNull &&
+          col("ts_us") - col("raw_match_us") > tolUs).as("match_expired"))
+      .orderBy(col("event_id"))
+  }
+
   /** C13 join_scd2_point_in_time — point-in-time lookup against a slowly
     * changing dimension: the SCD2 interval table (L12's shape — per-user
     * event_type change intervals, [valid_from, valid_to)) joined by each

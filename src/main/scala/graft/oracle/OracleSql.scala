@@ -1900,6 +1900,36 @@ object OracleSql {
         |CAST(count(sh.h) AS DOUBLE) / count(*) AS shared_frac
         |FROM c LEFT JOIN sh ON c.h = sh.h GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin.replace("\n", " "),
 
+    "join_asof_tolerance" ->
+      (EV + """, b AS (SELECT event_id, user_id, ts_us,
+        |CASE WHEN event_type = 'signup' THEN ts_us END AS s_ts_raw,
+        |CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS is_sign FROM ev),
+        |w AS (SELECT event_id, user_id, ts_us,
+        |last_value(s_ts_raw IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, is_sign, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw_match_us FROM b)
+        |SELECT event_id, user_id, ts_us,
+        |CASE WHEN ts_us - raw_match_us <= 3600000000 THEN raw_match_us END AS signup_ts_us,
+        |raw_match_us IS NOT NULL AND ts_us - raw_match_us > 3600000000 AS match_expired
+        |FROM w ORDER BY event_id""".stripMargin.replace("\n", " ")),
+
+    // per-type chi-square contributions: rows independent, so no
+    // cross-type float accumulation order exists; counts exact ints
+    "dq_distribution_drift" ->
+      (EV + """, per AS (SELECT event_type,
+        |count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS n_early,
+        |count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS n_late
+        |FROM ev GROUP BY event_type),
+        |tot AS (SELECT CAST(sum(n_early) AS BIGINT) AS tot_early, CAST(sum(n_late) AS BIGINT) AS tot_late FROM per)
+        |SELECT event_type, n_early, n_late,
+        |CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE) + 0.0 AS expected_early,
+        |(CAST(n_early AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+        |* (CAST(n_early AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+        |/ (CAST(n_early + n_late AS DOUBLE) * CAST(tot_early AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+        |+ (CAST(n_late AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+        |* (CAST(n_late AS DOUBLE) - CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+        |/ (CAST(n_early + n_late AS DOUBLE) * CAST(tot_late AS DOUBLE) / CAST(tot_early + tot_late AS DOUBLE))
+        |+ 0.0 AS chi2_contrib
+        |FROM per, tot ORDER BY event_type""".stripMargin.replace("\n", " ")),
+
     "win_cume_dist_pct" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr

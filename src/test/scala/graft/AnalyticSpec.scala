@@ -588,6 +588,27 @@ class AnalyticSpec extends SparkSpec {
     assert(df.where("n_shared > 0").count() != 1, "block sharing needs >= 2 docs")
   }
 
+  test("C9t join_asof_tolerance: matches bounded by staleness, expired flagged") {
+    val df = run("join_asof_tolerance")
+    assert(df.count() == Tables.events(spark, sf).count())
+    assert(df.where("signup_ts_us IS NOT NULL AND ts_us - signup_ts_us > 3600000000")
+      .count() == 0, "no match may exceed the 1 h tolerance")
+    assert(df.where("match_expired AND signup_ts_us IS NOT NULL").count() == 0)
+    assert(df.where("match_expired").count() > 0,
+      "a 30-day stream must have signups staler than 1 h")
+  }
+
+  test("N5 dq_distribution_drift: contingency counts reconcile, chi2 >= 0") {
+    val df = run("dq_distribution_drift")
+    val total = df.selectExpr("sum(n_early + n_late)").head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    assert(df.where("chi2_contrib < 0.0 OR expected_early <= 0.0").count() == 0)
+    // expected_early values sum to the early grand total (chi-square law)
+    val expSum = df.selectExpr("sum(expected_early)").head().getDouble(0)
+    val early = df.selectExpr("sum(n_early)").head().getLong(0)
+    assert(math.abs(expSum - early.toDouble) < 1e-6)
+  }
+
   test("J14 arr_struct_sort: ends of the sorted struct array bound the group") {
     val df = run("arr_struct_sort")
     assert(df.where("min_price > max_price").count() == 0)
