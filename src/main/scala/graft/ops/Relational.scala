@@ -89,6 +89,33 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A12 source_parquet_schema_merge — LAKE-side schema evolution: two
+    * parquet slices written with DIFFERENT schemas (v1: key+status; v2
+    * adds o_totalprice), read back as ONE table with `mergeSchema` — the
+    * old slice's missing column surfaces as NULL, the standard
+    * add-a-column lifecycle of a long-lived dataset (complement of H5's
+    * query-side union-by-name). The value check aggregates per status
+    * over both slices: counts see every row, the sum sees only v2 rows.
+    */
+  def sourceParquetSchemaMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Cols.tmpPath("graft_parquet_evolving")
+    val o = Tables.orders(spark, sfDir)
+    // v1 slice: even keys, original two-column schema
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$out/slice=v1")
+    // v2 slice: odd keys, schema grew a column
+    o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/slice=v2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_with_price"),
+        sum(Cols.dec2(col("o_totalprice"))).cast("double").as("total_price_v2"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A8 — CSV sink + source round-trip (header, explicit schema), same
     * value-check pattern as A7. Doubles survive CSV because Spark writes
     * shortest-round-trip representations.

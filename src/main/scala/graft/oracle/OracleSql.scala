@@ -1930,6 +1930,14 @@ object OracleSql {
         |+ 0.0 AS chi2_contrib
         |FROM per, tot ORDER BY event_type""".stripMargin.replace("\n", " ")),
 
+    // the v1 slice (even keys) has no price column → NULL after the
+    // merged read; replicate with a conditional price
+    "source_parquet_schema_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS n_with_price,
+        |CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_price_v2
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
+
     "win_cume_dist_pct" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr

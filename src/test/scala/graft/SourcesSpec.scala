@@ -78,4 +78,15 @@ class SourcesSpec extends SparkSpec {
       assert(joined.count() == li.count()) // every lineitem has its order
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("A12: mergeSchema surfaces the evolved column as NULL on old slices") {
+    val df = run("source_parquet_schema_merge")
+    val o = Tables.orders(spark, sf)
+    assert(df.selectExpr("sum(n_rows)").head().getLong(0) == o.count(),
+      "merged read must see every row from both slices")
+    assert(df.selectExpr("sum(n_with_price)").head().getLong(0) ==
+      o.where("o_orderkey % 2 = 1").count(),
+      "only the v2 (odd-key) slice carries the evolved column")
+    assert(df.where("n_with_price > n_rows").count() == 0)
+  }
 }
