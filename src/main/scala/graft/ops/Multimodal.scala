@@ -66,7 +66,11 @@ object Multimodal {
     * sibling of the token-level dedup_ngram_corpus_frac.
     */
   def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // Empty docs must vanish: sequence(0, -1) would otherwise default to a
+    // descending [0, -1] and emit two phantom chunks (DuckDB's range(0, 0)
+    // emits none). ADVICE r4.
     val chunks = Tables.documents(spark, sfDir)
+      .where(col("n_chars") > 0)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0L, (n_chars + 63) div 64 - 1),
           |  i -> md5(cast(substring(text, cast(i as int) * 64 + 1, 64) as binary)))"""

@@ -29,20 +29,21 @@ object Streaming {
         sum(Cols.dec2(col("value"))).cast("double").as("sum_value"))
 
   /** 1h tumbling OHLC bars per event type — the streaming-compatible twin
-    * of L16 ts_downsample_ohlc: open/close via min_by/max_by on the event
-    * time (declarative aggregates that run incrementally in a micro-batch;
-    * rank windows cannot), high/low/volume as plain aggs. Callers that
-    * need a total tiebreak feed ts-unique data or a composite ordering
-    * column; the batch contract query keeps the (ts, event_id) rank form
-    * for the oracle.
+    * of L16 ts_downsample_ohlc: open/close via min_by/max_by (declarative
+    * aggregates that run incrementally in a micro-batch; rank windows
+    * cannot), high/low/volume as plain aggs. The pick key is the composite
+    * struct(ts, user_id, value) so ties on the raw timestamp still resolve
+    * deterministically (ADVICE r4) — structs compare lexicographically and
+    * min_by/max_by of a struct stay incremental. The batch contract query
+    * keeps the (ts_us, event_id) rank form for the oracle.
     */
   def ohlcAgg(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
-        expr("min_by(value, ts)").as("open"),
+        expr("min_by(value, struct(ts, user_id, value))").as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        expr("max_by(value, ts)").as("close"),
+        expr("max_by(value, struct(ts, user_id, value))").as("close"),
         count(lit(1)).as("n_events"))
 
   /** 1h windows sliding every 15 min. */

@@ -106,39 +106,11 @@ object Windows {
     */
   def winNtileScalable(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = 8 // ≥ 2 proves the scale shape at test SF; O(cores) on a cluster
-    val k = 4
-    // persist(): the offsets branch and the data branch below both consume
-    // `ranked`. Without materialization their correctness would silently
-    // depend on ReuseExchange deduplicating the two repartitionByRange
-    // executions — RangePartitioner samples boundaries with an RDD-id-
-    // dependent seed, so two *independent* executions could assign rows to
-    // different ranges and offset+lrn would produce wrong global ranks
-    // (ADVICE r2, medium). One cached computation removes the assumption;
-    // MEMORY_AND_DISK spills at scale, and the cache manager dedupes the
-    // entry across repeated runs of this query by canonicalized plan.
-    val ranked = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_acctbal"))
-      .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
-      .withColumn("part", spark_partition_id())
-      .withColumn("lrn", row_number().over(
-        Window.partitionBy(col("part")).orderBy(col("c_acctbal"), col("c_custkey"))))
-      .persist()
-    val offsets = ranked.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset",
-        coalesce(sum(col("cnt")).over(
-          Window.orderBy(col("part")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy()))
-      .select(col("part"), col("offset"), col("n_total"))
-    // ntile(k) in closed form: the first (N mod k) buckets hold ceil(N/k)
-    // rows, the rest floor(N/k); `rn - 1` indexes into that layout.
-    ranked.join(broadcast(offsets), "part")
-      .withColumn("rn", col("offset") + col("lrn"))
-      .withColumn("quartile", expr(
-        s"""cast(if(rn - 1 < (n_total % $k) * (n_total div $k + 1),
-           |        (rn - 1) div (n_total div $k + 1),
-           |        (n_total % $k) + (rn - 1 - (n_total % $k) * (n_total div $k + 1)) div (n_total div $k)
-           |       ) + 1 as int)""".stripMargin))
+    // Two-pass rank + persist rationale: see [[GlobalRank.withGlobalRowNumber]].
+    GlobalRank.withGlobalRowNumber(
+      Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_acctbal")),
+      parts, col("c_acctbal"), col("c_custkey"))
+      .withColumn("quartile", GlobalRank.ntileExpr(4))
       .withColumn("pct_rank",
         // single-row input: (rn-1)/(N-1) = 0/0 = NaN, but PERCENT_RANK()
         // (and the shared oracle) defines it as 0 (ADVICE r2)

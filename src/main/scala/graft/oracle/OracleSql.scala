@@ -1769,7 +1769,7 @@ object OracleSql {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY rev DESC, o_orderdate, l_orderkey LIMIT 10)
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey""".stripMargin.replace("\n", " "),
+        |ORDER BY rev DESC, o_orderdate, l_orderkey""".stripMargin.replace("\n", " "),
 
     "wk_q5_region_volume" ->
       """SELECT n_name, CAST(rev AS DOUBLE) AS revenue FROM (
@@ -1792,7 +1792,7 @@ object OracleSql {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY rev DESC, c_custkey LIMIT 20)
-        |ORDER BY revenue DESC, c_custkey""".stripMargin.replace("\n", " "),
+        |ORDER BY rev DESC, c_custkey""".stripMargin.replace("\n", " "),
 
     "pipeline_dataset_card" ->
       """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,

@@ -81,6 +81,30 @@ class PlanSpec extends SparkSpec {
     results.zip(global).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("E11b: equidepth histogram sorts in >1 partition, equals global-window form") {
+    val df = run("agg_histogram_equidepth")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected repartitionByRange in:\n$plan")
+    // exact agreement with the legacy single-partition global-ntile form
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val legacy = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("decile"))
+      .collect()
+    val twoPass = run("agg_histogram_equidepth").collect()
+    assert(twoPass.length == legacy.length)
+    twoPass.zip(legacy).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
   test("A4q: sink_partitioned_stats read-back prunes partitions") {
     val df = run("sink_partitioned_stats")
     df.collect()
