@@ -107,78 +107,19 @@ object Dedup {
   /** dedup_connected_components — near-dup CLUSTERING: the LSH-verified
     * pair list becomes an undirected graph; every document in a pair gets
     * labeled with its component's minimum doc_id (the canonical
-    * representative a dedup pipeline keeps). Iterative min-label
-    * propagation over distributed joins, run to convergence — each
-    * iteration is one join + groupBy(min), state persisted and the
-    * previous iteration unpersisted.
+    * representative a dedup pipeline keeps).
     *
-    * 100 TB note: rounds needed = graph diameter; near-dup components are
-    * small and star-like, so convergence is fast. For adversarial chains
-    * the large-star/small-star rewrite (alternating) bounds rounds in
-    * O(log²) with the same join-shape per round; checkpoint every few
-    * rounds to cut lineage.
+    * Through round 4 this ran O(diameter) min-label propagation with a
+    * 50-round failure guard; since round 5 it delegates to the same
+    * alternating large-star/small-star fixpoint as v2 (VERDICT r4 #4) —
+    * the clustering contract (labels = component minimum, proven by the
+    * exact transitive-closure oracle) is identical, rounds drop from
+    * O(diameter) to O(log² n), and the non-convergence throw path is gone.
+    * The registry keeps both keys so existing callers of either name see
+    * the same result.
     */
-  def connectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    // cached plans disable AQE partition coalescing by default, which makes
-    // every tiny iteration schedule full-width stages; allowing the cached
-    // plan's output partitioning to change restores AQE inside the loop.
-    // Session-level by necessity (the conf is read at execution time); set
-    // for the duration of this query only — an explicit user value is
-    // overridden while the loop runs and restored in the finally below.
-    val coalesceKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    val savedCoalesce = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "true")
-    try {
-    val pairs = minhashPairs(spark, sfDir).select(col("a_id"), col("b_id"))
-    val edges = pairs.unionAll(
-        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .persist()
-    var labels = edges.select(col("a_id").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .persist()
-    // labels only ever decrease, so the label sum is a monotone fixpoint
-    // signal — one cheap aggregate per round instead of a diff join
-    def labelSum(df: DataFrame): Long = // coalesce: SUM over an empty graph is NULL
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = Long.MinValue // sentinel: first round always runs
-    var converged = false
-    var i = 0
-    val maxRounds = 50 // rounds needed = graph diameter; see guard below
-    while (!converged && i < maxRounds) {
-      val prop = labels.join(edges, col("node") === col("a_id"))
-        .select(col("b_id").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label")).unionAll(prop)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist()
-      val nextSum = labelSum(next) // materializes next
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      i += 1
-    }
-    // silent non-convergence would return WRONG labels (and hash-fail the
-    // exact transitive-closure oracle without explanation) — fail loudly
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxRounds rounds " +
-          "(component diameter too large — switch to large-star/small-star)")
-    // localCheckpoint materializes the (pair-graph-sized) result so every
-    // cached iteration state can be released before returning
-    val out = labels.select(col("node").as("doc_id"), col("label").as("component"))
-      .orderBy(col("doc_id"))
-      .localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    out
-    // every action in this query has executed (localCheckpoint is eager), so
-    // the conf can be restored without affecting the returned plan — later
-    // queries in the session see the value they started with (ADVICE r2)
-    } finally savedCoalesce match {
-      case Some(v) => spark.conf.set(coalesceKey, v)
-      case None    => spark.conf.unset(coalesceKey)
-    }
-  }
+  def connectedComponents(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponentsStar(spark, sfDir)
 
   /** One large-star round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14 — public algorithm): every node u
@@ -218,9 +159,9 @@ object Dedup {
   /** Alternating large-star/small-star to a fixed point. Round count is
     * O(log² n) worst-case (vs O(diameter) for plain label propagation), so
     * an adversarial chained dup-cluster A≈B≈C≈… converges in a handful of
-    * rounds where the propagation loop needs diameter rounds and throws at
-    * 50 (see connectedComponents). At convergence the graph is a disjoint
-    * union of stars rooted at each component's minimum node.
+    * rounds where a propagation loop would need diameter rounds. At
+    * convergence the graph is a disjoint union of stars rooted at each
+    * component's minimum node.
     *
     * Fixpoint detection: one tiny aggregate per round — (edge count,
     * bit_xor of xxhash64(a,b)) is an order-independent set signature; a
@@ -234,7 +175,12 @@ object Dedup {
     val spark = pairs.sparkSession
     val coalesceKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
     val savedCoalesce = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "true") // AQE inside the loop; see connectedComponents
+    // cached/checkpointed plans disable AQE partition coalescing by
+    // default, which makes every tiny iteration schedule full-width
+    // stages; allowing the plan's output partitioning to change restores
+    // AQE inside the loop. Session-level by necessity (read at execution
+    // time); set for this query only and restored in the finally below.
+    spark.conf.set(coalesceKey, "true")
     try {
       val p = pairs.select(col(pairs.columns(0)).as("a"), col(pairs.columns(1)).as("b"))
       // localCheckpoint (eager) every round, NOT persist: one star round

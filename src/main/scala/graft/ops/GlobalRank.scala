@@ -26,15 +26,17 @@ object GlobalRank {
     * without a single-partition sort. The `order` columns MUST be a unique
     * key of `df` (so rank == row_number and downstream closed forms hold).
     *
-    * persist(): the offsets branch and the data branch both consume the
-    * ranked relation. Without materialization their agreement would
-    * silently depend on ReuseExchange deduplicating the two
+    * localCheckpoint(eager): the offsets branch and the data branch both
+    * consume the ranked relation. Without materialization their agreement
+    * would silently depend on ReuseExchange deduplicating the two
     * repartitionByRange executions — RangePartitioner samples boundaries
     * with an RDD-id-dependent seed, so two *independent* executions could
     * assign rows to different ranges and offset+lrn would produce wrong
-    * global ranks (ADVICE r2, medium). One cached computation removes the
-    * assumption; MEMORY_AND_DISK spills at scale, and the cache manager
-    * dedupes the entry across repeated runs by canonicalized plan.
+    * global ranks (ADVICE r2, medium). Eager checkpointing executes the
+    * ranking exactly once — both branches then read the same materialized
+    * blocks, a strictly stronger guarantee than persist() (whose evicted
+    * blocks recompute from lineage) — and truncates the plan so the audit
+    * counts each exchange once.
     */
   def withGlobalRowNumber(df: DataFrame, parts: Int, order: Column*): DataFrame = {
     val ranked = df
@@ -42,7 +44,7 @@ object GlobalRank {
       .withColumn("part", spark_partition_id())
       .withColumn("lrn", row_number().over(
         Window.partitionBy(col("part")).orderBy(order: _*)))
-      .persist()
+      .localCheckpoint(true)
     val offsets = ranked.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
       .withColumn("offset",
         coalesce(sum(col("cnt")).over(

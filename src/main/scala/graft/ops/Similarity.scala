@@ -38,13 +38,19 @@ object Similarity {
     * (vec_id < qBound), return scored candidates (a_id, b_id, sim_raw).
     */
   private def ivfCandidates(e: DataFrame, qBound: Int, nprobe: Int): DataFrame = {
-    // centroid per label, components rounded to 6 dp
+    // centroid per label, components rounded to 6 dp. localCheckpoint
+    // (10 rows): `dots` below is instantiated twice (assigned + probe), so
+    // without materialization the centroid build — TWO full-corpus
+    // aggregation passes — would run once per instance (VERDICT r4 #3,
+    // ann_recall_at_k's 12-exchange plan). The quantizer is the thing an
+    // IVF index builds once and reuses; 10 rows is free to pin.
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
       .groupBy(col("label"), col("dim"))
       .agg(round(avg(col("comp").cast("double")), 6).as("c"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
       .select(col("label").as("cell"), col("cvec"))
+      .localCheckpoint(true)
     // vector→centroid dots (broadcast the 10 centroids)
     val dots = e.crossJoin(broadcast(cent))
       .withColumn("d", expr(

