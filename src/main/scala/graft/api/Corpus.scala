@@ -1,0 +1,161 @@
+package graft.api
+
+import graft.{Queries, Tables}
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The library's typed entry point (VERDICT r4 #1): compose the engine's
+  * pipelines without knowing registry keys. Every method is a THIN
+  * delegate to the same function the string registry (`graft.Queries`)
+  * exposes, so facade results are bit-identical to the oracle-checked
+  * contract queries — no second implementation to drift.
+  *
+  * Quickstart (the README example):
+  * {{{
+  * import graft.api.Corpus
+  * val c = Corpus(spark, "/data/sf0.1")        // directory of parquet tables
+  *
+  * val scores   = c.text.quality()             // per-doc quality features
+  * val pairs    = c.dedup.minhashPairs()       // LSH near-dup candidates ≥0.8
+  * val clusters = c.dedup.clusters()           // connected near-dup clusters
+  * val kept     = c.dedup.canonical()          // one representative per cluster
+  * val neighbors = c.vectors.ivfTopk()         // ANN top-3 via IVF index
+  * val card     = c.datasetCard()              // one-row corpus summary
+  * val training = c.trainingEmit()             // full curation pipeline
+  * }}}
+  *
+  * Anything not surfaced here is reachable through [[query]] by its
+  * SURVEY §2 registry key.
+  */
+final class Corpus(val spark: SparkSession, val dir: String) {
+
+  /** Escape hatch: run any of the 206 contract queries by registry key. */
+  def query(name: String): DataFrame = Queries.all(name)(spark, dir)
+
+  /** All registry keys, for discovery. */
+  def queryNames: Seq[String] = Queries.all.keys.toSeq.sorted
+
+  // ── raw tables ──
+  def documents: DataFrame = Tables.documents(spark, dir)
+  def embeddings: DataFrame = Tables.embeddings(spark, dir)
+  def events: DataFrame = Tables.events(spark, dir)
+
+  /** Exact per-column profile of the documents table (null/distinct/min/
+    * max/avg per column) — the first query run against an unknown corpus.
+    * [[profileApprox]] is the mergeable-sketch twin for the 100 TB path.
+    */
+  def profile(): DataFrame = DataQuality.dqProfileTable(spark, dir)
+
+  /** HLL/quantile-sketch profile — same shape as [[profile]], one pass,
+    * mergeable partials (the scale path).
+    */
+  def profileApprox(): DataFrame = DataQuality.dqProfileApprox(spark, dir)
+
+  /** One-row dataset-card summary: doc/lang/source counts, char and token
+    * totals, short-doc share.
+    */
+  def datasetCard(): DataFrame = Workload.datasetCard(spark, dir)
+
+  /** The 7-stage training-corpus emit: normalize → quality gate → exact
+    * dedup → train/eval split → decontaminate → per-source quota → stats.
+    */
+  def trainingEmit(): DataFrame = TextAnalysis.trainingEmit(spark, dir)
+
+  /** Deterministic hash-based train/eval split with per-split stats. */
+  def splitTrainEval(): DataFrame = TextAnalysis.splitTrainEval(spark, dir)
+
+  /** Text analysis over the documents table. */
+  object text {
+    /** Unicode/whitespace/case normalization (the curation first stage). */
+    def normalize(): DataFrame = TextAnalysis.normalize(spark, dir)
+    /** Per-doc quality features: length, punctuation/stopword ratios,
+      * repetition — the gate signals of a curation pipeline. */
+    def quality(): DataFrame = TextAnalysis.qualityScore(spark, dir)
+    /** n-gram-heuristic language ID per document. */
+    def langId(): DataFrame = TextAnalysis.langId(spark, dir)
+    /** Whitespace + BPE-ish regex token counts per document. */
+    def tokenCount(): DataFrame = TextAnalysis.tokenCount(spark, dir)
+    /** Rolling-hash document fingerprints. */
+    def fingerprint(): DataFrame = TextAnalysis.fingerprint(spark, dir)
+    /** Regex PII redaction (emails, phones, SSN-shaped) with audit counts. */
+    def piiRedact(): DataFrame = TextAnalysis.piiRedact(spark, dir)
+    /** Fixed-size overlapping chunk split (the RAG/token-window shape). */
+    def chunkSplit(): DataFrame = TextAnalysis.chunkSplit(spark, dir)
+    /** Per-doc top TF-IDF keywords. */
+    def keywords(): DataFrame = TextAnalysis.keywordsPerDoc(spark, dir)
+    /** Corpus token frequencies (the wordcount). */
+    def wordcount(): DataFrame = VectorText.textWordcount(spark, dir)
+    /** Sparse TF-IDF cosine top-k doc pairs via inverted index. */
+    def sparseCosineTopk(): DataFrame = VectorText.sparseCosineTopk(spark, dir)
+  }
+
+  /** Deduplication pipelines over the documents table. */
+  object dedup {
+    /** Exact dedup, keep first by content fingerprint. */
+    def exact(): DataFrame = Dedup.exactKeepFirst(spark, dir)
+    /** Per-doc MinHash signatures (k=4, 3-shingles, binary digests). */
+    def minhashSignatures(): DataFrame = Dedup.minhashSig(spark, dir)
+    /** LSH-banded candidate pairs verified to shingle-Jaccard ≥ 0.8. */
+    def minhashPairs(): DataFrame = Dedup.minhashPairs(spark, dir)
+    /** SimHash near-dup buckets. */
+    def simhash(): DataFrame = Dedup.simhash(spark, dir)
+    /** Near-dup clusters: alternating-star connected components over the
+      * verified pair graph — O(log² n) rounds at any diameter. */
+    def clusters(): DataFrame = Dedup.connectedComponentsStar(spark, dir)
+    /** One canonical representative per near-dup cluster. */
+    def canonical(): DataFrame = Dedup.clusterCanonical(spark, dir)
+    /** Embedding-cosine semantic dup clusters (mutual-kNN + star CC). */
+    def semanticClusters(): DataFrame = Dedup.semanticClusters(spark, dir)
+    /** Drop train docs sharing >50% 3-shingles with the eval set. */
+    def decontaminate(): DataFrame = Dedup.decontaminateOverlap(spark, dir)
+    /** Fraction of each doc's n-grams occurring elsewhere in the corpus. */
+    def ngramCorpusFrac(): DataFrame = Dedup.ngramCorpusFrac(spark, dir)
+  }
+
+  /** Similarity search over the embeddings table. */
+  object vectors {
+    /** Exact brute-force cosine top-k for a bounded query set — the
+      * verification baseline; [[ivfTopk]] is the scale path. */
+    def knnTopk(): DataFrame = VectorText.vecKnnTopk(spark, dir)
+    /** IVF (inverted-file) ANN top-3, 10-cell coarse quantizer, nprobe=2. */
+    def ivfTopk(): DataFrame = Similarity.annIvfTopk(spark, dir)
+    /** Sign-LSH bucketed neighbors. */
+    def lshBuckets(): DataFrame = Similarity.annLshBucket(spark, dir)
+    /** Recall@10 of the IVF index vs exact ground truth, per query. */
+    def recallAtK(): DataFrame = Similarity.annRecallAtK(spark, dir)
+    /** Per-label centroids. */
+    def centroids(): DataFrame = VectorText.vecCentroidByLabel(spark, dir)
+    /** Int8 quantization with reconstruction error stats. */
+    def quantizeInt8(): DataFrame = VectorText.vecQuantizeInt8(spark, dir)
+    /** L2-norm sanity stats per label. */
+    def normStats(): DataFrame = VectorText.vecNormStats(spark, dir)
+  }
+
+  /** Data-quality checks. */
+  object quality {
+    /** Declarative rule violations (nulls, ranges, regex, uniqueness). */
+    def ruleViolations(): DataFrame = DataQuality.dqRuleViolations(spark, dir)
+    /** MAD-based robust anomaly flags on event values. */
+    def anomalies(): DataFrame = DataQuality.dqAnomalyMad(spark, dir)
+    /** PSI distribution drift between time slices. */
+    def distributionDrift(): DataFrame = DataQuality.dqDistributionDrift(spark, dir)
+    /** Orphaned-foreign-key audit across the relational tables. */
+    def referentialIntegrity(): DataFrame = DataQuality.dqReferentialIntegrity(spark, dir)
+  }
+
+  /** Multimodal (opaque binary) columns. */
+  object media {
+    /** Byte-level stats over binary payloads. */
+    def binaryStats(): DataFrame = Multimodal.binaryStats(spark, dir)
+    /** mapPartitions decode pipeline (stub codec; real plumbing). */
+    def decodeFeatures(): DataFrame = Multimodal.decodeFeatures(spark, dir)
+    /** Every-10th-frame sampling plumbing. */
+    def frameSample(): DataFrame = Multimodal.frameSample(spark, dir)
+    /** Content-addressable block dedup ratio per document. */
+    def chunkDedup(): DataFrame = Multimodal.chunkDedup(spark, dir)
+  }
+}
+
+object Corpus {
+  def apply(spark: SparkSession, dir: String): Corpus = new Corpus(spark, dir)
+}

@@ -78,7 +78,12 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir, 200).cache()
-    val sig = signatures(sh)
+    // localCheckpoint: `band` below instantiates the signature relation
+    // twice (union arms) and the LSH self-join doubles that again — four
+    // runs of the min-hash aggregate without materialization. One row of
+    // four 16-byte digests per doc, the natural "build signatures once,
+    // then bucket" pipeline break.
+    val sig = signatures(sh).localCheckpoint(true)
     // band key stays binary end-to-end: concat of two fixed-width 16-byte
     // digests is injective on (s_i, s_j), so bucket collisions — and hence
     // the candidate-pair set — are identical to the hex formulation while

@@ -173,11 +173,17 @@ object Streaming {
       .orderBy(col("day"))
   }
 
-  /** L4 — daily active users + next-day retention. */
+  /** L4 — daily active users + next-day retention. The distinct
+    * (day, user) activity relation — the corpus-sized stage — is
+    * materialized once (localCheckpoint) and consumed by the DAU count
+    * and both sides of the next-day self-join, instead of re-running the
+    * events distinct three times.
+    */
   def streamDauRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .distinct()
+      .localCheckpoint(true)
     val dau = d.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val ret = d.as("a")
       .join(d.as("b"),

@@ -247,12 +247,19 @@ object VectorText {
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    // tf-idf weights over the df-capped vocabulary
+    // tf-idf weights over the df-capped vocabulary. localCheckpoint: this
+    // posting list is consumed THREE times (norms + both self-join sides);
+    // materializing it once is the "build the inverted index, then query
+    // it" shape — without it each consumer re-runs the whole tf/df
+    // pipeline (the 15-exchange plan flagged in PLANS.md r4). The
+    // token-keyed partitioning from the tf⋈df join survives the
+    // checkpoint, so the self-join below needs no re-exchange.
     val wtd = tf.join(dfreq.where(col("df") <= 50), "w")
       .crossJoin(broadcast(n))
       .withColumn("wt",
         col("tf") * expr("ln(CAST(n_docs AS DOUBLE) / df)"))
       .select(col("w"), col("doc_id"), col("wt"))
+      .localCheckpoint(true)
     val norm = wtd.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
     val dots = wtd.select(col("w"), col("doc_id").as("a_id"), col("wt").as("wa"))

@@ -5,11 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared Spark fixture for specs: one local session per JVM (tests fork
   * once), UTC, shuffle partitions sized to cores not the 200 default.
+  * `local[4,2]` = 4 threads, maxFailures 2 — local mode takes the retry
+  * budget from the master string, and TaskRetrySpec needs a second task
+  * attempt to exist (a real cluster always runs with retries).
   */
 object SparkSpec {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
