@@ -1943,5 +1943,68 @@ object OracleSql {
         |cume_dist() OVER w AS cd, percent_rank() OVER w AS pr
         |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin.replace("\n", " "),
+
+    "wk_q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+
+    "wk_q7_region_trade" ->
+      """SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+        |CAST(year(l_shipdate) AS INT) AS l_year,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |JOIN region r1 ON r1.r_regionkey = n1.n_regionkey JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |WHERE r1.r_name IN ('ASIA', 'EUROPE') AND r2.r_name IN ('ASIA', 'EUROPE') AND r1.r_name <> r2.r_name
+        |AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "),
+
+    "wk_q8_market_share" ->
+      """SELECT o_year, round(CAST(nat_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) + 0.0 AS mkt_share,
+        |CAST(tot_rev AS DOUBLE) AS total_revenue FROM (
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |ELSE CAST(0 AS DECIMAL(18,4)) END) AS nat_rev,
+        |SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS tot_rev
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |WHERE p_type = 'ECONOMY' AND c_nationkey IN
+        |(SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |GROUP BY 1) ORDER BY o_year""".stripMargin.replace("\n", " "),
+
+    "wk_q14_promo_share" ->
+      """SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0 AS promo_share_pct,
+        |CAST(promo AS DOUBLE) AS promo_revenue, CAST(total AS DOUBLE) AS total_revenue FROM (
+        |SELECT SUM(CASE WHEN p_type = 'PROMO'
+        |THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+        |SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin.replace("\n", " "),
+
+    "wk_q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem
+        |GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "wk_q22_lapsed_customers" ->
+      """WITH thresh AS (SELECT COUNT(*) AS n_pos, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS tot_pos
+        |FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS n_lapsed,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer, thresh
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > tot_pos
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replace("\n", " "),
   )
 }

@@ -494,6 +494,57 @@ class AnalyticSpec extends SparkSpec {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("W4 wk_q4_order_priority: counts partition the slow-order set") {
+    val rows = run("wk_q4_order_priority").collect()
+    assert(rows.nonEmpty && rows.length <= 5, "at most the 5 priority buckets")
+    // semi-join semantics: the bucket counts must sum to the number of
+    // DISTINCT qualifying orders, not the number of slow lines
+    val expected = Tables.orders(spark, sf)
+      .where("o_orderdate >= '1997-01-01' and o_orderdate < '1997-04-01'")
+      .join(Tables.lineitem(spark, sf),
+        org.apache.spark.sql.functions.expr(
+          "o_orderkey = l_orderkey and l_shipdate > o_orderdate + interval 60 days"),
+        "left_semi")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == expected)
+  }
+
+  test("W5 wk_q7_region_trade: both directions, two ship years, positive volume") {
+    val rows = run("wk_q7_region_trade").collect()
+    assert(rows.length <= 4, "2 directions x 2 years at most")
+    assert(rows.forall(r => r.getString(0) != r.getString(1)))
+    assert(rows.forall(r => r.getInt(2) == 1996 || r.getInt(2) == 1997))
+    assert(rows.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("W6 wk_q8_market_share: share is a proper fraction per year") {
+    val rows = run("wk_q8_market_share").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    assert(rows.forall(_.getDouble(2) > 0.0))
+  }
+
+  test("W7 wk_q14_promo_share: one row, promo a sub-share of total") {
+    val r = run("wk_q14_promo_share").head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 100.0)
+    assert(r.getDouble(1) <= r.getDouble(2))
+  }
+
+  test("W8 wk_q18_large_orders: every order exceeds the quantity bar, price-descending") {
+    val rows = run("wk_q18_large_orders").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 300.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("W9 wk_q22_lapsed_customers: nonempty, bounded by the customer count") {
+    val rows = run("wk_q22_lapsed_customers").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) > 0.0), "lapsed-rich balances are positive")
+    assert(rows.map(_.getLong(1)).sum < Tables.customer(spark, sf).count())
+  }
+
   test("M45 pipeline_dataset_card: one-row card consistent with the corpus") {
     val r = run("pipeline_dataset_card").head()
     val nDocs = Tables.documents(spark, sf).count()

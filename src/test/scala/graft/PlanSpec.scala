@@ -141,7 +141,8 @@ class PlanSpec extends SparkSpec {
       "ann_recall_at_k",        // 10 broadcast query vectors (J3 pattern)
       "graph_triangle_knn",     // vec_id < 500 bounded k-NN build + 1-row count joins
       "text_keywords_per_doc",  // broadcast 1-row corpus count (J9 pattern)
-      "dq_distribution_drift")  // broadcast 1-row grand-total aggregate
+      "dq_distribution_drift",  // broadcast 1-row grand-total aggregate
+      "wk_q22_lapsed_customers") // broadcast 1-row balance threshold
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
