@@ -735,4 +735,57 @@ object Aggregates {
       .na.fill(0L, types)
       .orderBy(col("user_id"))
   }
+
+  /** L19 ts_resample_interp_5m — resample purchases to a regular 5-minute
+    * grid and LINEARLY INTERPOLATE the gaps (L11 gapfill zero-fills;
+    * models want a continuous signal). Buckets are integer µs arithmetic
+    * (`ts_us div 300e6` — the Tables.events integer-truncation protocol,
+    * no float time math); each empty bucket takes
+    * `prev + (next − prev) · elapsed/gap` between its nearest non-empty
+    * neighbors, edges before the first / after the last stay null and
+    * are tagged 'edge'.
+    *
+    * Determinism: per-bucket means are exact-decimal sums over one double
+    * division; the interpolation formula is evaluated in the SAME
+    * operation order on both engines over those identical doubles, and
+    * outputs round to 6 dp. Scale: events collapse to ≤8640 bucket rows
+    * (the fixture's 30-day span) BEFORE the neighbor windows run — the
+    * unpartitioned windows order a bounded spine, never raw events (the
+    * house dimension-window rule; a multi-year lake would partition the
+    * spine by day and stitch boundaries).
+    */
+  def tsResampleInterp5m(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val usPerBkt = 300000000L // 5 min
+    val ev = Tables.events(spark, sfDir)
+    val per = ev.where(col("event_type") === "purchase")
+      .groupBy(expr(s"ts_us div $usPerBkt").as("bkt"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Cols.dec2(col("value"))).cast("double") / count(lit(1))).as("v"))
+    val spine = ev
+      .agg(min(expr(s"ts_us div $usPerBkt")).as("lo"), max(expr(s"ts_us div $usPerBkt")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("bkt"))
+    val wBack = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val wFwd = Window.orderBy(col("bkt")).rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(col("v"), ignoreNulls = true).over(wBack)
+    val pb = last(when(col("v").isNotNull, col("bkt")), ignoreNulls = true).over(wBack)
+    val nv = first(col("v"), ignoreNulls = true).over(wFwd)
+    val nb = first(when(col("v").isNotNull, col("bkt")), ignoreNulls = true).over(wFwd)
+    val interp = pv + (nv - pv) *
+      ((col("bkt") - pb).cast("double") / (nb - pb).cast("double"))
+    spine.join(per, Seq("bkt"), "left")
+      .withColumn("v_out",
+        when(col("v").isNotNull, col("v"))
+          .when(pv.isNull || nv.isNull, lit(null).cast("double"))
+          .otherwise(interp))
+      .withColumn("src",
+        when(col("v").isNotNull, lit("actual"))
+          .when(col("v_out").isNull, lit("edge"))
+          .otherwise(lit("interp")))
+      .select(timestamp_micros(col("bkt") * usPerBkt).as("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (round(col("v_out"), 6) + lit(0.0)).as("value_5m"),
+        col("src"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -400,4 +400,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (round(col("sim_raw"), 4) + lit(0.0)).as("sim"))
   }
+
+  /** M50 dedup_shingle_containment — ASYMMETRIC near-dup scoring:
+    * containment |A∩B| / |A| ranks, for each probe document, the corpus
+    * documents that absorb most of its shingles. Jaccard (J7/M2) misses
+    * subset relationships (a doc pasted into a longer one scores low);
+    * containment is the measure decontamination and quote-detection
+    * actually want. Probe = the bounded doc_id < 50 eval set; for each,
+    * the top-3 absorbers with containment ≥ 0.05.
+    *
+    * Determinism: ranking happens on the RAW intersection count (an
+    * integer — same denominator per probe doc) with a b_id tiebreak, so
+    * no engine ever orders by a rounded double. Scale: the probe side is
+    * decontamination-bounded (broadcastable); the corpus side is one
+    * shingle-keyed shuffle, linear in corpus size — the all-pairs form
+    * never materializes. At 100 TB, hot shingles get the M36 df-cap
+    * treatment before the join.
+    */
+  def shingleContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(spark, sfDir, Int.MaxValue)
+    val probe = sh.where(col("doc_id") < 50)
+      .select(col("doc_id").as("a_id"), col("s"))
+    val na = probe.groupBy(col("a_id")).agg(count(lit(1)).as("n_a"))
+    val inter = probe
+      .join(sh.select(col("doc_id").as("b_id"), col("s")),
+        Seq("s"))
+      .where(col("b_id") =!= col("a_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val w = Window.partitionBy(col("a_id")).orderBy(desc("inter"), asc("b_id"))
+    inter.join(broadcast(na), Seq("a_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("n_a").cast("double"), 6) + lit(0.0))
+      .where(col("containment") >= 0.05)
+      .select(col("a_id"), col("b_id"), col("inter"), col("n_a"),
+        col("containment"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
 }

@@ -57,6 +57,35 @@ object GlobalRank {
       .drop("part", "lrn")
   }
 
+  /** Appends `cum_before` (EXCLUSIVE global running sum of `value` over the
+    * total order given by `order`) without a single-partition sort — the
+    * prefix-sum sibling of [[withGlobalRowNumber]]: local running sums per
+    * range partition, per-partition totals (one tiny row each) rolled into
+    * prefix offsets, local + offset = global. Same eager-checkpoint
+    * rationale (two consumers of one RangePartitioner sample); `order`
+    * must be a unique key of `df`. `value` must be integral (LONG path —
+    * exact, associative, engine-order-independent).
+    */
+  def withGlobalRunningSum(df: DataFrame, parts: Int, value: Column, order: Column*): DataFrame = {
+    val local = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("part", spark_partition_id())
+      .withColumn("gv", value.cast("long"))
+      .withColumn("lcum", coalesce(sum(col("gv")).over(
+        Window.partitionBy(col("part")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(true)
+    val offsets = local.groupBy(col("part")).agg(sum(col("gv")).as("ptot"))
+      .withColumn("offset",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy(col("part")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("part"), col("offset"))
+    local.join(broadcast(offsets), "part")
+      .withColumn("cum_before", col("offset") + col("lcum"))
+      .drop("part", "gv", "lcum", "offset")
+  }
+
   /** Closed-form ntile(k) over the (rn, n_total) columns produced by
     * [[withGlobalRowNumber]]: the first (N mod k) buckets hold ceil(N/k)
     * rows, the rest floor(N/k); `rn - 1` indexes into that layout.

@@ -216,4 +216,47 @@ object Similarity {
     val nT = tris.agg(count(lit(1)).as("n_triangles"))
     nV.crossJoin(broadcast(nE)).crossJoin(broadcast(nT))
   }
+
+  /** M51 graph_pagerank_knn — PageRank over the directed 5-NN similarity
+    * graph (damping 0.85, 3 power iterations, top-20 by rank): the
+    * centrality pass that finds the "hub" documents of an embedding
+    * space — dense near-dup clusters surface as high-rank vertices. The
+    * k-NN build gives every vertex out-degree EXACTLY k, so there are no
+    * dangling nodes and each vertex ships rank/5 along its edges — the
+    * transition is one keyed join + one keyed sum per iteration, the
+    * standard Spark PageRank shape, linear in |E| per round.
+    *
+    * Determinism: in-neighbor rank sums are float additions whose order
+    * differs across engines, so each iteration's rank is rounded to 12 dp
+    * BEFORE feeding the next — both engines then iterate on bit-identical
+    * inputs (the E17/N3 protocol applied to a fixpoint). Final output
+    * rounds to 6 dp with the b_id-free (rank desc, vec_id) tiebreak. The
+    * edge list is eagerly checkpointed once and reused by all rounds —
+    * the index-once pattern, not three k-NN rebuilds.
+    */
+  def pageRankKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"))
+    val edges = knnDirected(e, 5)
+      .select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val verts = e.select(col("vec_id")).localCheckpoint(true)
+    val n1 = verts.agg(count(lit(1)).as("n"))
+    var ranks = verts.crossJoin(broadcast(n1))
+      .select(col("vec_id"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(ranks, col("a_id") === col("vec_id"))
+        .groupBy(col("b_id")).agg(sum(col("r") / lit(5.0)).as("c"))
+      ranks = verts.crossJoin(broadcast(n1))
+        .join(contrib, col("vec_id") === col("b_id"), "left")
+        .select(col("vec_id"),
+          round(lit(0.15) / col("n") + lit(0.85) * coalesce(col("c"), lit(0.0)), 12).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+      .select(col("vec_id"), (round(col("r"), 6) + lit(0.0)).as("pagerank"))
+      .orderBy(desc("pagerank"), asc("vec_id"))
+      .limit(20)
+  }
 }

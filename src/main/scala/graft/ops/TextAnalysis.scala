@@ -563,4 +563,73 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
+
+  /** M49 pipeline_pack_sequences — sequence packing, the step that turns a
+    * curated corpus into fixed-budget training sequences: documents in
+    * doc_id order are laid head-to-tail on a global token tape and each
+    * doc joins the 512-token window its FIRST token lands in (windows may
+    * overflow; the trainer truncates — standard pack-then-truncate).
+    * Output is the per-sequence manifest (doc count, token load, id span).
+    *
+    * The global token tape is an exclusive prefix sum — computed through
+    * [[GlobalRank.withGlobalRunningSum]]'s two-pass range-partitioned
+    * form, NOT a single-partition window: local running sums in parallel,
+    * P per-partition totals rolled into broadcast prefix offsets. At
+    * 100 TB the tape costs one range shuffle; token counts are exact
+    * longs, so every engine agrees on every boundary.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tokens"))
+    GlobalRank.withGlobalRunningSum(docs, 8, col("tokens"), col("doc_id"))
+      .withColumn("seq_id", expr("cum_before div 512"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
+  /** M52 pipeline_token_budget_mix — temperature-scaled source mixing (the
+    * multilingual-sampling recipe, α = 0.5): each source's share of a 30%
+    * epoch token budget is proportional to √(its token count), flattening
+    * the head sources; docs fill each source's allowance in md5 order (the
+    * repo's deterministic "random") until the allowance is spent — a doc
+    * is taken if it STARTS under budget. Per-source manifest out.
+    *
+    * Determinism: the whole allocation is integer arithmetic — isqrt
+    * weights (floor of a correctly-rounded sqrt of an exact long),
+    * integer multiply/divide for shares, long token cumsums — so both
+    * engines agree on every boundary doc with no float-order hazard.
+    * Scale: one keyed agg for totals (20 rows, broadcast back), one
+    * hash-partitioned window per source for the fill — no global order.
+    */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val srcTot = docs.groupBy(col("source")).agg(sum(col("tokens")).as("src_tokens"))
+      .withColumn("w", floor(sqrt(col("src_tokens"))).cast("long"))
+    val grand = srcTot.agg(sum(col("src_tokens")).as("total_tokens"),
+      sum(col("w")).as("w_sum"))
+    val budgets = srcTot.crossJoin(broadcast(grand))
+      .withColumn("budget",
+        expr("total_tokens * 3 div 10 * w div w_sum"))
+      .select(col("source").as("b_source"), col("src_tokens"), col("budget"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col("tokens")).over(wSrc), lit(0L)))
+      .join(broadcast(budgets), col("source") === col("b_source"))
+      .where(col("cum_before") < col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_taken"), sum(col("tokens")).as("tokens_taken"),
+        max(col("budget")).as("budget"), max(col("src_tokens")).as("src_tokens"))
+      .select(col("source"), col("n_taken"), col("tokens_taken"), col("budget"),
+        col("src_tokens"),
+        (round(col("tokens_taken").cast("double") / col("budget").cast("double"), 6)
+          + lit(0.0)).as("fill_ratio"))
+      .orderBy(col("source"))
+  }
 }

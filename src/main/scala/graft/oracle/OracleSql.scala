@@ -2006,5 +2006,88 @@ object OracleSql {
         |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |AND o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replace("\n", " "),
+
+    "pipeline_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        |c AS (SELECT doc_id, tokens, COALESCE(SUM(tokens) OVER
+        |(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d)
+        |SELECT CAST(cum_before // 512 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+        |CAST(SUM(tokens) AS BIGINT) AS seq_tokens,
+        |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    "pipeline_token_budget_mix" ->
+      """WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |st AS (SELECT source, CAST(SUM(tokens) AS BIGINT) AS src_tokens FROM d GROUP BY source),
+        |stw AS (SELECT source, src_tokens, CAST(floor(sqrt(src_tokens)) AS BIGINT) AS w FROM st),
+        |g AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens, CAST(SUM(w) AS BIGINT) AS w_sum FROM stw),
+        |b AS (SELECT source, src_tokens, total_tokens * 3 // 10 * w // w_sum AS budget FROM stw, g),
+        |c AS (SELECT doc_id, source, tokens, COALESCE(SUM(tokens) OVER
+        |(PARTITION BY source ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d),
+        |t AS (SELECT c.source, tokens, budget, src_tokens FROM c JOIN b ON c.source = b.source
+        |WHERE cum_before < budget)
+        |SELECT source, COUNT(*) AS n_taken, CAST(SUM(tokens) AS BIGINT) AS tokens_taken,
+        |MAX(budget) AS budget, MAX(src_tokens) AS src_tokens,
+        |round(CAST(SUM(tokens) AS DOUBLE) / CAST(MAX(budget) AS DOUBLE), 6) + 0.0 AS fill_ratio
+        |FROM t GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+
+    "dedup_shingle_containment" ->
+      ("WITH " + shingleCte("") +
+        """, probe AS (SELECT doc_id AS a_id, s FROM sh WHERE doc_id < 50),
+        |na AS (SELECT a_id, COUNT(*) AS n_a FROM probe GROUP BY a_id),
+        |i AS (SELECT a_id, sh.doc_id AS b_id, COUNT(*) AS inter FROM probe
+        |JOIN sh ON probe.s = sh.s AND sh.doc_id <> probe.a_id GROUP BY 1, 2),
+        |r AS (SELECT a_id, b_id, inter, n_a,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY inter DESC, b_id) AS INT) AS rn
+        |FROM i JOIN na USING (a_id))
+        |SELECT a_id, b_id, inter, n_a,
+        |round(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6) + 0.0 AS containment, rn
+        |FROM r WHERE rn <= 3 AND round(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6) + 0.0 >= 0.05
+        |ORDER BY a_id, rn""".stripMargin.replace("\n", " ")),
+
+    "graph_pagerank_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
+        |knn AS (SELECT a_id, b_id FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
+        |FROM e a JOIN e b ON b.vec_id <> a.vec_id) WHERE rn <= 5),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |r0 AS (SELECT vec_id, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r FROM e, nn),
+        |c1 AS (SELECT b_id, SUM(r / CAST(5 AS DOUBLE)) AS c FROM knn JOIN r0 ON a_id = vec_id GROUP BY b_id),
+        |r1 AS (SELECT e.vec_id, round(CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE)
+        |+ CAST(0.85 AS DOUBLE) * COALESCE(c, CAST(0 AS DOUBLE)), 12) AS r
+        |FROM e CROSS JOIN nn LEFT JOIN c1 ON e.vec_id = c1.b_id),
+        |c2 AS (SELECT b_id, SUM(r / CAST(5 AS DOUBLE)) AS c FROM knn JOIN r1 ON a_id = vec_id GROUP BY b_id),
+        |r2 AS (SELECT e.vec_id, round(CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE)
+        |+ CAST(0.85 AS DOUBLE) * COALESCE(c, CAST(0 AS DOUBLE)), 12) AS r
+        |FROM e CROSS JOIN nn LEFT JOIN c2 ON e.vec_id = c2.b_id),
+        |c3 AS (SELECT b_id, SUM(r / CAST(5 AS DOUBLE)) AS c FROM knn JOIN r2 ON a_id = vec_id GROUP BY b_id),
+        |r3 AS (SELECT e.vec_id, round(CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE)
+        |+ CAST(0.85 AS DOUBLE) * COALESCE(c, CAST(0 AS DOUBLE)), 12) AS r
+        |FROM e CROSS JOIN nn LEFT JOIN c3 ON e.vec_id = c3.b_id)
+        |SELECT vec_id, round(r, 6) + 0.0 AS pagerank FROM r3
+        |ORDER BY pagerank DESC, vec_id LIMIT 20""".stripMargin.replace("\n", " "),
+
+    "ts_resample_interp_5m" ->
+      (EV +
+        """, per AS (SELECT ts_us // 300000000 AS bkt, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS v
+        |FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+        |bounds AS (SELECT MIN(ts_us // 300000000) AS lo, MAX(ts_us // 300000000) AS hi FROM ev),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS bkt FROM bounds),
+        |j AS (SELECT spine.bkt, per.n, per.v FROM spine LEFT JOIN per ON per.bkt = spine.bkt),
+        |x AS (SELECT bkt, n, v,
+        |last_value(v IGNORE NULLS) OVER wb AS pv,
+        |last_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS) OVER wb AS pb,
+        |first_value(v IGNORE NULLS) OVER wf AS nv,
+        |first_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS) OVER wf AS nb
+        |FROM j WINDOW wb AS (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |wf AS (ORDER BY bkt ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT make_timestamp(bkt * 300000000) AS bucket, COALESCE(n, 0) AS n,
+        |round(CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |ELSE pv + (nv - pv) * (CAST(bkt - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END, 6) + 0.0 AS value_5m,
+        |CASE WHEN v IS NOT NULL THEN 'actual' WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+        |ELSE 'interp' END AS src
+        |FROM x ORDER BY bucket""".stripMargin.replace("\n", " ")),
   )
 }

@@ -545,6 +545,66 @@ class AnalyticSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum < Tables.customer(spark, sf).count())
   }
 
+  test("M49 pipeline_pack_sequences: every doc packed exactly once, ordered disjoint spans") {
+    val rows = run("pipeline_pack_sequences").collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count(),
+      "n_docs must partition the corpus")
+    val seqIds = rows.map(_.getLong(0))
+    assert(seqIds.zip(seqIds.tail).forall { case (a, b) => a < b })
+    // doc-id spans must be disjoint and increasing: packing preserves order
+    val spans = rows.map(r => (r.getLong(3), r.getLong(4)))
+    assert(spans.forall { case (lo, hi) => lo <= hi })
+    assert(spans.zip(spans.tail).forall { case ((_, hi), (lo2, _)) => hi < lo2 })
+  }
+
+  test("M52 pipeline_token_budget_mix: every source fills under budget+overflow") {
+    val rows = run("pipeline_token_budget_mix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (taken, budget, srcTot) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(taken <= srcTot, "cannot take more than the source holds")
+      assert(r.getLong(1) >= 1L, "sqrt-flattening never zeroes a source")
+      // overflow bound: the last-taken doc STARTS under budget
+      assert(taken < budget + srcTot, "sanity bound on overflow")
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
+
+  test("M50 dedup_shingle_containment: planted near-dups surface at containment 1.0") {
+    val rows = run("dedup_shingle_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < 50, "probe side is the bounded eval set")
+      assert(r.getLong(0) != r.getLong(1), "no self pairs")
+      val c = r.getDouble(4)
+      assert(c >= 0.05 && c <= 1.0)
+      assert(r.getInt(5) <= 3)
+    }
+    assert(rows.exists(_.getDouble(4) > 0.5),
+      "fixture plants near-dup pairs; containment must find them")
+  }
+
+  test("M51 graph_pagerank_knn: top-20 descending, ranks bounded by theory") {
+    val rows = run("graph_pagerank_knn").collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    val n = Tables.embeddings(spark, sf).where("vec_id < 500").count()
+    assert(ranks.forall(r => r >= 0.15 / n && r < 1.0),
+      "every rank carries at least the teleport mass, none the whole graph")
+  }
+
+  test("L19 ts_resample_interp_5m: full spine, interp only in gaps, edges null") {
+    val df = run("ts_resample_interp_5m")
+    val rows = df.collect()
+    assert(rows.length > 1)
+    // actual rows carry events; interp/edge rows carry none
+    assert(df.where("src = 'actual' and n = 0").count() == 0)
+    assert(df.where("src <> 'actual' and n > 0").count() == 0)
+    assert(df.where("src = 'edge' and value_5m is not null").count() == 0)
+    assert(df.where("src = 'interp' and value_5m is null").count() == 0)
+  }
+
   test("M45 pipeline_dataset_card: one-row card consistent with the corpus") {
     val r = run("pipeline_dataset_card").head()
     val nDocs = Tables.documents(spark, sf).count()

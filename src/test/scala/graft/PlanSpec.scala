@@ -142,7 +142,9 @@ class PlanSpec extends SparkSpec {
       "graph_triangle_knn",     // vec_id < 500 bounded k-NN build + 1-row count joins
       "text_keywords_per_doc",  // broadcast 1-row corpus count (J9 pattern)
       "dq_distribution_drift",  // broadcast 1-row grand-total aggregate
-      "wk_q22_lapsed_customers") // broadcast 1-row balance threshold
+      "wk_q22_lapsed_customers", // broadcast 1-row balance threshold
+      "graph_pagerank_knn",     // vec_id < 500 bounded k-NN build + 1-row vertex count
+      "pipeline_token_budget_mix") // broadcast 1-row grand-total token/weight sums
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
