@@ -29,7 +29,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Corpus(val spark: SparkSession, val dir: String) {
 
-  /** Escape hatch: run any of the 206 contract queries by registry key. */
+  /** Escape hatch: run any of the 217 contract queries by registry key. */
   def query(name: String): DataFrame = Queries.all(name)(spark, dir)
 
   /** All registry keys, for discovery. */
@@ -63,6 +63,16 @@ final class Corpus(val spark: SparkSession, val dir: String) {
 
   /** Deterministic hash-based train/eval split with per-split stats. */
   def splitTrainEval(): DataFrame = TextAnalysis.splitTrainEval(spark, dir)
+
+  /** Sequence packing: documents onto a global token tape in 512-token
+    * training windows (two-pass distributed prefix sum, no global sort).
+    */
+  def packSequences(): DataFrame = TextAnalysis.packSequences(spark, dir)
+
+  /** Temperature-scaled (α=0.5) source mixing under a 30% epoch token
+    * budget — the multilingual-sampling recipe, all-integer allocation.
+    */
+  def tokenBudgetMix(): DataFrame = TextAnalysis.tokenBudgetMix(spark, dir)
 
   /** Text analysis over the documents table. */
   object text {
@@ -110,6 +120,9 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def decontaminate(): DataFrame = Dedup.decontaminateOverlap(spark, dir)
     /** Fraction of each doc's n-grams occurring elsewhere in the corpus. */
     def ngramCorpusFrac(): DataFrame = Dedup.ngramCorpusFrac(spark, dir)
+    /** Asymmetric containment |A∩B|/|A|: top-3 corpus absorbers per
+      * probe doc — catches subset near-dups Jaccard misses. */
+    def shingleContainment(): DataFrame = Dedup.shingleContainment(spark, dir)
   }
 
   /** Similarity search over the embeddings table. */
@@ -129,6 +142,8 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def quantizeInt8(): DataFrame = VectorText.vecQuantizeInt8(spark, dir)
     /** L2-norm sanity stats per label. */
     def normStats(): DataFrame = VectorText.vecNormStats(spark, dir)
+    /** PageRank hubs of the 5-NN similarity graph (top-20). */
+    def pagerankHubs(): DataFrame = Similarity.pageRankKnn(spark, dir)
   }
 
   /** Data-quality checks. */

@@ -788,4 +788,60 @@ object Aggregates {
         col("src"))
       .orderBy(col("bucket"))
   }
+
+  /** L20 ts_seasonal_decompose — classical additive decomposition of the
+    * hourly event-count series: trend = centered 25-hour moving average
+    * (full windows only), seasonal = the hour-of-day mean of the
+    * detrended series, residual = observed − trend − seasonal.
+    *
+    * Determinism by integerization (the E20/E26 protocol): the detrended
+    * value `n − Σ₂₅/25` is kept SCALED as the integer `25·n − Σ₂₅`, so
+    * the hour-of-day group mean is an exact integer sum with ONE double
+    * division `Σ_scaled / (25·count)` — no float accumulation in any
+    * order-sensitive place; trend and residual derive from the same
+    * integers. Hour buckets are integer-µs arithmetic. Scale: events
+    * collapse to the bounded hourly spine (≤720 rows here; a multi-year
+    * lake partitions by day and stitches ±12 h boundaries) before any
+    * unpartitioned window runs.
+    */
+  def tsSeasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val usPerHour = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+    val counts = ev
+      .groupBy(expr(s"ts_us div $usPerHour").as("cb"))
+      .agg(count(lit(1)).as("cn"))
+    // zero-filled hourly spine: the ±12 h window must span CONTIGUOUS
+    // hours, so empty hours participate as genuine zeros (L11 pattern)
+    val hourly = ev
+      .agg(min(expr(s"ts_us div $usPerHour")).as("lo"),
+        max(expr(s"ts_us div $usPerHour")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("hb"))
+      .join(counts, col("hb") === col("cb"), "left")
+      .select(col("hb"), coalesce(col("cn"), lit(0L)).as("n"))
+    val w = Window.orderBy(col("hb")).rowsBetween(-12, 12)
+    val scaled = hourly
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w))
+      // full 25-hour centered windows only; edges have no trend
+      .withColumn("det_scaled",
+        when(col("w_n") === 25, lit(25) * col("n") - col("w_sum")))
+      .withColumn("hod", expr("hb % 24"))
+    val seasonal = scaled.where(col("det_scaled").isNotNull)
+      .groupBy(col("hod"))
+      .agg(sum(col("det_scaled")).as("s_sum"), count(lit(1)).as("s_n"))
+      .select(col("hod").as("s_hod"),
+        (col("s_sum").cast("double") / (lit(25.0) * col("s_n"))).as("seas_raw"))
+    scaled.join(broadcast(seasonal), col("hod") === col("s_hod"), "left")
+      .select(
+        timestamp_micros(col("hb") * usPerHour).as("hour"),
+        col("n"),
+        (round(when(col("w_n") === 25, col("w_sum").cast("double") / 25.0), 6)
+          + lit(0.0)).as("trend"),
+        (round(col("seas_raw"), 6) + lit(0.0)).as("seasonal"),
+        (round(when(col("w_n") === 25,
+          col("n").cast("double") - col("w_sum").cast("double") / 25.0 - col("seas_raw")), 6)
+          + lit(0.0)).as("residual"))
+      .orderBy(col("hour"))
+  }
 }

@@ -171,6 +171,32 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A13 source_text_roundtrip — the line-oriented `text` source (the one
+    * bundled format A7/A8/A11 don't cover — raw logs, JSONL precursors,
+    * WET-style corpus dumps): documents serialize to one TAB-delimited
+    * line each, read back as raw `value` lines, and re-parse by splitting
+    * on the first two tabs. The corpus text itself carries no tabs or
+    * newlines (asserted by the fixture contract; the writer would escape
+    * otherwise), so the round-trip is lossless and the per-language
+    * aggregate must match the original table byte-for-byte.
+    */
+  def sourceTextRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Cols.tmpPath("graft_text_docs")
+    Tables.documents(spark, sfDir)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(
+        split(col("value"), "\t", 3).getItem(0).cast("bigint").as("doc_id"),
+        split(col("value"), "\t", 3).getItem(1).as("lang"),
+        split(col("value"), "\t", 3).getItem(2).as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
   /** A5 — dynamic partition pruning, live (VERDICT r1 "What's missing" #4):
     * the fact side is the year-partitioned orders layout; the dim side is a
     * tiny year dimension filtered on a NON-key attribute (leap-year label),

@@ -258,4 +258,131 @@ object Workload {
         sum(Cols.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** W10 wk_q6_discount_revenue — the Q6 shape: revenue delta from
+    * dropping mid-band discounts on small-quantity 1997 lines. The purest
+    * scan-filter-agg in the family: every predicate pushes into the
+    * parquet scan, one partial+final agg, zero joins — at 100 TB this is
+    * a map-only pass whose cost is I/O. The discount band compares 2-dp
+    * doubles against exact literals (no arithmetic before the compare).
+    */
+  def q6DiscountRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(Cols.dec2(col("l_extendedprice")) * Cols.dec2(col("l_discount")))
+          .cast("double").as("forecast_revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** W11 wk_q13_order_count_dist — the Q13 shape: the customer
+    * distribution by order count, INCLUDING zero-order customers (the
+    * left join is the point; an inner join silently drops the largest
+    * bucket). Two cascaded aggregations, both keyed; the original's
+    * comment-filter is dropped (no comment column in this fixture).
+    */
+  def q13OrderCountDist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** W12 wk_q15_top_supplier — the Q15 shape: the supplier(s) achieving
+    * the maximum 1997Q1 revenue (ties all surface, exactly the original's
+    * `= max` semantics — never a LIMIT 1 that hides a tie). The revenue
+    * relation builds once and is compared against its own broadcast 1-row
+    * max; exact decimal end-to-end so "max" is unambiguous.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(Cols.revenue).as("total_rev"))
+      .localCheckpoint(true) // one build feeds both the max and the probe
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(spark, sfDir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(top))
+      .where(col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** W13 wk_q17_small_qty_revenue — the Q17 shape: weekly-equivalent
+    * revenue lost to small-quantity Brand#1 orders (quantity under 20% of
+    * that part's average). The per-part threshold is `0.2 * (Σqty / n)` —
+    * an exact integer sum and one double division, evaluated identically
+    * on both engines — and joins back part-keyed (no correlated rescan).
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val partAvg = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * (sum(col("l_quantity")).cast("double") / count(lit(1))))
+        .as("thr"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).where(col("p_brand") === "Brand#1"),
+        col("p_partkey") === col("l_partkey"))
+      .join(partAvg, col("pk") === col("l_partkey"))
+      .where(col("l_quantity") < col("thr"))
+      .agg(
+        (round(sum(Cols.dec2(col("l_extendedprice"))).cast("double") / lit(7.0), 6)
+          + lit(0.0)).as("avg_weekly_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** W14 wk_q19_brand_discounts — the Q19 shape: revenue under three
+    * OR'd brand/size/quantity predicate groups — the classic test that
+    * a disjunctive residual still reaches the join without turning into
+    * a cartesian. One broadcast-dim join, predicates evaluated as a
+    * single residual, one global agg.
+    */
+  def q19BrandDiscounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("p_partkey") === col("l_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(Cols.revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** W15 wk_q21_late_supplier — the Q21 shape adapted to ship lag: for
+    * multi-supplier orders, count per supplier the lines where THAT
+    * supplier shipped late (>60 days after order) and no co-supplier
+    * did — the "who alone held up the order" attribution. EXISTS and
+    * NOT EXISTS compile to one left-semi and one left-anti against the
+    * same order-keyed co-supplier relations; top-10 suppliers by count.
+    */
+  def q21LateSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      .localCheckpoint(true) // one build feeds the probe and both co-supplier sides
+    val l1 = l.where(col("late"))
+      .select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"), col("l_linenumber"))
+    val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+    val othersLate = l.where(col("late"))
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+    l1
+      .join(others, col("k") === col("k2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(othersLate, col("k") === col("k3") && col("sk") =!= col("sk3"), "left_anti")
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, sfDir), col("sk") === col("s_suppkey"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(10)
+      .select(col("s_name"), col("numwait"))
+  }
 }

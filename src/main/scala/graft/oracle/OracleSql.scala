@@ -2089,5 +2089,75 @@ object OracleSql {
         |CASE WHEN v IS NOT NULL THEN 'actual' WHEN pv IS NULL OR nv IS NULL THEN 'edge'
         |ELSE 'interp' END AS src
         |FROM x ORDER BY bucket""".stripMargin.replace("\n", " ")),
+
+    "wk_q6_discount_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS forecast_revenue,
+        |COUNT(*) AS n_lines FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replace("\n", " "),
+
+    "wk_q13_order_count_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin.replace("\n", " "),
+
+    "wk_q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev) ORDER BY s_suppkey""".stripMargin.replace("\n", " "),
+
+    "wk_q17_small_qty_revenue" ->
+      """WITH pa AS (SELECT l_partkey AS pk,
+        |0.2 * (CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*)) AS thr FROM lineitem GROUP BY l_partkey)
+        |SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6) + 0.0 AS avg_weekly_revenue,
+        |COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pa ON pk = l_partkey
+        |WHERE p_brand = 'Brand#1' AND l_quantity < thr""".stripMargin.replace("\n", " "),
+
+    "wk_q19_brand_discounts" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_lines FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin.replace("\n", " "),
+
+    "wk_q21_late_supplier" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_linenumber,
+        |l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |l1 AS (SELECT l_orderkey AS k, l_suppkey AS sk FROM l WHERE late)
+        |SELECT s_name, COUNT(*) AS numwait FROM l1 JOIN supplier ON sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM l o WHERE o.l_orderkey = k AND o.l_suppkey <> sk)
+        |AND NOT EXISTS (SELECT 1 FROM l o WHERE o.l_orderkey = k AND o.l_suppkey <> sk AND o.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin.replace("\n", " "),
+
+    // oracle recomputes the aggregate from the ORIGINAL table — the text
+    // round-trip must be lossless for the compare to hash-match
+    "source_text_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+        |MIN(doc_id) AS first_doc FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+
+    "ts_seasonal_decompose" ->
+      (EV +
+        """, counts AS (SELECT ts_us // 3600000000 AS cb, COUNT(*) AS cn FROM ev GROUP BY 1),
+        |bounds AS (SELECT MIN(ts_us // 3600000000) AS lo, MAX(ts_us // 3600000000) AS hi FROM ev),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS hb FROM bounds),
+        |hourly AS (SELECT hb, COALESCE(cn, 0) AS n FROM spine LEFT JOIN counts ON cb = hb),
+        |sc AS (SELECT hb, n, COUNT(*) OVER w AS w_n, SUM(n) OVER w AS w_sum, hb % 24 AS hod
+        |FROM hourly WINDOW w AS (ORDER BY hb ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |sc2 AS (SELECT hb, n, w_n, w_sum, hod,
+        |CASE WHEN w_n = 25 THEN 25 * n - w_sum END AS det_scaled FROM sc),
+        |seas AS (SELECT hod, CAST(SUM(det_scaled) AS DOUBLE) / (25.0 * COUNT(*)) AS seas_raw
+        |FROM sc2 WHERE det_scaled IS NOT NULL GROUP BY hod)
+        |SELECT make_timestamp(hb * 3600000000) AS hour, n,
+        |round(CASE WHEN w_n = 25 THEN CAST(w_sum AS DOUBLE) / 25.0 END, 6) + 0.0 AS trend,
+        |round(seas_raw, 6) + 0.0 AS seasonal,
+        |round(CASE WHEN w_n = 25 THEN CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / 25.0 - seas_raw END, 6) + 0.0 AS residual
+        |FROM sc2 LEFT JOIN seas USING (hod) ORDER BY hour""".stripMargin.replace("\n", " ")),
   )
 }

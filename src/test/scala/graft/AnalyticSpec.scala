@@ -545,6 +545,70 @@ class AnalyticSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum < Tables.customer(spark, sf).count())
   }
 
+  test("W10 wk_q6_discount_revenue: one row, bounded by the unfiltered discount total") {
+    val r = run("wk_q6_discount_revenue").head()
+    assert(r.getDouble(0) > 0.0 && r.getLong(1) > 0)
+    val full = Tables.lineitem(spark, sf)
+      .selectExpr("cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_discount as decimal(12,2))) as double)")
+      .head().getDouble(0)
+    assert(r.getDouble(0) < full)
+  }
+
+  test("W11 wk_q13_order_count_dist: buckets partition the customer base") {
+    val rows = run("wk_q13_order_count_dist").collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+    val dist = rows.map(_.getLong(1))
+    assert(dist.zip(dist.tail).forall { case (a, b) => a >= b }, "custdist descending")
+  }
+
+  test("W12 wk_q15_top_supplier: all surfaced suppliers tie at the max") {
+    val rows = run("wk_q15_top_supplier").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getDouble(2)).distinct.length == 1, "= max semantics: ties all surface")
+  }
+
+  test("W13 wk_q17_small_qty_revenue: one positive row") {
+    val r = run("wk_q17_small_qty_revenue").head()
+    assert(r.getDouble(0) > 0.0 && r.getLong(1) > 0)
+  }
+
+  test("W14 wk_q19_brand_discounts: exactly the 46 predicate-group lines at sf0.001") {
+    val r = run("wk_q19_brand_discounts").head()
+    assert(r.getLong(1) == 46, "fixture-derived count pins the OR-group predicate")
+    assert(r.getDouble(0) > 0.0)
+  }
+
+  test("W15 wk_q21_late_supplier: top-10 descending, every count positive") {
+    val rows = run("wk_q21_late_supplier").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.forall(_ >= 1L))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("A13 source_text_roundtrip: lossless — equals the direct aggregate") {
+    val rt = run("source_text_roundtrip")
+    val direct = Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("lang"))
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")).cast("long")).as("total_chars"),
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("doc_id")).as("first_doc"))
+    assert(rt.exceptAll(direct).count() == 0 && direct.exceptAll(rt).count() == 0)
+  }
+
+  test("L20 ts_seasonal_decompose: full spine, trend exactly at the 25h interior") {
+    val rows = run("ts_seasonal_decompose").collect()
+    assert(rows.length > 25)
+    // exactly the first and last 12 hours lack a full centered window
+    assert(rows.count(_.isNullAt(2)) == 24, "12 leading + 12 trailing edge hours")
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count(),
+      "zero-filled spine preserves the event total")
+  }
+
   test("M49 pipeline_pack_sequences: every doc packed exactly once, ordered disjoint spans") {
     val rows = run("pipeline_pack_sequences").collect()
     assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count(),

@@ -16,7 +16,11 @@ class CorpusApiSpec extends SparkSpec {
       c.dedup.clusters()      -> "dedup_connected_components_v2",
       c.vectors.ivfTopk()     -> "ann_ivf_topk",
       c.datasetCard()         -> "pipeline_dataset_card",
-      c.quality.ruleViolations() -> "dq_rule_violations")
+      c.quality.ruleViolations() -> "dq_rule_violations",
+      c.packSequences()       -> "pipeline_pack_sequences",
+      c.tokenBudgetMix()      -> "pipeline_token_budget_mix",
+      c.dedup.shingleContainment() -> "dedup_shingle_containment",
+      c.vectors.pagerankHubs() -> "graph_pagerank_knn")
     pairs.foreach { case (facade, key) =>
       val reg = run(key)
       assert(facade.schema == reg.schema, s"$key schema drift")
