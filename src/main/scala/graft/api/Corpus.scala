@@ -74,6 +74,11 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     */
   def tokenBudgetMix(): DataFrame = TextAnalysis.tokenBudgetMix(spark, dir)
 
+  /** Quality-ordered curriculum: 4 ntile phases, best first, per-phase
+    * manifests (scalable two-pass global rank).
+    */
+  def curriculumPhases(): DataFrame = TextAnalysis.curriculumPhases(spark, dir)
+
   /** Text analysis over the documents table. */
   object text {
     /** Unicode/whitespace/case normalization (the curation first stage). */

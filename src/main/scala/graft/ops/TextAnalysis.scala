@@ -589,6 +589,35 @@ object TextAnalysis {
       .orderBy(col("seq_id"))
   }
 
+  /** M53 pipeline_curriculum_phases — curriculum ordering: the corpus
+    * ranked best-first by the M7 quality score and cut into 4 equal
+    * phases (the highest-quality quartile trains first), with a
+    * per-phase manifest. The global rank runs through
+    * [[GlobalRank.withGlobalRowNumber]] + the closed-form ntile — the
+    * F5v2 scale shape, never a single-partition NTILE window. The mean
+    * quality per phase integerizes first (`round(q·10⁶)` as long — q is
+    * already a 6-dp rounded double, so this is exact re-scaling, not new
+    * rounding) and divides once: no float accumulation anywhere.
+    */
+  def curriculumPhases(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"), round(col("quality") * 1e6, 0).cast("long").as("q_e6"))
+    GlobalRank.withGlobalRowNumber(q, 8, desc("quality"), asc("doc_id"))
+      .withColumn("phase", GlobalRank.ntileExpr(4))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("q_e6")).as("sum_q_e6"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .select(col("phase"), col("n_docs"), col("total_tokens"),
+        (round(col("sum_q_e6").cast("double") / (lit(1e6) * col("n_docs")), 6)
+          + lit(0.0)).as("avg_quality"),
+        col("min_quality"), col("max_quality"))
+      .orderBy(col("phase"))
+  }
+
   /** M52 pipeline_token_budget_mix — temperature-scaled source mixing (the
     * multilingual-sampling recipe, α = 0.5): each source's share of a 30%
     * epoch token budget is proportional to √(its token count), flattening

@@ -385,4 +385,29 @@ object Workload {
       .limit(10)
       .select(col("s_name"), col("numwait"))
   }
+
+  /** W16 wk_q12_lag_priority — the Q12 shape adapted: no ship mode or
+    * receipt date in this fixture, so 1997-shipped lines bucket by ship
+    * LAG class (fast ≤30 d, normal ≤60 d, slow beyond) and each bucket
+    * counts critical-priority (1-URGENT/2-HIGH) vs other orders — Q12's
+    * conditional-count core intact. Lag classes compare timestamps
+    * against interval-shifted order dates directly (no datediff
+    * semantics to align across engines); all outputs exact integers.
+    */
+  def q12LagPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(Tables.orders(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .withColumn("lag_class",
+        when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"), "fast")
+          .when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"), "normal")
+          .otherwise("slow"))
+      .groupBy(col("lag_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy(col("lag_class"))
 }

@@ -2159,5 +2159,28 @@ object OracleSql {
         |round(seas_raw, 6) + 0.0 AS seasonal,
         |round(CASE WHEN w_n = 25 THEN CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / 25.0 - seas_raw END, 6) + 0.0 AS residual
         |FROM sc2 LEFT JOIN seas USING (hod) ORDER BY hour""".stripMargin.replace("\n", " ")),
+
+    "wk_q12_lag_priority" ->
+      """SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'fast'
+        |WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 'normal' ELSE 'slow' END AS lag_class,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
+
+    "pipeline_curriculum_phases" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS INT) AS n_stop FROM d),
+        |q AS (SELECT doc_id, n_tokens,
+        |round(least(1.0, n_tokens / 50.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality FROM s),
+        |r AS (SELECT doc_id, n_tokens, quality,
+        |CAST(round(quality * 1000000, 0) AS BIGINT) AS q_e6,
+        |CAST(NTILE(4) OVER (ORDER BY quality DESC, doc_id) AS INT) AS phase FROM q)
+        |SELECT phase, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |round(CAST(SUM(q_e6) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) + 0.0 AS avg_quality,
+        |MIN(quality) AS min_quality, MAX(quality) AS max_quality
+        |FROM r GROUP BY phase ORDER BY phase""".stripMargin.replace("\n", " "),
   )
 }

@@ -609,6 +609,27 @@ class AnalyticSpec extends SparkSpec {
       "zero-filled spine preserves the event total")
   }
 
+  test("W16 wk_q12_lag_priority: counts partition the 1997 line set") {
+    val rows = run("wk_q12_lag_priority").collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val expected = Tables.lineitem(spark, sf)
+      .where("l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01'")
+      .count()
+    assert(total == expected, "high+low over all classes must cover every line")
+  }
+
+  test("M53 pipeline_curriculum_phases: 4 balanced phases, quality descending across phases") {
+    val rows = run("pipeline_curriculum_phases").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile(4) balance")
+    // phase 1 holds the best quality: min of each phase dominates the next
+    val mins = rows.map(_.getDouble(4))
+    assert(mins.zip(mins.tail).forall { case (a, b) => a >= b })
+  }
+
   test("M49 pipeline_pack_sequences: every doc packed exactly once, ordered disjoint spans") {
     val rows = run("pipeline_pack_sequences").collect()
     assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count(),
