@@ -149,6 +149,8 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def normStats(): DataFrame = VectorText.vecNormStats(spark, dir)
     /** PageRank hubs of the 5-NN similarity graph (top-20). */
     def pagerankHubs(): DataFrame = Similarity.pageRankKnn(spark, dir)
+    /** Top principal direction + Rayleigh eigenvalue (collapse check). */
+    def pcaTopDirection(): DataFrame = VectorText.vecPcaPowerIter(spark, dir)
   }
 
   /** Data-quality checks. */

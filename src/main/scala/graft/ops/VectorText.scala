@@ -357,4 +357,65 @@ object VectorText {
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
         sum(size(split(col("text"), " "))).as("total_tokens"))
       .orderBy(col("lang"), col("source"))
+
+  /** J17 vec_pca_power_iter — the top principal direction of the embedding
+    * Gram matrix by DISTRIBUTED power iteration (3 rounds), reporting the
+    * top-8 loading dimensions and the Rayleigh eigenvalue — the variance
+    * diagnostic ("is this embedding space collapsing to one axis?") that
+    * precedes any whitening/compression decision.
+    *
+    * Exactness protocol, because an eigensolver amplifies float noise:
+    * vectors integerize to q = round(x·2²⁰) fixed-point FIRST, so the
+    * Gram accumulation Σ q_d·q_j is exact long arithmetic in any shuffle
+    * order (entries ≤ 2⁵¹, judge: 0.58²·2⁴⁰·n). Matrix–vector products
+    * then run as ORDERED sequential folds (the proven J2 aggregate/
+    * zip_with ↔ list_dot_product equivalence), each iterate rounds to
+    * 9 dp (the M51 fixpoint protocol), and the norm is a fold of the
+    * same ordered list — zero order-sensitive float sums anywhere.
+    *
+    * Scale: the explode is the co-occurrence shape — n·64² narrow rows
+    * into a 64×64-cell keyed aggregate with map-side combine; the 64-row
+    * Gram relation checkpoints once (index-once) and every iteration is
+    * a broadcast of the 1-row iterate. Corpus size only touches the
+    * first aggregation.
+    */
+  def vecPcaPowerIter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT))").as("q"))
+    val cells = e
+      .select(col("q"), posexplode(col("q")).as(Seq("d", "qd")))
+      .select(col("d"), col("qd"), posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("d"), col("j"))
+      .agg(sum(col("qd") * col("qj")).as("g"))
+    val grows = cells.groupBy(col("d"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, g))), s -> CAST(s.g AS DOUBLE))")
+        .as("grow"))
+      .localCheckpoint(true) // 64 rows feed every iteration
+    val nRow = e.agg(count(lit(1)).as("n"))
+    def matVec(vv: DataFrame): DataFrame = grows.crossJoin(broadcast(vv))
+      .select(col("d"), expr(
+        "aggregate(zip_with(grow, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
+        .as("w"))
+    def gather(w: DataFrame): DataFrame = w
+      .agg(expr("transform(array_sort(collect_list(struct(d, w))), s -> s.w)").as("lw"))
+    var v = spark.range(1)
+      .select(expr("transform(sequence(1, 64), i -> CAST(0.125 AS DOUBLE))").as("v"))
+    for (_ <- 1 to 3) {
+      v = gather(matVec(v))
+        .select(expr(
+          "transform(lw, x -> round(x / sqrt(aggregate(lw, CAST(0.0 AS DOUBLE), (acc, y) -> acc + y * y)), 9))")
+          .as("v"))
+        .localCheckpoint(true)
+    }
+    val lam = gather(matVec(v))
+      .select(expr("sqrt(aggregate(lw, CAST(0.0 AS DOUBLE), (acc, y) -> acc + y * y))").as("lam"))
+    v.select(posexplode(col("v")).as(Seq("dim", "loading_raw")))
+      .crossJoin(broadcast(lam)).crossJoin(broadcast(nRow))
+      .select(col("dim"),
+        (round(col("loading_raw"), 6) + lit(0.0)).as("loading"),
+        (round(col("lam") / lit(1.099511627776e12) / col("n"), 6) + lit(0.0)).as("eigenvalue"))
+      .orderBy(abs(col("loading")).desc, col("dim").asc)
+      .limit(8)
+  }
 }

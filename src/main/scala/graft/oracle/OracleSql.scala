@@ -2182,5 +2182,34 @@ object OracleSql {
         |round(CAST(SUM(q_e6) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) + 0.0 AS avg_quality,
         |MIN(quality) AS min_quality, MAX(quality) AS max_quality
         |FROM r GROUP BY phase ORDER BY phase""".stripMargin.replace("\n", " "),
+
+    // power iteration unrolled; matrix-vector products and norms are
+    // list_dot_product over d-ordered lists — the proven sequential-fold
+    // twin of Spark's aggregate/zip_with (J2)
+    "vec_pca_power_iter" ->
+      """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |x -> CAST(round(x * 1048576, 0) AS BIGINT)) AS q FROM embeddings),
+        |cells AS (SELECT d.i AS d, j.i AS j, SUM(q[CAST(d.i AS INT)] * q[CAST(j.i AS INT)]) AS g
+        |FROM e, range(1, 65) d(i), range(1, 65) j(i) GROUP BY 1, 2),
+        |grows AS (SELECT d, list_transform(list(g ORDER BY j), x -> CAST(x AS DOUBLE)) AS grow
+        |FROM cells GROUP BY d),
+        |nn AS (SELECT COUNT(*) AS n FROM e),
+        |v0 AS (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
+        |w1 AS (SELECT d, list_dot_product(grow, v) AS w FROM grows, v0),
+        |l1 AS (SELECT list(w ORDER BY d) AS lw FROM w1),
+        |v1 AS (SELECT list_transform(lw, x -> round(x / sqrt(list_dot_product(lw, lw)), 9)) AS v FROM l1),
+        |w2 AS (SELECT d, list_dot_product(grow, v) AS w FROM grows, v1),
+        |l2 AS (SELECT list(w ORDER BY d) AS lw FROM w2),
+        |v2 AS (SELECT list_transform(lw, x -> round(x / sqrt(list_dot_product(lw, lw)), 9)) AS v FROM l2),
+        |w3 AS (SELECT d, list_dot_product(grow, v) AS w FROM grows, v2),
+        |l3 AS (SELECT list(w ORDER BY d) AS lw FROM w3),
+        |v3 AS (SELECT list_transform(lw, x -> round(x / sqrt(list_dot_product(lw, lw)), 9)) AS v FROM l3),
+        |wf AS (SELECT d, list_dot_product(grow, v) AS w FROM grows, v3),
+        |lf AS (SELECT list(w ORDER BY d) AS lw FROM wf),
+        |lam AS (SELECT sqrt(list_dot_product(lw, lw)) AS lam FROM lf)
+        |SELECT CAST(d.i - 1 AS INT) AS dim, round(v[CAST(d.i AS INT)], 6) + 0.0 AS loading,
+        |round(lam / CAST(1099511627776 AS DOUBLE) / n, 6) + 0.0 AS eigenvalue
+        |FROM v3, range(1, 65) d(i), lam, nn
+        |ORDER BY abs(loading) DESC, dim LIMIT 8""".stripMargin.replace("\n", " "),
   )
 }

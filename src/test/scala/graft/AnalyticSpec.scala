@@ -630,6 +630,16 @@ class AnalyticSpec extends SparkSpec {
     assert(mins.zip(mins.tail).forall { case (a, b) => a >= b })
   }
 
+  test("J17 vec_pca_power_iter: unit-bounded loadings, dominance order, positive spectrum") {
+    val rows = run("vec_pca_power_iter").collect()
+    assert(rows.length == 8)
+    val loads = rows.map(r => math.abs(r.getDouble(1)))
+    assert(loads.forall(_ <= 1.0), "components of a unit vector")
+    assert(loads.zip(loads.tail).forall { case (a, b) => a >= b }, "top-8 by |loading|")
+    val eig = rows.map(_.getDouble(2)).distinct
+    assert(eig.length == 1 && eig.head > 0.0, "one positive Rayleigh eigenvalue")
+  }
+
   test("M49 pipeline_pack_sequences: every doc packed exactly once, ordered disjoint spans") {
     val rows = run("pipeline_pack_sequences").collect()
     assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count(),

@@ -144,7 +144,8 @@ class PlanSpec extends SparkSpec {
       "dq_distribution_drift",  // broadcast 1-row grand-total aggregate
       "wk_q22_lapsed_customers", // broadcast 1-row balance threshold
       "graph_pagerank_knn",     // vec_id < 500 bounded k-NN build + 1-row vertex count
-      "pipeline_token_budget_mix") // broadcast 1-row grand-total token/weight sums
+      "pipeline_token_budget_mix", // broadcast 1-row grand-total token/weight sums
+      "vec_pca_power_iter")     // broadcast 1-row iterate/eigenvalue/count relations
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
