@@ -64,6 +64,27 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("M-law: two-pass distributed prefix sum equals the sequential scan model") {
+    // the pipeline_pack_sequences substrate: GlobalRank.withGlobalRunningSum
+    // must produce the EXCLUSIVE prefix sum of the doc_id-ordered value
+    // sequence for any values and ANY range-partition count (the offsets
+    // stitching is where a bug would hide)
+    val genVals = Gen.listOfN(17, Gen.choose(0L, 200L))
+    val genParts = Gen.choose(1, 6)
+    check(Prop.forAll(genVals, genParts) { (vals, parts) =>
+      import org.apache.spark.sql.functions.col
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "tokens")
+      val got = graft.ops.GlobalRank
+        .withGlobalRunningSum(df, parts, col("tokens"), col("id"))
+        .select("id", "cum_before").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val model = vals.scanLeft(0L)(_ + _).init.zipWithIndex
+        .map { case (c, i) => i.toLong -> c }.toMap
+      got == model
+    })
+  }
+
   test("F-law: running total over full partition equals group sum") {
     val gen = Gen.listOfN(10, Gen.zip(Gen.choose(0, 2), Gen.choose(1, 100)))
     check(Prop.forAll(gen) { xs =>
