@@ -175,6 +175,8 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def frameSample(): DataFrame = Multimodal.frameSample(spark, dir)
     /** Content-addressable block dedup ratio per document. */
     def chunkDedup(): DataFrame = Multimodal.chunkDedup(spark, dir)
+    /** Object-per-item blob ingestion via the binaryFile source. */
+    def ingestBinary(): DataFrame = Relational.sourceBinaryfileIngest(spark, dir)
   }
 }
 

@@ -217,6 +217,41 @@ object Scalars {
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("bucket"))
 
+  /** I14 fn_variant_suite — the VARIANT semi-structured type (new in Spark
+    * 4.0): each event's fields assemble into one JSON document, parse_json
+    * turns it into a variant, and typed variant_get paths extract them
+    * back. Every extraction must round-trip losslessly (ints exactly,
+    * doubles via shortest-repr parse), a missing path must yield NULL (not
+    * error), and schema_of_variant must report the stable object shape.
+    * The oracle recomputes from the base columns directly — the strongest
+    * possible check that variant encode/decode is the identity.
+    *
+    * 100 TB note: VARIANT's binary encoding replaces per-query JSON
+    * re-parsing (A3/I8's get_json_object re-tokenizes the string on every
+    * access) with parse-once storage and O(1) typed field access — the
+    * semi-structured-props pattern every event lake carries.
+    */
+  def fnVariantSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .where(col("event_id") < 1000)
+      .select(col("event_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("doc",
+        concat(lit("""{"meta":{"type":""""), col("event_type"),
+          lit(""""},"k":"""), get_json_object(col("props"), "$.k"),
+          lit(""","value":"""), col("value").cast("string"), lit("}")))
+      .withColumn("v", parse_json(col("doc")))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.meta.type', 'string')").as("type_str"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("variant_get(v, '$.value', 'double')").as("v_double"),
+        expr("variant_get(v, '$.missing', 'string')").isNull.as("missing_is_null"),
+        // schema on the $.meta SUBOBJECT: the top-level schema is per-row
+        // unstable by design (parse_json types "185.22" as DECIMAL(5,2)
+        // but "9.64" as DECIMAL(3,2)); the meta shape is fixed
+        expr("schema_of_variant(variant_get(v, '$.meta'))").as("meta_schema"))
+      .orderBy(col("event_id"))
+
   /** K1 — Scala UDF: logistic score with fixed μ/σ. v2 path is a codegen'd
     * Catalyst Expression; a black-box UDF is the contract surface here.
     */

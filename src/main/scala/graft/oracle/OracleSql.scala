@@ -2142,6 +2142,27 @@ object OracleSql {
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS total_chars,
         |MIN(doc_id) AS first_doc FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
 
+    // md5(VARCHAR) in DuckDB hashes the UTF-8 bytes — the same bytes the
+    // Spark side lands in each .bin object and hashes via md5(content)
+    "source_binaryfile_ingest" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "source_xml_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
+
+    // the oracle recomputes every variant extraction from the BASE columns:
+    // a hash match proves the whole JSON->variant->typed-get chain is the
+    // identity (ints exact, doubles via shortest-repr round-trip)
+    "fn_variant_suite" ->
+      """SELECT event_id, event_type AS type_str,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |value AS v_double, TRUE AS missing_is_null,
+        |'OBJECT<type: STRING>' AS meta_schema
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin.replace("\n", " "),
+
     "ts_seasonal_decompose" ->
       (EV +
         """, counts AS (SELECT ts_us // 3600000000 AS cb, COUNT(*) AS cn FROM ev GROUP BY 1),

@@ -600,6 +600,44 @@ class AnalyticSpec extends SparkSpec {
     assert(rt.exceptAll(direct).count() == 0 && direct.exceptAll(rt).count() == 0)
   }
 
+  test("A14 source_binaryfile_ingest: blob roundtrip is byte-lossless") {
+    import org.apache.spark.sql.functions.{col, md5, length}
+    val ingested = run("source_binaryfile_ingest")
+    // one row per landed object, ids exactly the bounded subset
+    val direct = Tables.documents(spark, sf).where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"))
+    assert(ingested.count() == direct.count())
+    assert(ingested.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(ingested).count() == 0)
+  }
+
+  test("A15 source_xml_roundtrip: lossless — equals the direct aggregate") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val rt = run("source_xml_roundtrip")
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.ops.Cols.dec2(col("o_totalprice"))).cast("double").as("total_price"))
+    assert(rt.exceptAll(direct).count() == 0 && direct.exceptAll(rt).count() == 0)
+  }
+
+  test("I14 fn_variant_suite: typed extraction is the identity on base columns") {
+    import org.apache.spark.sql.functions.col
+    val v = run("fn_variant_suite")
+    val direct = Tables.events(spark, sf).where(col("event_id") < 1000)
+      .select(col("event_id"), col("event_type").as("type_str"),
+        org.apache.spark.sql.functions.get_json_object(col("props"), "$.k")
+          .cast("int").as("k"),
+        col("value").as("v_double"))
+    val got = v.select("event_id", "type_str", "k", "v_double")
+    assert(got.exceptAll(direct).count() == 0 && direct.exceptAll(got).count() == 0)
+    // missing-path null flag and stable subobject schema hold on every row
+    assert(v.where("NOT missing_is_null OR meta_schema <> 'OBJECT<type: STRING>'")
+      .count() == 0)
+  }
+
   test("L20 ts_seasonal_decompose: full spine, trend exactly at the 25h interior") {
     val rows = run("ts_seasonal_decompose").collect()
     assert(rows.length > 25)

@@ -20,7 +20,8 @@ class CorpusApiSpec extends SparkSpec {
       c.packSequences()       -> "pipeline_pack_sequences",
       c.tokenBudgetMix()      -> "pipeline_token_budget_mix",
       c.dedup.shingleContainment() -> "dedup_shingle_containment",
-      c.vectors.pagerankHubs() -> "graph_pagerank_knn")
+      c.vectors.pagerankHubs() -> "graph_pagerank_knn",
+      c.media.ingestBinary()  -> "source_binaryfile_ingest")
     pairs.foreach { case (facade, key) =>
       val reg = run(key)
       assert(facade.schema == reg.schema, s"$key schema drift")
