@@ -264,6 +264,28 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** D7 sql_session_variables — Spark 4 SQL session variables + the
+    * IDENTIFIER clause: a DECLAREd threshold is re-bound with SET VARIABLE
+    * and referenced inside the query text, and the table name arrives
+    * through IDENTIFIER('orders') — the parameterized-SQL surface that
+    * replaces string-splicing in orchestration code (a templated 100 TB
+    * job re-binds variables per run instead of re-planning new SQL text).
+    * The variable's value is echoed back in the projection so the oracle
+    * pins that the LAST binding (150000, not the 100000 default) won.
+    */
+  def sqlSessionVariables(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_thresh DOUBLE DEFAULT 100000.0")
+    spark.sql("SET VARIABLE graft_thresh = 150000.0")
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_above,
+        |       CAST(MAX(graft_thresh) AS DOUBLE) AS thresh_used
+        |FROM IDENTIFIER('orders')
+        |WHERE o_totalprice > graft_thresh
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** A5 — dynamic partition pruning, live (VERDICT r1 "What's missing" #4):
     * the fact side is the year-partitioned orders layout; the dim side is a
     * tiny year dimension filtered on a NON-key attribute (leap-year label),

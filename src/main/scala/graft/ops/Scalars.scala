@@ -252,6 +252,63 @@ object Scalars {
         expr("schema_of_variant(variant_get(v, '$.meta'))").as("meta_schema"))
       .orderBy(col("event_id"))
 
+  /** I15 fn_json_suite2 — the schema-full half of the JSON surface that
+    * I8/fn_json_suite's get_json_object doesn't cover: `from_json` with an
+    * explicit schema (the 100 TB path — one tokenize into a typed struct,
+    * then columnar field access; string re-probing per field is the
+    * anti-pattern), `json_tuple` (the multi-field string extractor),
+    * `to_json` re-serialization (proven value-lossless via the oracle
+    * rebuilding the same canonical form), and `schema_of_json` inference
+    * on a literal sample (inference over a 100 TB column would be a full
+    * extra scan — sample-then-pin is the production move).
+    */
+  def fnJsonSuite2(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .where(col("event_id") < 1000)
+      .select(
+        col("event_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_struct"),
+        json_tuple(col("props"), "k"),
+        to_json(from_json(col("props"), lit("k INT"))).as("roundtrip"),
+        schema_of_json(lit("""{"k": 87}""")).as("inferred"))
+      .withColumnRenamed("c0", "k_tuple_raw")
+      .select(col("event_id"), col("k_struct"),
+        col("k_tuple_raw").cast("int").as("k_tuple"),
+        col("roundtrip"), col("inferred"))
+      .orderBy(col("event_id"))
+
+  /** I16 fn_collation_suite — Spark 4 string collations: orders statuses
+    * are case-mangled per row parity, then grouped under UTF8_LCASE so
+    * 'F' and 'f' land in one group. The grouped key's surface form is
+    * engine-chosen (either representative), so the output normalizes via
+    * lower() — the deterministic projection of a collation class. A
+    * collated equality (raw = 'f' COLLATE UTF8_LCASE) demonstrates
+    * case-insensitive comparison without lower()-rewriting, and min(raw)
+    * stays UTF8_BINARY to pin that per-column collation is respected.
+    * 100 TB note: collated grouping pushes the case-fold into the hash
+    * exchange itself — no derived lower() column to carry through the
+    * shuffle. Trade-off, pinned by the golden plan: collated keys are not
+    * hash-aggregatable on this Spark version, so the agg plans as
+    * SortAggregate — still partial+final with map-side combine, but a
+    * per-partition sort replaces the hash table; for a hot 100 TB path
+    * the lower()-column rewrite (hash agg) may still win.
+    */
+  def fnCollationSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        when(col("o_orderkey") % 2 === 0, col("o_orderstatus"))
+          .otherwise(lower(col("o_orderstatus"))).as("raw"))
+      .groupBy(collate(col("raw"), "UTF8_LCASE").as("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("raw") === upper(col("raw")), 1L).otherwise(0L)).as("n_upper"),
+        min(col("raw")).as("min_binary"),
+        sum(when(col("raw") === expr("'f' COLLATE UTF8_LCASE"), 1L)
+          .otherwise(0L)).as("n_eq_f_ci"))
+      .select(lower(col("k")).as("status_ci"), col("n"), col("n_upper"),
+        col("min_binary"), col("n_eq_f_ci"))
+      .orderBy(col("status_ci"))
+
   /** K1 — Scala UDF: logistic score with fixed μ/σ. v2 path is a codegen'd
     * Catalyst Expression; a black-box UDF is the contract surface here.
     */

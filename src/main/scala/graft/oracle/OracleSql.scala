@@ -2153,6 +2153,32 @@ object OracleSql {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
 
+    "fn_json_suite2" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_tuple,
+        |'{"k":' || json_extract_string(props, '$.k') || '}' AS roundtrip,
+        |'STRUCT<k: BIGINT>' AS inferred
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin.replace("\n", " "),
+
+    // the collated group key surfaces as lower(raw) on both engines; the
+    // UTF8_LCASE equality is recomputed as a lower() comparison
+    "fn_collation_suite" ->
+      """WITH a AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus
+        |ELSE lower(o_orderstatus) END AS raw FROM orders)
+        |SELECT lower(raw) AS status_ci, COUNT(*) AS n,
+        |CAST(SUM(CASE WHEN raw = upper(raw) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+        |MIN(raw) AS min_binary,
+        |CAST(SUM(CASE WHEN lower(raw) = 'f' THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_f_ci
+        |FROM a GROUP BY lower(raw) ORDER BY status_ci""".stripMargin.replace("\n", " "),
+
+    // the oracle pins the LAST variable binding (150000, not the default)
+    "sql_session_variables" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above,
+        |CAST(150000.0 AS DOUBLE) AS thresh_used
+        |FROM orders WHERE o_totalprice > 150000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
+
     // the oracle recomputes every variant extraction from the BASE columns:
     // a hash match proves the whole JSON->variant->typed-get chain is the
     // identity (ints exact, doubles via shortest-repr round-trip)

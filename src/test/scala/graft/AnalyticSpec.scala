@@ -638,6 +638,35 @@ class AnalyticSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("I15 fn_json_suite2: struct and tuple extraction agree; roundtrip is canonical") {
+    val j = run("fn_json_suite2")
+    assert(j.where("k_struct <> k_tuple").count() == 0)
+    assert(j.where("""roundtrip <> concat('{"k":', k_struct, '}')""").count() == 0)
+    assert(j.where("inferred <> 'STRUCT<k: BIGINT>'").count() == 0)
+  }
+
+  test("I16 fn_collation_suite: case classes merge; counts partition correctly") {
+    import org.apache.spark.sql.functions.col
+    val c = run("fn_collation_suite").collect()
+    assert(c.map(_.getString(0)).toSeq == Seq("f", "o", "p")) // one group per letter
+    c.foreach { r =>
+      val (n, nUpper, nEqF) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(nUpper > 0 && nUpper < n) // both cases genuinely present pre-merge
+      assert(r.getString(3) == r.getString(0).toUpperCase) // binary min = uppercase
+      // the collated equality matched the whole 'f' class and nothing else
+      assert(if (r.getString(0) == "f") nEqF == n else nEqF == 0L)
+    }
+  }
+
+  test("D7 sql_session_variables: the re-bound value, not the default, applies") {
+    val v = run("sql_session_variables")
+    assert(v.where("thresh_used <> 150000.0").count() == 0)
+    val nAbove = v.agg(org.apache.spark.sql.functions.sum("n_above")).head.getLong(0)
+    val direct = Tables.orders(spark, sf)
+      .where(org.apache.spark.sql.functions.col("o_totalprice") > 150000.0).count()
+    assert(nAbove == direct)
+  }
+
   test("L20 ts_seasonal_decompose: full spine, trend exactly at the 25h interior") {
     val rows = run("ts_seasonal_decompose").collect()
     assert(rows.length > 25)
