@@ -151,6 +151,10 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def pagerankHubs(): DataFrame = Similarity.pageRankKnn(spark, dir)
     /** Top principal direction + Rayleigh eigenvalue (collapse check). */
     def pcaTopDirection(): DataFrame = VectorText.vecPcaPowerIter(spark, dir)
+    /** Spherical k-means (two Lloyd rounds, k=10): cell sizes + cohesion. */
+    def kmeansClusters(): DataFrame = Similarity.vecKmeansLloyd(spark, dir)
+    /** Neighbor-set Jaccard of the 5-NN graph (link-prediction score). */
+    def knnJaccard(): DataFrame = Similarity.graphKnnJaccard(spark, dir)
   }
 
   /** Data-quality checks. */
@@ -163,6 +167,8 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def distributionDrift(): DataFrame = DataQuality.dqDistributionDrift(spark, dir)
     /** Orphaned-foreign-key audit across the relational tables. */
     def referentialIntegrity(): DataFrame = DataQuality.dqReferentialIntegrity(spark, dir)
+    /** Benford first-digit screen on order totals. */
+    def benfordScreen(): DataFrame = DataQuality.dqBenfordFirstDigit(spark, dir)
   }
 
   /** Multimodal (opaque binary) columns. */

@@ -844,4 +844,36 @@ object Aggregates {
           + lit(0.0)).as("residual"))
       .orderBy(col("hour"))
   }
+
+  /** L21 ts_changepoint_cusum — CUSUM changepoint screen on the daily
+    * event-count series: S_t = Σ_{i≤t}(x_i − μ) peaks at the day a level
+    * shift happens; the query reports the top-5 |S_t| days. All comparison
+    * arithmetic stays in exact integers by clearing the denominator —
+    * dev_t = n·cumsum_t − t·total = n·S_t — so the ranking (and the LIMIT
+    * cut) never touches a float; the reported cusum = dev/n is the single
+    * double division, rounded 6 dp (E17 protocol). The daily series is
+    * dimension-sized (one row per day — the events corpus collapses ~300×
+    * per day at any SF), so the ordered window over it is the
+    * collapsed-aggregate pattern (SCALE.md), not a fact-table global sort;
+    * the heavy lifting is the keyed daily groupBy, map-side combined.
+    */
+  def tsChangepointCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_days"))
+    daily
+      .withColumn("cum_events", sum(col("n_events")).over(wCum))
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", col("n_days") * col("cum_events") - col("t") * col("total"))
+      .orderBy(abs(col("dev")).desc, col("day").asc)
+      .limit(5)
+      // day as ISO string — the L14 cross-engine date canonicalization
+      .select(col("day").cast("string").as("day"), col("n_events"), col("cum_events"),
+        round(col("dev").cast("double") / col("n_days"), 6).as("cusum"))
+  }
 }

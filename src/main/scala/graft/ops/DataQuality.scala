@@ -203,4 +203,34 @@ object DataQuality {
         Tables.customer(spark, sfDir), "c_custkey"))
       .orderBy(col("relationship"))
   }
+
+  /** N6 dq_benford_first_digit — Benford's-law screen on order totals: the
+    * distribution of first significant digits of o_totalprice against the
+    * log10(1+1/d) expectation — the classic fabricated-data / unit-mixup
+    * detector, run as a data-quality gate per snapshot. Digit extraction
+    * stays exact end-to-end: 2-dp decimal recovery → floor → BIGINT → first
+    * character of the integer's decimal string — never float log10 of the
+    * value, whose boundary rounding can flip a digit cross-engine (and
+    * BIGINT casts themselves differ: Spark truncates decimals, DuckDB
+    * rounds, hence the explicit floor). One map-side digit projection, a
+    * 9-row aggregate, a 1-row count broadcast; the observed fraction's
+    * single int/int division is the only float op (round 6, E17 protocol);
+    * expected_frac is log10 of nine exact constants, rounded 6.
+    * (TPC-H-ish uniform prices won't FOLLOW Benford — the gate reports the
+    * deviation; asserting it is the consumer's policy call.)
+    */
+  def dqBenfordFirstDigit(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val digit = expr(
+      "CAST(left(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS STRING), 1) AS INT)")
+    o.select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n_total"))))
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n_total"), 6).as("observed_frac"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("expected_frac"))
+      .withColumn("abs_dev", round(abs(col("observed_frac") - col("expected_frac")), 6))
+      .orderBy(col("digit"))
+  }
 }

@@ -286,6 +286,49 @@ object Relational {
         |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** D8 sql_pipe_syntax — Spark 4 SQL pipe syntax (`|>`): the linear
+    * dataflow dialect where each stage feeds the next — FROM → WHERE →
+    * EXTEND (derived column) → AGGREGATE … GROUP BY → ORDER BY. The parser
+    * desugars to exactly the nested-SELECT plan (the oracle is that classic
+    * form), so pushdown, join strategy, and codegen are untouched; what
+    * this query pins is the authoring surface itself. Money follows the
+    * exact-decimal protocol: 2-dp decimal recovery inside EXTEND, decimal
+    * SUM, one final double cast (Cols.revenue semantics inline).
+    */
+  def sqlPipeSyntax(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    // stripMargin's margin char is also the pipe operator's first char, so
+    // each continuation line starts with `||>` → `|>` after stripping.
+    spark.sql(
+      """FROM lineitem
+        ||> WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        ||> EXTEND CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))) AS gross
+        ||> AGGREGATE COUNT(*) AS n_items, CAST(SUM(gross) AS DOUBLE) AS revenue GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** D9 sql_execute_immediate — Spark 4 dynamic SQL: the query text lives
+    * in one session variable and is run via EXECUTE IMMEDIATE with a USING
+    * parameter bound from another — the orchestration surface for templated
+    * jobs (one prepared text, per-run bindings; parameter markers instead of
+    * string splicing, so no injection surface and no re-plan per literal).
+    * The bound segment filters customers; balances aggregate in the exact
+    * decimal domain with one final double cast.
+    */
+  def sqlExecuteImmediate(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_sql STRING")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_seg STRING DEFAULT 'BUILDING'")
+    spark.sql("SET VARIABLE graft_seg = 'MACHINERY'")
+    spark.sql(
+      """SET VARIABLE graft_sql =
+        |  'SELECT c_nationkey, COUNT(*) AS n_cust,
+        |   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |   FROM customer WHERE c_mktsegment = ?
+        |   GROUP BY c_nationkey ORDER BY c_nationkey'""".stripMargin)
+    spark.sql("EXECUTE IMMEDIATE graft_sql USING graft_seg")
+  }
+
   /** A5 — dynamic partition pruning, live (VERDICT r1 "What's missing" #4):
     * the fact side is the year-partitioned orders layout; the dim side is a
     * tiny year dimension filtered on a NON-key attribute (leap-year label),

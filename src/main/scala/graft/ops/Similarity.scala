@@ -259,4 +259,156 @@ object Similarity {
       .orderBy(desc("pagerank"), asc("vec_id"))
       .limit(20)
   }
+
+  /** Per-cell centroid build shared by the Lloyd rounds: component means
+    * rounded 6 dp (the IVF quantizer idiom — the rounding is also what
+    * makes each round's output bit-identical cross-engine, M51's fixpoint
+    * protocol), re-assembled into an ordered double vector, pinned with
+    * localCheckpoint because every centroid relation feeds the NEXT
+    * round's full-corpus assignment (index-once, never rebuild-per-use).
+    */
+  private def lloydCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("comp").cast("double")), 6).as("c"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
+      .localCheckpoint(true)
+
+  /** Max-dot assignment of every vector to one of the (broadcast)
+    * centroids; ties break on cell id. Returns vec_id, embedding, cell, d.
+    */
+  private def lloydAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("d", expr(
+        "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("d"))
+  }
+
+  /** J18 vec_kmeans_lloyd — two full Lloyd iterations of spherical k-means
+    * (k = 10) over the embedding corpus: centroids seeded from the
+    * per-label means (the IVF coarse quantizer — one supervised M-step),
+    * then iterated UNSUPERVISED: assign every vector to its max-dot
+    * centroid, recompute centroids as per-cell component means. Output is
+    * the converged clustering's shape: per-cell size and mean
+    * within-cluster similarity.
+    *
+    * 100 TB: the k×64 centroid relation is broadcast every round, so each
+    * Lloyd iteration is one map-side assignment pass plus one keyed
+    * component aggregation — no corpus-sized shuffle joins, the standard
+    * distributed k-means shape. Rounds are driver-paced like M51/J17.
+    *
+    * Determinism: centroid components round to 6 dp each round before
+    * feeding the next (M51's fixpoint protocol); assignment ties break on
+    * cell id; the final mean similarity integerizes each (bit-identical)
+    * dot at 2²⁰ before the exact integer sum, leaving one double division
+    * rounded 6 dp (J17's protocol).
+    */
+  def vecKmeansLloyd(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    var cent = lloydCentroids(e.select(col("label").as("cell"), col("embedding")))
+    for (_ <- 1 to 2)
+      cent = lloydCentroids(lloydAssign(e, cent))
+    lloydAssign(e, cent)
+      .withColumn("d_int", expr("CAST(round(d * 1048576) AS BIGINT)"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d_int")).as("d_sum"))
+      .select(col("cell"), col("n_vectors"),
+        round(col("d_sum").cast("double") / (col("n_vectors") * lit(1048576.0)), 6)
+          .as("mean_sim"))
+      .orderBy(col("cell"))
+  }
+
+  /** M54 graph_knn_jaccard — neighbor-set Jaccard over the symmetrized
+    * 5-NN graph: for every co-neighbor vertex pair, |N(u)∩N(v)| /
+    * |N(u)∪N(v)| — the structural-similarity score behind link prediction
+    * and graph-based dedup (two documents whose similarity NEIGHBORHOODS
+    * coincide are near-dups even when their direct edge is missing).
+    * Candidate pairs come only from the shared-neighbor wedge join —
+    * pairs with zero common neighbors never materialize, so the work is
+    * Σ_w deg(w)² over a degree-≤2k graph: linear in vertices at fixed k,
+    * never |V|². Counts and degrees stay exact integers; the Jaccard
+    * ratio is the single double division (round 6), and the top-15 cut
+    * orders on (jaccard, u, v) so ties are total.
+    */
+  def graphKnnJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"))
+    // symmetrized edge list, pinned once for the 3 downstream consumers
+    // (both wedge sides + the degree relation) — the M42 idiom
+    val und = knnDirected(e, 5)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("u").as("x"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("nb")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val common = adj.select(col("nb").as("w"), col("x").as("pu"))
+      .join(adj.select(col("nb").as("w2"), col("x").as("pv")),
+        col("w") === col("w2") && col("pu") < col("pv"))
+      .groupBy(col("pu"), col("pv")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("x").as("du"), col("deg").as("deg_u")), col("pu") === col("du"))
+      .join(deg.select(col("x").as("dv"), col("deg").as("deg_v")), col("pv") === col("dv"))
+      .select(col("pu").as("u"), col("pv").as("v"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("deg_u") + col("deg_v") - col("n_common")), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("u"), asc("v"))
+      .limit(15)
+  }
+
+  /** M56 graph_degree_assortativity — degree-degree Pearson correlation
+    * across the edges of the symmetrized 5-NN graph (Newman's
+    * assortativity coefficient): do high-degree vertices link to other
+    * high-degree vertices? Positive r = hub-to-hub structure (dense
+    * near-dup cores in an embedding space); negative r = hub-and-spoke.
+    * Each undirected edge contributes its (deg_u, deg_v) pair in BOTH
+    * orientations — the standard symmetric estimator, which also makes
+    * Σx = Σy and Σx² = Σy² so one pass of exact sums suffices. Degrees
+    * and all five moment sums stay exact integers (E25's
+    * decimal(38,0) idiom); the coefficient is one fixed IEEE double tree,
+    * raw with `+ 0.0` canonicalization, never a float accumulation.
+    * Work: the edge build (bounded, behind the checkpoint) + two
+    * broadcast-size degree joins + a 1-row moment aggregate — linear in
+    * |E| at any scale.
+    */
+  def graphDegreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"))
+    val und = knnDirected(e, 5)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("u").as("x"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("nb")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // both orientations: join the directed adj list to degrees on each end
+    val pairs = adj
+      .join(deg.select(col("x").as("dx"), col("deg").as("xd")), col("x") === col("dx"))
+      .join(deg.select(col("x").as("dn"), col("deg").as("yd")), col("nb") === col("dn"))
+      .select(col("xd").cast("decimal(38,0)").as("xd"),
+        col("yd").cast("decimal(38,0)").as("yd"))
+    val dn = col("n").cast("decimal(38,0)")
+    pairs
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd")).as("sx"), sum(col("yd")).as("sy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("yd") * col("yd")).as("syy"),
+        sum(col("xd") * col("yd")).as("sxy"))
+      .select(expr("CAST(n div 2 AS BIGINT)").as("n_edges"),
+        ((dn * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((dn * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((dn * col("syy") - col("sy") * col("sy")).cast("double")))
+          + lit(0.0)).as("assortativity"))
+  }
 }

@@ -194,6 +194,44 @@ object TextAnalysis {
       .orderBy(col("action"))
   }
 
+  /** M55 pipeline_dataset_diff — snapshot diff between two corpus
+    * versions: the added / removed / changed / unchanged audit a lake
+    * publishes alongside every new dataset release (and the precondition
+    * for incremental downstream rebuilds — only `changed`+`added` need
+    * reprocessing). Snapshots are simulated with the M27 modulo-slice
+    * idiom: `old` = 90% of docs, `new` = 95% with every 7th doc's text
+    * edited. Change detection compares md5 content fingerprints (UTF-8
+    * byte-identical cross-engine, the M16 idiom) — never the full text,
+    * so the join rows stay narrow. One doc_id-keyed full-outer join +
+    * one 4-group aggregate: linear, one shuffle each, at any corpus
+    * size; the 100 TB form reads two partitioned snapshot layouts
+    * co-bucketed on doc_id and the join is exchange-free.
+    */
+  def datasetDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val oldSnap = docs.where(col("doc_id") % 20 < 18)
+      .select(col("doc_id").as("o_id"), col("source").as("o_source"),
+        md5(col("text").cast("binary")).as("o_fp"))
+    val newSnap = docs.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id").as("n_id"), col("source").as("n_source"),
+        md5(when(col("doc_id") % 7 === 0, upper(col("text")))
+          .otherwise(col("text")).cast("binary")).as("n_fp"))
+    oldSnap.join(newSnap, col("o_id") === col("n_id"), "full_outer")
+      .select(
+        coalesce(col("o_id"), col("n_id")).as("doc_id"),
+        coalesce(col("n_source"), col("o_source")).as("source"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_fp") =!= col("n_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("status"))
+  }
+
   /** M38 pipeline_split_train_eval — the deterministic train/val/test split
     * every training pipeline runs before anything else: documents routed by
     * the first two md5 hex chars of their id (md5 is bit-identical

@@ -2258,5 +2258,128 @@ object OracleSql {
         |round(lam / CAST(1099511627776 AS DOUBLE) / n, 6) + 0.0 AS eigenvalue
         |FROM v3, range(1, 65) d(i), lam, nn
         |ORDER BY abs(loading) DESC, dim LIMIT 8""".stripMargin.replace("\n", " "),
+
+    // the pipe-syntax query desugars to exactly this classic form
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+
+    // the oracle pins the bound parameter value ('MACHINERY', the last
+    // SET VARIABLE binding) the dynamic text must have received
+    "sql_execute_immediate" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replace("\n", " "),
+
+    // two Lloyd rounds unrolled (M51's fixed-iteration pattern); centroid
+    // components round 6 dp per round, dots are list_dot_product ordered
+    // folds (J2 equivalence), mean_sim integerizes at 2^20 (J17)
+    "vec_kmeans_lloyd" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |c0 AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM (
+        |SELECT label AS cell, CAST(i - 1 AS INT) AS dim, round(avg(emb[CAST(i AS INT)]), 6) AS c
+        |FROM e, range(1, 65) t(i) GROUP BY label, i) GROUP BY cell),
+        |a1 AS (SELECT vec_id, emb, cell FROM (
+        |SELECT e.vec_id, e.emb, c.cell,
+        |ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.cell) AS rn
+        |FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM (
+        |SELECT cell, CAST(i - 1 AS INT) AS dim, round(avg(emb[CAST(i AS INT)]), 6) AS c
+        |FROM a1, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell),
+        |a2 AS (SELECT vec_id, emb, cell FROM (
+        |SELECT e.vec_id, e.emb, c.cell,
+        |ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.cell) AS rn
+        |FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |c2 AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM (
+        |SELECT cell, CAST(i - 1 AS INT) AS dim, round(avg(emb[CAST(i AS INT)]), 6) AS c
+        |FROM a2, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell),
+        |af AS (SELECT vec_id, cell, d FROM (
+        |SELECT e.vec_id, c.cell, list_dot_product(e.emb, c.cvec) AS d,
+        |ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.cell) AS rn
+        |FROM e CROSS JOIN c2 c) WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n_vectors,
+        |round(CAST(SUM(CAST(round(d * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS mean_sim
+        |FROM af GROUP BY cell ORDER BY cell""".stripMargin.replace("\n", " "),
+
+    // same 5-NN + symmetrize CTEs as M42/M51; counts and degrees exact,
+    // one double division at the end
+    "graph_knn_jaccard" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
+        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
+        |FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        |knn AS (SELECT a_id, b_id FROM d WHERE rn <= 5),
+        |und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+        |adj AS (SELECT u AS x, v AS nb FROM und UNION ALL SELECT v AS x, u AS nb FROM und),
+        |deg AS (SELECT x, COUNT(*) AS deg FROM adj GROUP BY x),
+        |com AS (SELECT p1.x AS pu, p2.x AS pv, COUNT(*) AS n_common
+        |FROM adj p1 JOIN adj p2 ON p1.nb = p2.nb AND p1.x < p2.x GROUP BY p1.x, p2.x)
+        |SELECT pu AS u, pv AS v, CAST(n_common AS BIGINT) AS n_common,
+        |round(CAST(n_common AS DOUBLE) / (du.deg + dv.deg - n_common), 6) AS jaccard
+        |FROM com JOIN deg du ON du.x = pu JOIN deg dv ON dv.x = pv
+        |ORDER BY jaccard DESC, u, v LIMIT 15""".stripMargin.replace("\n", " "),
+
+    // ranking stays in the exact-integer domain (dev = n*cumsum - t*total);
+    // the reported cusum is the single double division, round 6
+    "ts_changepoint_cusum" ->
+      (EV + """, daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n_events FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total, COUNT(*) AS n_days FROM daily),
+        |cum AS (SELECT day, n_events, CAST(SUM(n_events) OVER (ORDER BY day) AS BIGINT) AS cum_events,
+        |ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily)
+        |SELECT day, n_events, cum_events, round(CAST(dev AS DOUBLE) / n_days, 6) AS cusum FROM (
+        |SELECT day, n_events, cum_events, n_days * cum_events - t * total AS dev, n_days FROM cum, tot)
+        |ORDER BY abs(dev) DESC, day LIMIT 5""".stripMargin.replace("\n", " ")),
+
+    // digit via exact decimal->floor->string extraction (Spark truncates
+    // decimal->BIGINT, DuckDB rounds — floor first makes them agree)
+    "dq_benford_first_digit" ->
+      """WITH d AS (SELECT CAST(left(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS VARCHAR), 1) AS INT) AS digit FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
+        |t AS (SELECT COUNT(*) AS n_total FROM d)
+        |SELECT digit, n_orders,
+        |round(CAST(n_orders AS DOUBLE) / n_total, 6) AS observed_frac,
+        |round(log10(1.0 + 1.0 / digit), 6) AS expected_frac,
+        |round(abs(round(CAST(n_orders AS DOUBLE) / n_total, 6) - round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
+        |FROM g, t ORDER BY digit""".stripMargin.replace("\n", " "),
+
+    // M27's modulo-slice snapshot simulation; md5 fingerprints compare
+    // content, the full-outer join classifies
+    "pipeline_dataset_diff" ->
+      """WITH oldd AS (SELECT doc_id, source, md5(text) AS fp FROM documents WHERE doc_id % 20 < 18),
+        |newd AS (SELECT doc_id, source,
+        |md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS fp
+        |FROM documents WHERE doc_id % 20 <> 0),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |COALESCE(n.source, o.source) AS source,
+        |CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed'
+        |WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+        |SELECT status, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM j GROUP BY status ORDER BY status""".stripMargin.replace("\n", " "),
+
+    // same 5-NN CTEs; exact HUGEINT moment sums, one raw-double Pearson
+    // tree (E25 pattern), edges counted in both orientations
+    "graph_degree_assortativity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
+        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
+        |FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        |knn AS (SELECT a_id, b_id FROM d WHERE rn <= 5),
+        |und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+        |adj AS (SELECT u AS x, v AS nb FROM und UNION ALL SELECT v AS x, u AS nb FROM und),
+        |deg AS (SELECT x, COUNT(*) AS deg FROM adj GROUP BY x),
+        |pairs AS (SELECT CAST(du.deg AS HUGEINT) AS xd, CAST(dv.deg AS HUGEINT) AS yd
+        |FROM adj JOIN deg du ON du.x = adj.x JOIN deg dv ON dv.x = adj.nb),
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(xd) AS sx, SUM(yd) AS sy,
+        |SUM(xd*xd) AS sxx, SUM(yd*yd) AS syy, SUM(xd*yd) AS sxy FROM pairs)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) + 0.0 AS assortativity
+        |FROM s""".stripMargin.replace("\n", " "),
   )
 }

@@ -889,4 +889,79 @@ class AnalyticSpec extends SparkSpec {
     val total = df.selectExpr("sum(n_items)").head().getLong(0)
     assert(total == Tables.lineitem(spark, sf).count())
   }
+
+  test("J18 vec_kmeans_lloyd: partition of the corpus, cohesion bounded") {
+    val df = run("vec_kmeans_lloyd")
+    // every vector lands in exactly one cell: sizes sum to the corpus
+    val total = df.selectExpr("sum(n_vectors)").head().getLong(0)
+    assert(total == Tables.embeddings(spark, sf).count())
+    // mean within-cluster dot of roughly unit vectors stays in [-1, 1+eps]
+    assert(df.where("mean_sim < -1.0 OR mean_sim > 1.1").count() == 0)
+    assert(df.where("n_vectors <= 0").count() == 0)
+  }
+
+  test("M54 graph_knn_jaccard: scores in (0,1], common bounded by degrees") {
+    val df = run("graph_knn_jaccard")
+    assert(df.count() > 0)
+    assert(df.where("jaccard <= 0.0 OR jaccard > 1.0").count() == 0)
+    // wedge-join candidates share >= 1 neighbor by construction
+    assert(df.where("n_common < 1").count() == 0)
+    assert(df.where("u >= v").count() == 0, "canonical pair order")
+  }
+
+  test("M56 graph_degree_assortativity: coefficient within [-1, 1]") {
+    val row = run("graph_degree_assortativity").head()
+    val r = row.getDouble(row.fieldIndex("assortativity"))
+    assert(r >= -1.0 && r <= 1.0)
+    assert(row.getLong(row.fieldIndex("n_edges")) > 0)
+  }
+
+  test("L21 ts_changepoint_cusum: cusum consistent with exact cum/total") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = run("ts_changepoint_cusum")
+    assert(df.count() == 5)
+    // recompute the CUSUM from the full daily series and check the
+    // reported rows agree (the top-5 cut is over |dev| in exact ints)
+    val daily = Tables.events(spark, sf)
+      .groupBy(expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = daily.count()
+    val tot = daily.selectExpr("sum(cnt)").head().getLong(0)
+    val full = daily
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .withColumn("cusum2",
+        round((lit(n) * col("cum") - col("t") * lit(tot)).cast("double") / lit(n), 6))
+    val bad = run("ts_changepoint_cusum").join(full, "day")
+      .where("cusum <> cusum2 OR cum_events <> cum").count()
+    assert(bad == 0)
+  }
+
+  test("N6 dq_benford_first_digit: digits 1-9, fractions sum to 1") {
+    val df = run("dq_benford_first_digit")
+    assert(df.where("digit < 1 OR digit > 9").count() == 0)
+    val nTot = df.selectExpr("sum(n_orders)").head().getLong(0)
+    assert(nTot == Tables.orders(spark, sf).count())
+    // Benford expectation is a probability law: its nine masses sum to 1
+    val expSum = df.selectExpr("sum(expected_frac)").head().getDouble(0)
+    assert(math.abs(expSum - 1.0) < 1e-4)
+  }
+
+  test("M55 pipeline_dataset_diff: statuses reconcile with the slice sizes") {
+    val df = run("pipeline_dataset_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+    val nOld = docs.where("doc_id % 20 < 18").count()
+    val nNew = docs.where("doc_id % 20 <> 0").count()
+    // old = removed + changed + unchanged; new = added + changed + unchanged
+    assert(df.getOrElse("removed", 0L) + df.getOrElse("changed", 0L) +
+      df.getOrElse("unchanged", 0L) == nOld)
+    assert(df.getOrElse("added", 0L) + df.getOrElse("changed", 0L) +
+      df.getOrElse("unchanged", 0L) == nNew)
+    // the simulated edit makes every surviving %7 doc 'changed'
+    assert(df.getOrElse("changed", 0L) ==
+      docs.where("doc_id % 20 < 18 AND doc_id % 20 <> 0 AND doc_id % 7 = 0").count())
+  }
 }

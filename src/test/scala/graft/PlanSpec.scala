@@ -145,7 +145,10 @@ class PlanSpec extends SparkSpec {
       "wk_q22_lapsed_customers", // broadcast 1-row balance threshold
       "graph_pagerank_knn",     // vec_id < 500 bounded k-NN build + 1-row vertex count
       "pipeline_token_budget_mix", // broadcast 1-row grand-total token/weight sums
-      "vec_pca_power_iter")     // broadcast 1-row iterate/eigenvalue/count relations
+      "vec_pca_power_iter",     // broadcast 1-row iterate/eigenvalue/count relations
+      "ts_changepoint_cusum",   // broadcast 1-row total/n_days aggregate
+      "vec_kmeans_lloyd",       // broadcast ≤10-row centroid table per Lloyd round
+      "dq_benford_first_digit") // broadcast 1-row order-count denominator
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
