@@ -276,18 +276,30 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
       .localCheckpoint(true)
 
-  /** Max-dot assignment of every vector to one of the (broadcast)
-    * centroids; ties break on cell id. Returns vec_id, embedding, cell, d.
+  /** Max-dot assignment of every vector to one of the broadcast
+    * centroids; ties break on cell id. FULLY MAP-SIDE: the k centroids
+    * arrive as ONE broadcast row holding a cell-sorted array, and the
+    * per-row argmax is a transform → array_sort → element_at over that
+    * array — no per-vector window, no corpus-sized exchange. This is the
+    * shape that scales: each Lloyd round's only shuffle is the M-step's
+    * keyed component aggregation. Sorting on struct(-d, cell) ascending
+    * realizes the (d DESC, cell ASC) tiebreak; the negation is undone on
+    * output (and -0.0 cannot leak: −(−x) restores the original sign).
+    * Returns vec_id, embedding, cell, d.
     */
   private def lloydAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("d", expr(
-        "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"), col("d"))
+    // collect_list order is nondeterministic → array_sort by cell makes
+    // the broadcast row canonical before the fold
+    val centArr = cent
+      .agg(expr("array_sort(collect_list(struct(cell, cvec)))").as("cells"))
+    e.crossJoin(broadcast(centArr))
+      .withColumn("best", expr(
+        """element_at(array_sort(transform(cells, c -> struct(
+          |  -aggregate(zip_with(embedding, c.cvec, (x, y) -> CAST(x AS DOUBLE) * y),
+          |             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS nd,
+          |  c.cell AS cell))), 1)""".stripMargin))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cell").as("cell"), (-col("best.nd")).as("d"))
   }
 
   /** J18 vec_kmeans_lloyd — two full Lloyd iterations of spherical k-means

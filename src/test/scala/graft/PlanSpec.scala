@@ -18,6 +18,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_tax"), s"l_tax should be pruned:\n$plan")
   }
 
+  test("D8: pipe syntax desugars with full pushdown — filter reaches the scan") {
+    // the dialect must cost nothing: the |> WHERE lands in PushedFilters
+    // and unused money columns are pruned from the read schema
+    val plan = executed("sql_pipe_syntax")
+    assert(plan.contains("PushedFilters: ["), "no pushed filters")
+    assert(plan.contains("l_shipdate"), "shipdate not in scan")
+    assert(!plan.contains("l_tax"), "l_tax should be pruned from ReadSchema")
+  }
+
+  test("J18: kmeans assignment is map-side — no per-vector window, no corpus exchange") {
+    // the argmax runs as transform/array_sort over ONE broadcast centroid
+    // row; the only exchanges are the M-step component aggregation (hash)
+    // and the 1-row centroid-array collect (single)
+    val plan = executed("vec_kmeans_lloyd")
+    assert(!plan.contains("Window"), "assignment must not use a window")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 1, s"expected <=1 hash exchange, got $hashExchanges")
+  }
+
   test("C3: star join broadcasts the dim chain, no cartesian product") {
     val plan = executed("join_multiway_star")
     assert(plan.contains("BroadcastHashJoin"), "dims should broadcast")
