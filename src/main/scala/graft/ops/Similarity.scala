@@ -292,14 +292,19 @@ object Similarity {
     // the broadcast row canonical before the fold
     val centArr = cent
       .agg(expr("array_sort(collect_list(struct(cell, cvec)))").as("cells"))
+    // inline(array(...)) routes the argmax through ONE Generate eval per
+    // row; extracting best.cell / best.nd from a Project would inline the
+    // whole fold twice (CollapseProject duplicates, and higher-order
+    // functions are interpreted, so no codegen CSE rescues it). The dot
+    // itself is the native graft_dot loop — one primitive 64-wide pass
+    // per cell instead of zip_with's product array + per-element lambda.
     e.crossJoin(broadcast(centArr))
-      .withColumn("best", expr(
-        """element_at(array_sort(transform(cells, c -> struct(
-          |  -aggregate(zip_with(embedding, c.cvec, (x, y) -> CAST(x AS DOUBLE) * y),
-          |             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS nd,
-          |  c.cell AS cell))), 1)""".stripMargin))
+      .select(col("vec_id"), col("embedding"), expr(
+        """inline(array(element_at(array_sort(transform(cells, c -> struct(
+          |  -graft_dot(embedding, c.cvec) AS nd,
+          |  c.cell AS cell))), 1)))""".stripMargin))
       .select(col("vec_id"), col("embedding"),
-        col("best.cell").as("cell"), (-col("best.nd")).as("d"))
+        col("cell"), (-col("nd")).as("d"))
   }
 
   /** J18 vec_kmeans_lloyd — two full Lloyd iterations of spherical k-means
@@ -322,6 +327,7 @@ object Similarity {
     * rounded 6 dp (J17's protocol).
     */
   def vecKmeansLloyd(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
     var cent = lloydCentroids(e.select(col("label").as("cell"), col("embedding")))
