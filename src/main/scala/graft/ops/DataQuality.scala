@@ -233,4 +233,41 @@ object DataQuality {
       .withColumn("abs_dev", round(abs(col("observed_frac") - col("expected_frac")), 6))
       .orderBy(col("digit"))
   }
+
+  /** N7 pipeline_observe_metrics — in-flight pipeline telemetry via
+    * `Dataset.observe` (CollectMetrics): the curation pass runs ONCE to a
+    * noop sink while two observation points ride the stream — one on the
+    * raw scan (docs + chars seen), one after the ≥10-token quality gate
+    * (docs + tokens kept) — and the query's output IS the observed
+    * telemetry, proven equal to ground truth recomputed by the oracle.
+    * This is how a 100 TB curation job reports attrition without a second
+    * scan: observe-aggregates are mergeable accumulator-style metrics
+    * (counts and long sums — order-independent, exact) collected on the
+    * driver as a side effect of the one pass the job already makes.
+    * The returned relation is the 1-row driver-assembled metrics record;
+    * keep_frac's division is the only float op (round 6, E17 protocol).
+    */
+  def observeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val ingest = Observation("ingest")
+    val kept = Observation("kept")
+    val pass = Tables.documents(spark, sfDir)
+      .observe(ingest, count(lit(1)).as("n_seen"),
+        sum(col("n_chars")).as("chars_seen"))
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("n_tok", size(split(col("norm"), " ")))
+      .where(col("n_tok") >= 10)
+      .observe(kept, count(lit(1)).as("n_kept"),
+        sum(col("n_tok").cast("long")).as("tokens_kept"))
+    pass.write.format("noop").mode("overwrite").save()
+    val (i, k) = (ingest.get, kept.get)
+    spark.range(1).select(
+      lit(i("n_seen").asInstanceOf[Long]).as("n_seen"),
+      lit(i("chars_seen").asInstanceOf[Long]).as("chars_seen"),
+      lit(k("n_kept").asInstanceOf[Long]).as("n_kept"),
+      lit(k("tokens_kept").asInstanceOf[Long]).as("tokens_kept"))
+      .withColumn("keep_frac",
+        round(col("n_kept").cast("double") / col("n_seen"), 6) + lit(0.0))
+  }
 }

@@ -116,6 +116,44 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A16 source_file_metadata — the hidden `_metadata` column surface:
+    * the corpus is written as a multi-file parquet dataset (one sorted
+    * writer task rolling a new file every 200 records via
+    * `maxRecordsPerFile`), read back with `_metadata.file_path` /
+    * `_metadata.row_index`, and audited per file: row count, id range,
+    * byte-proxy char sum, and the row-index invariant
+    * max(row_index)+1 = count(*) — the small-file/compaction audit every
+    * lakehouse table needs. The oracle reproduces the deterministic
+    * 200-row chunking with a row_number window, proving the file
+    * boundaries and metadata columns carry exactly the declared rows.
+    *
+    * 100 TB: `maxRecordsPerFile` rolls per writer task, so N tasks emit
+    * N sorted file chains in parallel and the audit's group-by-file_path
+    * distributes like any keyed agg; the single-task form here only
+    * makes the chunk boundaries oracle-reproducible. The file_path group
+    * key never reaches the output (paths are run-local), only its stats.
+    */
+  def sourceFileMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Cols.tmpPath("graft_meta_docs")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .coalesce(1).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 200).parquet(out)
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("n_chars"),
+        col("_metadata.file_path").as("path"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_rows"),
+        (max(col("ri")) + lit(1L)).as("rows_by_index"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(col("n_chars")).as("chars_in_file"))
+      .select(col("min_doc_id"), col("max_doc_id"), col("n_rows"),
+        col("rows_by_index"), col("chars_in_file"))
+      .orderBy(col("min_doc_id"))
+  }
+
   /** A8 — CSV sink + source round-trip (header, explicit schema), same
     * value-check pattern as A7. Doubles survive CSV because Spark writes
     * shortest-round-trip representations.

@@ -2347,6 +2347,29 @@ object OracleSql {
         |round(abs(round(CAST(n_orders AS DOUBLE) / n_total, 6) - round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
         |FROM g, t ORDER BY digit""".stripMargin.replace("\n", " "),
 
+    // the observed telemetry recomputed as ground truth: one pre-gate and
+    // one post-gate aggregate over the same normalize + >=10-token chain
+    "pipeline_observe_metrics" ->
+      """WITH n AS (SELECT n_chars,
+        |CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        |FROM documents),
+        |i AS (SELECT COUNT(*) AS n_seen, CAST(SUM(n_chars) AS BIGINT) AS chars_seen FROM n),
+        |k AS (SELECT COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept FROM n WHERE n_tok >= 10)
+        |SELECT i.n_seen, i.chars_seen, k.n_kept, k.tokens_kept,
+        |round(CAST(k.n_kept AS DOUBLE) / i.n_seen, 6) + 0.0 AS keep_frac
+        |FROM i, k""".stripMargin.replace("\n", " "),
+
+    // the writer rolls a file every 200 sorted records, so file i holds
+    // exactly the rows whose (row_number-1)/200 = i — the oracle rebuilds
+    // that chunking and the row-index invariant is count(*) by definition
+    "source_file_metadata" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |(row_number() OVER (ORDER BY doc_id) - 1) // 200 AS chunk FROM documents)
+        |SELECT min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |COUNT(*) AS n_rows, COUNT(*) AS rows_by_index,
+        |CAST(SUM(n_chars) AS BIGINT) AS chars_in_file
+        |FROM r GROUP BY chunk ORDER BY min_doc_id""".stripMargin.replace("\n", " "),
+
     // M27's modulo-slice snapshot simulation; md5 fingerprints compare
     // content, the full-outer join classifies
     "pipeline_dataset_diff" ->

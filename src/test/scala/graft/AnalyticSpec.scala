@@ -949,6 +949,19 @@ class AnalyticSpec extends SparkSpec {
     assert(math.abs(expSum - 1.0) < 1e-4)
   }
 
+  test("N7 pipeline_observe_metrics: observed telemetry equals ground truth") {
+    val r = run("pipeline_observe_metrics").head()
+    val docs = Tables.documents(spark, sf)
+    assert(r.getAs[Long]("n_seen") == docs.count())
+    assert(r.getAs[Long]("chars_seen") ==
+      docs.selectExpr("sum(n_chars)").head().getLong(0))
+    // the gate only drops rows, and the kept token sum is positive
+    assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_seen"))
+    assert(r.getAs[Long]("n_kept") > 0 && r.getAs[Long]("tokens_kept") > 0)
+    val frac = r.getAs[Double]("keep_frac")
+    assert(frac > 0.0 && frac <= 1.0)
+  }
+
   test("M55 pipeline_dataset_diff: statuses reconcile with the slice sizes") {
     val df = run("pipeline_dataset_diff").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

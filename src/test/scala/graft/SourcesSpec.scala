@@ -79,6 +79,43 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("A16: maxRecordsPerFile rolls deterministic files; _metadata agrees") {
+    // N sorted docs cut every 20 records -> ceil(N/20) files, all of 20
+    // rows except a possibly-short last one (the deterministic chunking
+    // the registered query's oracle reproduces at 200)
+    val dir = tmp("graft_meta")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val n = docs.count()
+    docs.coalesce(1).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 20).parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .select(col("doc_id"), col("_metadata.file_path").as("p"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), (max(col("ri")) + lit(1L)).as("nIdx"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .orderBy(col("lo")).collect()
+    val expected = Seq.fill(((n + 19) / 20).toInt - 1)(20L) :+
+      (if (n % 20 == 0) 20L else n % 20)
+    assert(perFile.map(_.getAs[Long]("n")).toSeq == expected,
+      s"file sizes: ${perFile.map(_.getAs[Long]("n")).mkString(",")}")
+    // the row-index invariant and non-overlapping sorted id ranges
+    perFile.foreach(r =>
+      assert(r.getAs[Long]("n") == r.getAs[Long]("nIdx"), "row_index gap"))
+    perFile.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"), "file ranges overlap")
+      case _ =>
+    }
+  }
+
+  test("A16: the registered query upholds the row-index invariant at sf") {
+    val df = run("source_file_metadata")
+    assert(df.where("n_rows <> rows_by_index").count() == 0)
+    assert(df.selectExpr("sum(n_rows)").head().getLong(0) ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("A12: mergeSchema surfaces the evolved column as NULL on old slices") {
     val df = run("source_parquet_schema_merge")
     val o = Tables.orders(spark, sf)
