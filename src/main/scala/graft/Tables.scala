@@ -32,22 +32,45 @@ object Tables {
 
   /** Events loader — the ONLY way to read `events.parquet`.
     *
-    * The file stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4.x
-    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` (runtime
-    * settable). We read the raw int64 nanoseconds and truncate to µs with
-    * *integer* division (`div`): ns-since-epoch ≈ 1.7e18 exceeds a double's
-    * 2^53 exact-integer range, so a floating-point divide could flip a µs.
-    * Truncation matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast exactly
-    * (FIXTURES.md "Cross-engine ground truths").
+    * SCHEMA-ADAPTIVE: fixture generators have shipped `ts` in multiple
+    * physical layouts over time (parquet TIMESTAMP(NANOS) → int64 ns under
+    * `nanosAsLong`, then plain `timestamp[us]`). A lake reader must not
+    * hard-assume one layout, so we branch on the *loaded* Spark type and
+    * normalize every layout to the same logical contract:
     *
-    * Exposes: event_id, ts (TIMESTAMP_NTZ µs), ts_us (epoch-µs LONG, for
-    * numeric range window frames), user_id, event_type, value, props.
+    *   - `LongType` (ns-as-long, incl. TIMESTAMP(NANOS) via the legacy
+    *     flag): truncate to µs with *integer* division (`div`) —
+    *     ns-since-epoch ≈ 1.7e18 exceeds a double's 2^53 exact range, so a
+    *     floating-point divide could flip a µs. Truncation matches DuckDB's
+    *     TIMESTAMP_NS → TIMESTAMP cast exactly.
+    *   - `TimestampNTZType` (tz-naive `timestamp[us]`, the current layout):
+    *     reinterpret the naive value as a UTC instant (session TZ is pinned
+    *     to UTC by every entry point) — matches DuckDB's naive TIMESTAMP.
+    *   - `TimestampType` (tz-adjusted `timestamp[us, UTC]` / INT96): already
+    *     an instant; take it as-is.
+    *
+    * Exposes: event_id, ts (TIMESTAMP, µs precision, UTC), ts_us (epoch-µs
+    * LONG, for numeric range window frames), user_id, event_type, value,
+    * props — identical values under all three physical layouts
+    * (IngestionContractSpec is the regression fence).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, sfDir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected ns-as-long, timestamp, or timestamp_ntz)")
+    }
   }
 
   private val dfCache =
@@ -69,15 +92,22 @@ object Tables {
     * E6, …) and DataFrame queries are interchangeable. Memoized per
     * (session, sfDir): re-registration would re-read 10 parquet footers per
     * SQL query for nothing.
+    *
+    * FAILURE ISOLATION: each table registers independently — one broken
+    * source (e.g. an events fixture in an unexpected layout) must degrade
+    * only the queries that read it, not detonate every `spark.sql` query in
+    * the suite. A failed registration is remembered and re-attempted on the
+    * next call (memoization only latches once every table registered), and
+    * the first *user* of the broken table still gets the real error when its
+    * view is missing.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (!registeredFor.contains((spark, sfDir))) {
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents", "embeddings").foreach { n =>
-        load(spark, sfDir, n).createOrReplaceTempView(n)
-      }
-      events(spark, sfDir).createOrReplaceTempView("events")
-      registeredFor = Some((spark, sfDir))
+      val results = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings").map { n =>
+        scala.util.Try(load(spark, sfDir, n).createOrReplaceTempView(n))
+      } :+ scala.util.Try(events(spark, sfDir).createOrReplaceTempView("events"))
+      if (results.forall(_.isSuccess)) registeredFor = Some((spark, sfDir))
     }
   }
 }
