@@ -102,12 +102,15 @@ object Tables {
     * view is missing.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
-    if (!registeredFor.contains((spark, sfDir))) {
-      val results = Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "documents", "embeddings").map { n =>
+    val base = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    val cached = registeredFor.contains((spark, sfDir)) &&
+      (base :+ "events").forall(spark.catalog.tableExists)
+    if (!cached) {
+      val results = base.map { n =>
         scala.util.Try(load(spark, sfDir, n).createOrReplaceTempView(n))
       } :+ scala.util.Try(events(spark, sfDir).createOrReplaceTempView("events"))
-      if (results.forall(_.isSuccess)) registeredFor = Some((spark, sfDir))
+      registeredFor = if (results.forall(_.isSuccess)) Some((spark, sfDir)) else None
     }
   }
 }
