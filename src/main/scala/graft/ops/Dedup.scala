@@ -372,7 +372,8 @@ object Dedup {
   def semanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
-    val mutual = Similarity.knnDirected(e, 2)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val mutual = Similarity.knnBucketed(e, 2)
       .groupBy(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v"))
       .agg(count(lit(1)).as("m"))

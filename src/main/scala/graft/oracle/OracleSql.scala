@@ -31,6 +31,28 @@ object OracleSql {
     "SELECT doc_id, min(md5('0|' || s)) AS s0, min(md5('1|' || s)) AS s1, " +
       "min(md5('2|' || s)) AS s2, min(md5('3|' || s)) AS s3 FROM sh GROUP BY doc_id"
 
+
+  /** Shared cell-pruned k-NN CTE chain for the graph family (M42/M44/M51/
+    * M54/M56), mirroring Similarity.knnBucketed exactly: 10 per-label 6-dp
+    * centroids over the bounded set, nprobe=2 routing (crn 1 = assigned
+    * cell, crn <= 2 = probed cells), candidates from the cell equi-join,
+    * exact-dot re-rank. Yields `rk(a_id, b_id, rn)`; consumers cut rn <= k.
+    * Emitted WITHOUT the leading WITH so recursive consumers can prepend
+    * WITH RECURSIVE.
+    */
+  private val knnIvfChain: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings WHERE vec_id < 500),
+      |ccomp AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(emb[CAST(i AS INT)]), 6) AS c FROM e, range(1, 65) t(i) GROUP BY label, i),
+      |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM ccomp GROUP BY label),
+      |cdots AS (SELECT e.vec_id, c.cell, list_dot_product(e.emb, c.cvec) AS d FROM e CROSS JOIN cent c),
+      |cr AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM cdots),
+      |asg AS (SELECT cr.vec_id AS b_id, e.emb AS b_emb, cr.cell FROM cr JOIN e ON e.vec_id = cr.vec_id WHERE crn = 1),
+      |prb AS (SELECT vec_id AS a_id, cell FROM cr WHERE crn <= 2),
+      |cand AS (SELECT p.a_id, b.b_id, list_dot_product(q.emb, b.b_emb) AS dot
+      |FROM prb p JOIN e q ON q.vec_id = p.a_id JOIN asg b ON b.cell = p.cell AND b.b_id <> p.a_id),
+      |rk AS (SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM cand)"""
+      .stripMargin.replace("\n", " ")
+
   /** Shared LSH pipeline CTE chain (shingles → signatures → bands →
     * candidates → shingle counts → intersections) for doc_id < 200; used
     * by dedup_minhash_pairs and dedup_connected_components.
@@ -1686,16 +1708,12 @@ object OracleSql {
     // ---- round-4 batch 3 ----
 
     "graph_triangle_knn" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
-        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
-        |FROM e a JOIN e b ON b.vec_id <> a.vec_id),
-        |knn AS (SELECT a_id, b_id FROM d WHERE rn <= 5),
+      ("WITH " + knnIvfChain + """, knn AS (SELECT a_id, b_id FROM rk WHERE rn <= 5),
         |und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
         |tri AS (SELECT e1.u FROM und e1 JOIN und e2 ON e1.v = e2.u JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
         |vx AS (SELECT count(DISTINCT x) AS n_vertices FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und))
         |SELECT vx.n_vertices, (SELECT count(*) FROM und) AS n_edges,
-        |(SELECT count(*) FROM tri) AS n_triangles FROM vx""".stripMargin.replace("\n", " "),
+        |(SELECT count(*) FROM tri) AS n_triangles FROM vx""".stripMargin.replace("\n", " ")),
 
     // exact LONG/HUGEINT sums; identical float tree (one cast per factor,
     // then div/sqrt/mul) — see agg_skew_kurtosis
@@ -1746,18 +1764,14 @@ object OracleSql {
     // mutual-5-NN graph + recursive min-label closure (same reach pattern
     // as the MinHash component oracle) + size histogram
     "dedup_semantic_clusters" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
-        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
-        |FROM e a JOIN e b ON b.vec_id <> a.vec_id),
-        |knn AS (SELECT a_id, b_id FROM d WHERE rn <= 2),
+      ("WITH RECURSIVE " + knnIvfChain + """, knn AS (SELECT a_id, b_id FROM rk WHERE rn <= 2),
         |mut AS (SELECT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
         |edges AS (SELECT u AS a, v AS b FROM mut UNION ALL SELECT v, u FROM mut),
         |reach AS (SELECT a AS node, a AS label FROM edges
         |UNION SELECT e2.b AS node, r.label FROM reach r JOIN edges e2 ON e2.a = r.node),
         |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
         |cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
-        |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " "),
+        |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " ")),
 
     // ---- composite workload queries (decimal protocol = pricing summary) ----
 
@@ -2047,10 +2061,7 @@ object OracleSql {
         |ORDER BY a_id, rn""".stripMargin.replace("\n", " ")),
 
     "graph_pagerank_knn" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
-        |knn AS (SELECT a_id, b_id FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
-        |FROM e a JOIN e b ON b.vec_id <> a.vec_id) WHERE rn <= 5),
+      ("WITH " + knnIvfChain + """, knn AS (SELECT a_id, b_id FROM rk WHERE rn <= 5),
         |nn AS (SELECT COUNT(*) AS n FROM e),
         |r0 AS (SELECT vec_id, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r FROM e, nn),
         |c1 AS (SELECT b_id, SUM(r / CAST(5 AS DOUBLE)) AS c FROM knn JOIN r0 ON a_id = vec_id GROUP BY b_id),
@@ -2066,7 +2077,7 @@ object OracleSql {
         |+ CAST(0.85 AS DOUBLE) * COALESCE(c, CAST(0 AS DOUBLE)), 12) AS r
         |FROM e CROSS JOIN nn LEFT JOIN c3 ON e.vec_id = c3.b_id)
         |SELECT vec_id, round(r, 6) + 0.0 AS pagerank FROM r3
-        |ORDER BY pagerank DESC, vec_id LIMIT 20""".stripMargin.replace("\n", " "),
+        |ORDER BY pagerank DESC, vec_id LIMIT 20""".stripMargin.replace("\n", " ")),
 
     "ts_resample_interp_5m" ->
       (EV +
@@ -2309,11 +2320,7 @@ object OracleSql {
     // same 5-NN + symmetrize CTEs as M42/M51; counts and degrees exact,
     // one double division at the end
     "graph_knn_jaccard" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
-        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
-        |FROM e a JOIN e b ON b.vec_id <> a.vec_id),
-        |knn AS (SELECT a_id, b_id FROM d WHERE rn <= 5),
+      ("WITH " + knnIvfChain + """, knn AS (SELECT a_id, b_id FROM rk WHERE rn <= 5),
         |und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
         |adj AS (SELECT u AS x, v AS nb FROM und UNION ALL SELECT v AS x, u AS nb FROM und),
         |deg AS (SELECT x, COUNT(*) AS deg FROM adj GROUP BY x),
@@ -2322,7 +2329,7 @@ object OracleSql {
         |SELECT pu AS u, pv AS v, CAST(n_common AS BIGINT) AS n_common,
         |round(CAST(n_common AS DOUBLE) / (du.deg + dv.deg - n_common), 6) AS jaccard
         |FROM com JOIN deg du ON du.x = pu JOIN deg dv ON dv.x = pv
-        |ORDER BY jaccard DESC, u, v LIMIT 15""".stripMargin.replace("\n", " "),
+        |ORDER BY jaccard DESC, u, v LIMIT 15""".stripMargin.replace("\n", " ")),
 
     // ranking stays in the exact-integer domain (dev = n*cumsum - t*total);
     // the reported cusum is the single double division, round 6
@@ -2389,11 +2396,7 @@ object OracleSql {
     // same 5-NN CTEs; exact HUGEINT moment sums, one raw-double Pearson
     // tree (E25 pattern), edges counted in both orientations
     "graph_degree_assortativity" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 500),
-        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_dot_product(a.emb, b.emb) DESC, b.vec_id) AS rn
-        |FROM e a JOIN e b ON b.vec_id <> a.vec_id),
-        |knn AS (SELECT a_id, b_id FROM d WHERE rn <= 5),
+      ("WITH " + knnIvfChain + """, knn AS (SELECT a_id, b_id FROM rk WHERE rn <= 5),
         |und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
         |adj AS (SELECT u AS x, v AS nb FROM und UNION ALL SELECT v AS x, u AS nb FROM und),
         |deg AS (SELECT x, COUNT(*) AS deg FROM adj GROUP BY x),
@@ -2403,6 +2406,6 @@ object OracleSql {
         |SUM(xd*xd) AS sxx, SUM(yd*yd) AS syy, SUM(xd*yd) AS sxy FROM pairs)
         |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
         |CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) + 0.0 AS assortativity
-        |FROM s""".stripMargin.replace("\n", " "),
+        |FROM s""".stripMargin.replace("\n", " ")),
   )
 }

@@ -158,11 +158,11 @@ class PlanSpec extends SparkSpec {
       "dq_anomaly_mad",         // broadcast 1-row median + 1-row MAD
       "text_sparse_cosine_topk", // broadcast 1-row corpus count
       "ann_recall_at_k",        // 10 broadcast query vectors (J3 pattern)
-      "graph_triangle_knn",     // vec_id < 500 bounded k-NN build + 1-row count joins
+      "graph_triangle_knn",     // 1-row vertex/edge/triangle count joins
       "text_keywords_per_doc",  // broadcast 1-row corpus count (J9 pattern)
       "dq_distribution_drift",  // broadcast 1-row grand-total aggregate
       "wk_q22_lapsed_customers", // broadcast 1-row balance threshold
-      "graph_pagerank_knn",     // vec_id < 500 bounded k-NN build + 1-row vertex count
+      "graph_pagerank_knn",     // 1-row vertex-count joins per PageRank round
       "pipeline_token_budget_mix", // broadcast 1-row grand-total token/weight sums
       "vec_pca_power_iter",     // broadcast 1-row iterate/eigenvalue/count relations
       "ts_changepoint_cusum",   // broadcast 1-row total/n_days aggregate
@@ -176,6 +176,32 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
     }
+  }
+
+
+  test("M42-family: bucketed kNN builder joins on the cell key, never all-pairs") {
+    // The graph family (M42/M44/M51/M54/M56) shares Similarity.knnBucketed.
+    // Round 5's base was an all-pairs non-equi self-join (O(n^2) dots at any
+    // corpus size); this gate pins the rebased build: candidates must come
+    // from the cell equi-join, with no nested-loop or cartesian anywhere in
+    // the candidate path (the only cross join in the builder is the 10-row
+    // broadcast centroid table, materialized behind the routing-table
+    // checkpoint before this plan is produced).
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf).where(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    graft.functions.DotProduct.register(spark)
+    val knn = graft.ops.Similarity.knnBucketed(e, 5)
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate path must not nested-loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("cell"), s"candidate join must key on cell:\n$plan")
+    // out-degree is exactly k for every query vector (cells are ~50 wide,
+    // so the probed candidate pool always covers k=5)
+    val deg = knn.groupBy(col("a_id")).count()
+    assert(deg.where(col("count") =!= 5).count() == 0, "every vertex has out-degree k")
+    assert(deg.count() == 500)
   }
 
   test("N1: profile computes every column metric in ONE scan of orders") {
