@@ -120,4 +120,51 @@ object Multimodal {
       .withColumn("mean_byte", round(col("mean_byte"), 4))
       .orderBy(col("doc_id"))
   }
+
+  /** M59 mm_phash_hamming — banded-Hamming near-dup detection for binary
+    * media: a 16-bit block-level SimHash stands in for a perceptual hash
+    * (the codec-free convention of this file — the SIGNATURE pipeline is
+    * real, only the decode is faked), computed from the md5 leading
+    * nibble of each 64-byte payload block (sign-sum per bit, the M22
+    * machinery at block rather than token granularity). Candidate pairs
+    * come ONLY from the 4×4-bit band join — two signatures within
+    * Hamming distance 3 must agree on at least one band (pigeonhole: 3
+    * flipped bits cannot touch all 4 bands), so banding is LOSSLESS at
+    * the threshold while pruning the cross join; the exact
+    * bit_count(xor) re-rank then keeps distance ≤ 3.
+    * Empty payloads carry no blocks and drop out before signing (the M48
+    * guard). At 100 TB: per-band keyed shuffles, never all-pairs — the
+    * media twin of the MinHash band join.
+    */
+  def phashHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val blocks = Tables.documents(spark, sfDir)
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0L, (n_chars + 63) div 64 - 1),
+          |  i -> md5(cast(substring(text, cast(i as int) * 64 + 1, 64) as binary)))"""
+          .stripMargin)).as("h"))
+    val bitSums = (1 to 16).map { j =>
+      sum(when(substring(col("h"), j, 1).isin(hi: _*), 1).otherwise(-1)).as(s"b$j")
+    }
+    val sig = blocks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), (1 to 16).map { j =>
+        when(col(s"b$j") > 0, math.pow(2, j - 1).toLong).otherwise(0L)
+      }.reduce(_ + _).cast("long").as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("band", expr("shiftright(sig, k * 4) & 15"))
+    val cand = bands.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+        col("k"), col("band"))
+      .join(bands.select(col("doc_id").as("b_id"), col("sig").as("sb"),
+        col("k"), col("band")), Seq("k", "band"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sa"), col("sb")).distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("int"))
+      .where(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+  }
 }

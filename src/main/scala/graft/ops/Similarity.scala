@@ -472,4 +472,45 @@ object Similarity {
             sqrt((dn * col("syy") - col("sy") * col("sy")).cast("double")))
           + lit(0.0)).as("assortativity"))
   }
+
+  /** M60 vec_matryoshka_eval — Matryoshka-truncation quality: how much
+    * top-k quality survives when the 64-dim embedding is cut to its
+    * 16-dim prefix (the nested-representation deployment question: serve
+    * short prefixes, keep long vectors for re-rank). Per query vector,
+    * recall@10 of the 16-dim top-10 against the full-dim top-10 — the
+    * ann_recall_at_k harness re-aimed at dimension truncation. Both sides
+    * are the J3 bounded pattern (10 broadcast queries × corpus,
+    * WindowGroupLimit top-k); dots are sequential array-order kernels on
+    * the sliced resp. full arrays, IEEE-identical cross-engine, so both
+    * top-k sets and the recall are exactly reproducible. At 100 TB the
+    * eval stays sample-bounded while the corpus side is one scan per arm.
+    */
+  def vecMatryoshkaEval(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val k = 10
+    val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val pairs = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .join(broadcast(q))
+      .where(col("a_id") =!= col("b_id"))
+    val full = pairs
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"))
+    val trunc = pairs
+      .withColumn("sim_raw", expr("graft_dot(slice(a_emb, 1, 16), slice(b_emb, 1, 16))"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    full.join(trunc, Seq("a_id", "b_id"), "left")
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_full"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("a_id"), col("n_full"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_full")).as("recall16"))
+      .orderBy(col("a_id"))
+  }
 }

@@ -783,4 +783,33 @@ object Streaming {
         col("attr"), col("version"), col("valid_from_us"))
       .orderBy(col("event_id"))
   }
+
+  /** L22 stream_cdc_apply — change-data-capture last-image
+    * materialization: the event log is an ordered change stream per
+    * user_id (upserts carry the new state; `error` is the tombstone), and
+    * the query materializes the CURRENT table — the Debezium/CDC apply
+    * step every lakehouse ingestion runs. The last image per key is an
+    * element PICK (max_by over the composite struct(ts_us, event_id) total
+    * order — the L16 tiebreak protocol), so the aggregate is mergeable and
+    * streaming-compatible: the same body runs under `complete` output mode
+    * with arbitrary micro-batch splits, unlike a rank window. Tombstoned
+    * keys drop AFTER the pick (a later upsert would resurrect them, exactly
+    * CDC semantics). One keyed shuffle at any scale; values are picked
+    * originals, never arithmetic, so the output is bit-deterministic.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame =
+    cdcApplyAgg(Tables.events(spark, sfDir))
+      .where(col("last_type") =!= "error")
+      .orderBy(col("user_id"))
+
+  /** The shared batch/stream CDC aggregation body (tombstone filter and
+    * sort stay outside — `complete`-mode sinks re-sort anyway).
+    */
+  def cdcApplyAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(
+        expr("max_by(event_type, struct(ts_us, event_id))").as("last_type"),
+        expr("max_by(value, struct(ts_us, event_id))").as("last_value"),
+        count(lit(1)).as("n_ops"),
+        max(col("ts_us")).as("last_ts_us"))
 }

@@ -3,6 +3,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -698,5 +699,58 @@ object TextAnalysis {
         (round(col("tokens_taken").cast("double") / col("budget").cast("double"), 6)
           + lit(0.0)).as("fill_ratio"))
       .orderBy(col("source"))
+  }
+
+  /** M58 text_bm25_topk — BM25 ranking (k1 = 1.2, b = 0.75) of the corpus
+    * against the query formed by the 3 highest-df corpus terms (a
+    * deterministic in-data query: df desc, term asc — no literal
+    * vocabulary assumptions). Classic inverted-index work: term
+    * frequencies and document frequencies are exact integer aggregates,
+    * the 3-row query relation broadcasts onto the tf list, and each
+    * (doc, term) score is one fixed IEEE tree over (tf, dl, df, N,
+    * avgdl). Per-doc summation is NOT a float fold: the three term scores
+    * land in qrank-numbered slots (max-when pivot) and add in fixed
+    * s1+s2+s3 order, so no engine aggregation order can flip a bit (the
+    * E23 fixed-tree idiom). Ranking keys on the 6-dp-rounded score (J9:
+    * round BEFORE rank) with a doc_id tiebreak; top-10. At 100 TB: two
+    * keyed shuffles (term, then doc) — the tf-idf/M46 scale shape with a
+    * different scoring tree.
+    */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qterms = df_
+      .withColumn("qrank", row_number().over(
+        Window.orderBy(desc("df"), asc("w"))))
+      .where(col("qrank") <= 3)
+    val scored = tf.join(broadcast(qterms), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("sc", col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("qrank") === 1, col("sc"))).as("s1"),
+        max(when(col("qrank") === 2, col("sc"))).as("s2"),
+        max(when(col("qrank") === 3, col("sc"))).as("s3"))
+      .select(col("doc_id"),
+        (round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+          + coalesce(col("s3"), lit(0.0)), 6) + lit(0.0)).as("bm25"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("bm25"), asc("doc_id"))))
+      .where(col("rk") <= 10)
+      .orderBy(col("rk"))
   }
 }

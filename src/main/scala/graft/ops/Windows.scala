@@ -331,4 +331,45 @@ object Windows {
           .cast("double"))
       .orderBy(col("c_nationkey"), desc("c_acctbal"), asc("c_custkey"))
   }
+
+  /** F13 win_ewma — exponentially weighted moving average of the daily
+    * event-count series, alpha = 1/2 truncated at 30 lags. The recursion
+    * y_t = alpha*x_t + (1-alpha)*y_{t-1} is unwound into its windowed form
+    * y_t = sum_i w_i x_{t-i} / sum_i w_i (i = 0..30, w_i = 2^-i) and
+    * computed by LAG SCATTER: each day explodes its 31 future
+    * contributions (x * 2^-lag), one keyed aggregate sums them per target
+    * day — no recursive state, no per-row frame re-scan, linear work at
+    * any scale (the ts_gapfill explode idiom). The denominator sums the
+    * same 2^-lag weights, so series edges (fewer than 31 lags available)
+    * normalize correctly.
+    *
+    * BIT-EXACT BY CONSTRUCTION: alpha = 1/2 makes every weight a dyadic
+    * 2^-lag (exactly representable); x is an integer count, so every term
+    * and every partial sum is a multiple of 2^-30 well inside the 2^53
+    * integer range (daily counts up to ~4M) — the float sums commute, no
+    * engine ordering can flip a bit. The one inexact op is the final
+    * division, identical IEEE on both engines. Day is emitted as an ISO
+    * string (L14/L21 canonicalization).
+    */
+  def winEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    // collapsed series: bounded by the day span, not the event count —
+    // the L21 precedent for a single ordered window over it
+    val wr = daily.withColumn("rn",
+      row_number().over(Window.orderBy(col("day"))))
+    val contrib = wr
+      .select(col("rn"), col("x"),
+        explode(sequence(lit(0), lit(30))).as("lag"))
+      .groupBy((col("rn") + col("lag")).as("t"))
+      .agg(
+        sum(col("x") * pow(lit(0.5), col("lag"))).as("num"),
+        sum(pow(lit(0.5), col("lag"))).as("den"))
+    wr.join(contrib, col("rn") === col("t"))
+      .select(col("day").cast("string").as("day"),
+        col("x").as("n_events"),
+        (round(col("num") / col("den"), 6) + lit(0.0)).as("ewma"))
+      .orderBy(col("day"))
+  }
 }

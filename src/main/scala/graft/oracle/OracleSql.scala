@@ -2407,5 +2407,99 @@ object OracleSql {
         |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
         |CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) + 0.0 AS assortativity
         |FROM s""".stripMargin.replace("\n", " ")),
+
+    // ---- round-6 batch ----
+
+    // last-image pick via rank window (Spark's max_by over the composite
+    // struct is the same total order); tombstones drop after the pick
+    "stream_cdc_apply" ->
+      (EV + """, r AS (SELECT user_id, event_type, value, ts_us,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev),
+        |n AS (SELECT user_id, COUNT(*) AS n_ops, MAX(ts_us) AS last_ts_us FROM ev GROUP BY user_id)
+        |SELECT r.user_id, r.event_type AS last_type, r.value AS last_value, n.n_ops, n.last_ts_us
+        |FROM r JOIN n ON r.user_id = n.user_id
+        |WHERE rn = 1 AND r.event_type <> 'error' ORDER BY r.user_id""".stripMargin.replace("\n", " ")),
+
+    // dyadic weights (2^-lag) x integer counts: every term and partial sum
+    // is exact, so the lag-scatter aggregate cannot diverge across engines
+    "win_ewma" ->
+      (EV + """, daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM ev GROUP BY 1),
+        |wr AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        |c AS (SELECT wr.rn + i AS t, SUM(x * power(0.5, i)) AS num, SUM(power(0.5, i)) AS den
+        |FROM wr, range(0, 31) r(i) GROUP BY wr.rn + i)
+        |SELECT CAST(day AS VARCHAR) AS day, x AS n_events,
+        |round(num / den, 6) + 0.0 AS ewma
+        |FROM wr JOIN c ON c.t = wr.rn ORDER BY day""".stripMargin.replace("\n", " ")),
+
+    // both arms replicated with the same rank cut; 16-dim arm slices the
+    // DOUBLE[] prefix exactly like Spark's slice(embedding, 1, 16)
+    "vec_matryoshka_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS a_id, emb AS a_emb FROM e WHERE vec_id < 10),
+        |p AS (SELECT q.a_id, q.a_emb, b.vec_id AS b_id, b.emb AS b_emb FROM q, e b WHERE b.vec_id <> q.a_id),
+        |ful AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY list_dot_product(a_emb, b_emb) DESC, b_id) AS rn FROM p) WHERE rn <= 10),
+        |tru AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY list_dot_product(a_emb[1:16], b_emb[1:16]) DESC, b_id) AS rn FROM p) WHERE rn <= 10)
+        |SELECT f.a_id, COUNT(*) AS n_full,
+        |COUNT(t.b_id) AS n_hit,
+        |CAST(COUNT(t.b_id) AS DOUBLE) / COUNT(*) AS recall16
+        |FROM ful f LEFT JOIN tru t ON t.a_id = f.a_id AND t.b_id = f.b_id
+        |GROUP BY f.a_id ORDER BY f.a_id""".stripMargin.replace("\n", " "),
+
+    // fixed-slot s1+s2+s3 summation (no float fold); rank on the rounded
+    // score with doc_id tiebreak — identical tree both engines
+    "text_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |tf AS (SELECT doc_id, unnest(toks) AS w FROM d),
+        |tfc AS (SELECT doc_id, w, COUNT(*) AS tf FROM tf GROUP BY doc_id, w),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+        |dfc AS (SELECT w, COUNT(*) AS df FROM tfc GROUP BY w),
+        |qt AS (SELECT w, df, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS qrank FROM dfc QUALIFY qrank <= 3),
+        |sc AS (SELECT t.doc_id, q.qrank,
+        |ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+        |* (CAST(t.tf AS DOUBLE) * 2.2)
+        |/ (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / (CAST(st.tot_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS s
+        |FROM tfc t JOIN qt q ON q.w = t.w JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st),
+        |agg AS (SELECT doc_id,
+        |round(COALESCE(MAX(s) FILTER (WHERE qrank = 1), 0.0)
+        |+ COALESCE(MAX(s) FILTER (WHERE qrank = 2), 0.0)
+        |+ COALESCE(MAX(s) FILTER (WHERE qrank = 3), 0.0), 6) + 0.0 AS bm25
+        |FROM sc GROUP BY doc_id)
+        |SELECT doc_id, bm25, rk FROM (SELECT doc_id, bm25,
+        |ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM agg) WHERE rk <= 10 ORDER BY rk""".stripMargin.replace("\n", " "),
+
+    // block-level 16-bit simhash (M22 machinery over 64-byte blocks), 4x4
+    // band candidates (lossless at distance <= 3 by pigeonhole), exact
+    // bit_count(xor) <= 3 re-rank
+    "mm_phash_hamming" ->
+      """WITH blk AS (SELECT doc_id, unnest(list_transform(range(0, (n_chars + 63) // 64),
+        |i -> md5(substring(text, CAST(i AS INT) * 64 + 1, 64)))) AS h
+        |FROM documents WHERE n_chars > 0),
+        |bits AS (SELECT doc_id, j, SUM(CASE WHEN substring(h, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS bs
+        |FROM blk, range(1, 17) t(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bs > 0 THEN power(2, j - 1) ELSE 0 END) AS BIGINT) AS sig FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sig, k, (sig // CAST(power(2, k * 4) AS BIGINT)) % 16 AS band FROM sig, range(0, 4) t(k)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, x.sig AS sa, y.sig AS sb
+        |FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY hamming, a_id, b_id""".stripMargin.replace("\n", " "),
+
+    // the bloom is a no-false-negative PREFILTER confirmed by an exact
+    // join, so the counts are exact — the oracle checks them with plain
+    // two-slice dedup SQL, no sketch replication needed
+    "dedup_bloom_prefilter" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp,
+        |doc_id % 10 = 0 AS incoming FROM documents),
+        |ex AS (SELECT DISTINCT fp FROM fp WHERE NOT incoming),
+        |inc AS (SELECT f.source, CASE WHEN ex.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+        |FROM fp f LEFT JOIN ex ON ex.fp = f.fp WHERE f.incoming)
+        |SELECT source, COUNT(*) AS n_incoming, CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+        |CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_new,
+        |round(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) + 0.0 AS dup_frac
+        |FROM inc GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
   )
 }

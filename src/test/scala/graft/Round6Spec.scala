@@ -1,0 +1,140 @@
+package graft
+
+import graft.ops.{Dedup, Streaming}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Property specs for the round-6 operator batch: CDC last-image apply,
+  * exact dyadic EWMA, Matryoshka truncation eval, BM25, banded-Hamming
+  * media near-dup, and the bloom-prefiltered incremental dedup.
+  */
+class Round6Spec extends SparkSpec {
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  test("L22 stream_cdc_apply: tombstoned keys drop, survivors carry their true last image") {
+    val df = run("stream_cdc_apply").collect()
+    assert(df.nonEmpty)
+    assert(!df.exists(_.getString(1) == "error"), "tombstoned users must not surface")
+    // cross-check one surviving user against a direct rank query
+    val ev = Tables.events(spark, sf)
+    val expect = ev
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(desc("ts_us"), desc("event_id"))))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(df.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet == expect)
+  }
+
+  test("L22 twin: streaming CDC aggregate equals batch under micro-batch splits") {
+    implicit val ctx = s.sqlContext
+    val data = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 00:01:00"), 1, 10.0, "view"),
+      Ev(Timestamp.valueOf("2024-01-01 00:02:00"), 1, 20.0, "purchase"),
+      Ev(Timestamp.valueOf("2024-01-01 00:03:00"), 2, 5.0, "click"),
+      Ev(Timestamp.valueOf("2024-01-01 00:04:00"), 2, 6.0, "error"), // tombstone
+      Ev(Timestamp.valueOf("2024-01-01 00:05:00"), 3, 7.0, "signup"))
+    def withIds(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("event_id", col("user_id") * 100 + col("ts_us") % 100)
+    val ms = MemoryStream[Ev]
+    val q = Streaming.cdcApplyAgg(withIds(ms.toDF())).writeStream
+      .format("memory").queryName("t_cdc").outputMode("complete").start()
+    ms.addData(data.take(2): _*); q.processAllAvailable()
+    ms.addData(data.drop(2): _*); q.processAllAvailable()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "last_type", "last_value", "n_ops").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val streamed = canon(s.table("t_cdc"))
+    q.stop()
+    assert(streamed == canon(Streaming.cdcApplyAgg(withIds(data.toDF()))))
+    assert(streamed.exists(t => t._1 == 2 && t._2 == "error"), "agg keeps the tombstone image")
+  }
+
+  test("F13 win_ewma: day-1 equals its count; constant series reproduces the constant") {
+    val rows = run("win_ewma").collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getString(0))
+    assert(first.getDouble(2) == first.getLong(1).toDouble,
+      "first day's EWMA is its own count (single-lag window)")
+    // bounds: ewma lies within [min, max] of the trailing-31 window
+    val xs = rows.map(_.getLong(1))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val w = xs.slice(math.max(0, i - 30), i + 1)
+      assert(r.getDouble(2) >= w.min - 1e-6 && r.getDouble(2) <= w.max + 1e-6,
+        s"ewma out of window bounds at ${r.getString(0)}")
+    }
+  }
+
+  test("J19 vec_matryoshka_eval: recall in [0,1] over exactly 10 ground-truth rows each") {
+    val rows = run("vec_matryoshka_eval").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10L, "full-dim ground truth must have k rows")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("M58 text_bm25_topk: 10 rows, scores non-increasing, rank keys the rounded score") {
+    val rows = run("text_bm25_topk").collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores must be sorted")
+    assert(scores.forall(_ > 0.0), "top-10 BM25 of high-df terms must be positive")
+  }
+
+  test("M59 mm_phash_hamming: all pairs within threshold and band-reachable") {
+    val rows = run("mm_phash_hamming").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical a<b orientation")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 3, "hamming threshold")
+    }
+    // pigeonhole: distance <= 3 over 4 bands of 4 bits -> at least one
+    // band untouched, so the band join cannot have dropped a qualifying pair.
+    // Cross-check the full count against a direct (unbanded) computation.
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val blocks = Tables.documents(spark, sf)
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0L, (n_chars + 63) div 64 - 1),
+          |  i -> md5(cast(substring(text, cast(i as int) * 64 + 1, 64) as binary)))"""
+          .stripMargin)).as("h"))
+    val bitSums = (1 to 16).map { j =>
+      sum(when(substring(col("h"), j, 1).isin(hi: _*), 1).otherwise(-1)).as(s"b$j")
+    }
+    val sig = blocks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), (1 to 16).map { j =>
+        when(col(s"b$j") > 0, math.pow(2, j - 1).toLong).otherwise(0L)
+      }.reduce(_ + _).cast("long").as("sig"))
+    val a = sig.select(col("doc_id").as("a_id"), col("sig").as("sa"))
+    val b = sig.select(col("doc_id").as("b_id"), col("sig").as("sb"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .where(expr("bit_count(sa ^ sb)") <= 3).count()
+    assert(rows.length.toLong == brute, s"banding must be lossless at the threshold")
+  }
+
+  test("M57 dedup_bloom_prefilter: counts exact and bloom-independent") {
+    val rows = run("dedup_bloom_prefilter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), "n_incoming = n_dup + n_new")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // ground truth without any bloom: plain exact two-slice dedup
+    val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary"))
+    val docs = Tables.documents(spark, sf).withColumn("fp", fp)
+    val truth = docs.where(col("doc_id") % 10 === 0)
+      .join(docs.where(col("doc_id") % 10 =!= 0).select(col("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == truth.getOrElse(r.getString(0), 0L),
+        s"dup count for ${r.getString(0)} must equal the no-bloom exact answer")
+    }
+  }
+}
