@@ -484,4 +484,39 @@ object Dedup {
           + lit(0.0)).as("dup_frac"))
       .orderBy(col("source"))
   }
+
+  /** M61 text_decontaminate_13gram — benchmark decontamination at the
+    * PUBLISHED standard granularity: a test document is contaminated if
+    * ANY of its 13-token n-grams appears verbatim in the training slice
+    * (the 13-gram exact-match rule popularized by large-LM eval decks;
+    * the 3-shingle overlap score in M34 is the softer fractional
+    * variant). Same modulo-10 test/train split as M34. 13-grams come
+    * from one transform over the token array (no UDTF); the train-side
+    * relation is distinct-deduped and the probe is a left-semi join on
+    * the n-gram key — one keyed shuffle each side, linear in corpus
+    * n-grams, the decontamination shape that holds at 100 TB. Documents
+    * shorter than 13 tokens have no n-grams and are clean by definition.
+    */
+  def decontaminate13gram(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(t) < 13 THEN array()
+          |ELSE transform(sequence(1, size(t) - 12),
+          |  i -> concat_ws(' ', slice(t, i, 13)))
+          |END""".stripMargin))).as("g"))
+    val test = grams.where(col("doc_id") % 10 === 0)
+    val train = grams.where(col("doc_id") % 10 =!= 0).select(col("g")).distinct()
+    val totals = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 12, lit(0)).cast("long").as("n_grams"))
+    val hits = test.join(train, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -513,4 +513,47 @@ object Similarity {
         (col("n_hit").cast("double") / col("n_full")).as("recall16"))
       .orderBy(col("a_id"))
   }
+
+  /** J20 vec_ivf_stats — IVF index-quality report: the audit every ANN
+    * deployment runs after an index build. Assignment is the ann_ivf_topk
+    * quantizer (10 per-label 6-dp centroids, argmax dot, asc-cell
+    * tiebreak) over the FULL corpus; per cell the report gives list size,
+    * corpus share, imbalance vs the uniform ideal (the number that
+    * predicts probe-latency variance), and mean member-to-centroid
+    * similarity (cell coherence — integerized at 2^20 before the exact
+    * integer sum, the J18 protocol, so no float-order hazard). One
+    * broadcast of 10 centroids + one corpus pass + one keyed aggregate —
+    * index-audit cost is a single scan at any corpus size.
+    */
+  def vecIvfStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("comp").cast("double")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
+      .select(col("label").as("cell"), col("cvec"))
+      .localCheckpoint(true)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("d", expr(
+        "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .withColumn("d_int", expr("CAST(round(d * 1048576) AS BIGINT)"))
+    val stats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d_int")).as("d_sum"))
+    val tot = stats.agg(sum(col("n_vectors")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    stats.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        (round(col("n_vectors").cast("double") / col("n_total").cast("double"), 6)
+          + lit(0.0)).as("corpus_frac"),
+        (round(col("n_vectors").cast("double") * col("n_cells").cast("double")
+          / col("n_total").cast("double"), 6) + lit(0.0)).as("imbalance"),
+        (round(col("d_sum").cast("double") / (col("n_vectors") * lit(1048576.0)), 6)
+          + lit(0.0)).as("mean_centroid_sim"))
+      .orderBy(col("cell"))
+  }
 }

@@ -753,4 +753,39 @@ object TextAnalysis {
       .where(col("rk") <= 10)
       .orderBy(col("rk"))
   }
+
+  /** M62 text_perplexity_proxy — unigram-LM surprise score, the
+    * perplexity-style quality signal curation pipelines threshold on
+    * (high mean negative log-prob = token distribution far from the
+    * corpus = gibberish or boilerplate candidates). The LM is the
+    * corpus's own unigram distribution: p(w) = count(w)/total, both
+    * exact integers, so p is one identical double division per DISTINCT
+    * word. Per-token -ln(p) is integerized at 1e6 (the J17/J18
+    * fixed-point protocol) BEFORE the per-doc sum, so the aggregate is
+    * exact LONG math under any order; the mean is one final division
+    * rounded 6 dp. Two keyed shuffles (word counts, then doc sums) —
+    * the wordcount scale shape with a scoring tree on top. Top-20
+    * most-surprising docs, rank on the rounded score with doc_id
+    * tiebreak (J9).
+    */
+  def perplexityProxy(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = wc.agg(sum(col("c")).as("total"))
+    val nlp = wc.crossJoin(broadcast(tot))
+      .select(col("w"),
+        expr("CAST(round(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6) AS BIGINT)")
+          .as("nlp_int"))
+    toks.join(nlp, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nlp_int")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (round(col("s").cast("double") / (col("n_tokens") * lit(1e6)), 6)
+          + lit(0.0)).as("avg_neg_logprob"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("avg_neg_logprob"), asc("doc_id"))))
+      .where(col("rk") <= 20)
+      .orderBy(col("rk"))
+  }
 }

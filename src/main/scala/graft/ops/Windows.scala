@@ -372,4 +372,34 @@ object Windows {
         (round(col("num") / col("den"), 6) + lit(0.0)).as("ewma"))
       .orderBy(col("day"))
   }
+
+  /** F14 win_drawdown — running peak and maximum drawdown of the daily
+    * net-value series (purchases add, errors subtract — a cash-flow
+    * stand-in): the classic risk window pattern (cumulative sum, running
+    * max, peak-minus-current). EVERYTHING stays in exact DECIMAL until
+    * the output cast: daily flows are dec2 sums, the cumulative balance
+    * and running peak are decimal windows over the day-collapsed series
+    * (bounded by the day span — the L21 single-window precedent), and
+    * drawdown is a decimal subtraction, so no float accumulation exists
+    * anywhere. At 100 TB the per-day collapse is the only corpus-sized
+    * aggregate; the windows run over ~10³ rows regardless of data size.
+    */
+  def winDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("purchase", "error"))
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", Cols.dec2(col("value")))
+        .otherwise(-Cols.dec2(col("value")))).as("flow"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("balance", sum(col("flow")).over(wCum))
+      .withColumn("peak", max(col("balance")).over(wCum))
+      .select(col("day").cast("string").as("day"),
+        col("flow").cast("double").as("net_flow"),
+        col("balance").cast("double").as("balance"),
+        col("peak").cast("double").as("peak"),
+        (col("peak") - col("balance")).cast("double").as("drawdown"))
+      .orderBy(col("day"))
+  }
 }

@@ -2501,5 +2501,70 @@ object OracleSql {
         |CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_new,
         |round(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) + 0.0 AS dup_frac
         |FROM inc GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+
+    // full-corpus IVF assignment (the ann_ivf_topk quantizer CTEs); cell
+    // coherence integerized at 2^20 before the exact sum (J18 protocol)
+    "vec_ivf_stats" ->
+      """WITH comp AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+        |FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM comp GROUP BY label),
+        |dots AS (SELECT e.vec_id, c.cell,
+        |list_dot_product(CAST(e.embedding AS DOUBLE[]), cvec) AS d
+        |FROM embeddings e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, cell, CAST(round(d * 1048576) AS BIGINT) AS d_int FROM
+        |(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn FROM dots) WHERE rn = 1),
+        |st AS (SELECT cell, COUNT(*) AS n_vectors, SUM(d_int) AS d_sum FROM asg GROUP BY cell),
+        |tt AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total, COUNT(*) AS n_cells FROM st)
+        |SELECT cell, n_vectors,
+        |round(CAST(n_vectors AS DOUBLE) / n_total, 6) + 0.0 AS corpus_frac,
+        |round(CAST(n_vectors AS DOUBLE) * n_cells / n_total, 6) + 0.0 AS imbalance,
+        |round(CAST(d_sum AS DOUBLE) / (n_vectors * 1048576.0), 6) + 0.0 AS mean_centroid_sim
+        |FROM st, tt ORDER BY cell""".stripMargin.replace("\n", " "),
+
+    // 13-token exact-match rule; <13-token docs have zero n-grams and are
+    // clean by definition
+    "text_decontaminate_13gram" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 13 THEN CAST([] AS VARCHAR[])
+        |ELSE list_transform(range(1, len(t) - 11), i -> array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 12], ' ')) END)) AS g FROM d),
+        |test AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        |train AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT doc_id, CAST(greatest(len(string_split(text, ' ')) - 12, 0) AS BIGINT) AS n_grams
+        |FROM documents WHERE doc_id % 10 = 0),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM test WHERE g IN (SELECT g FROM train) GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_grams, COALESCE(hit.n_hit, 0) AS n_hit,
+        |COALESCE(hit.n_hit, 0) > 0 AS is_contaminated
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id ORDER BY tot.doc_id""".stripMargin.replace("\n", " "),
+
+    // per-word -ln(p) integerized at 1e6 before the per-doc sum (exact
+    // LONG aggregate); rank on the rounded mean with doc_id tiebreak
+    "text_perplexity_proxy" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY w),
+        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM wc),
+        |nlp AS (SELECT w, CAST(round(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6) AS BIGINT) AS nlp_int FROM wc, tt),
+        |ds AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(nlp_int) AS s
+        |FROM tk JOIN nlp ON nlp.w = tk.w GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, avg_neg_logprob, rk FROM (
+        |SELECT doc_id, n_tokens,
+        |round(CAST(s AS DOUBLE) / (n_tokens * 1e6), 6) + 0.0 AS avg_neg_logprob,
+        |ROW_NUMBER() OVER (ORDER BY round(CAST(s AS DOUBLE) / (n_tokens * 1e6), 6) + 0.0 DESC, doc_id) AS rk
+        |FROM ds) WHERE rk <= 20 ORDER BY rk""".stripMargin.replace("\n", " "),
+
+    // exact-decimal cumulative balance / running peak / drawdown over the
+    // day-collapsed series; doubles only at the output cast
+    "win_drawdown" ->
+      (EV + """, daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+        |ELSE -CAST(value AS DECIMAL(12,2)) END) AS flow
+        |FROM ev WHERE event_type IN ('purchase', 'error') GROUP BY 1),
+        |r AS (SELECT day, flow,
+        |SUM(flow) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance FROM daily),
+        |p AS (SELECT day, flow, balance,
+        |MAX(balance) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM r)
+        |SELECT day, CAST(flow AS DOUBLE) AS net_flow, CAST(balance AS DOUBLE) AS balance,
+        |CAST(peak AS DOUBLE) AS peak, CAST(peak - balance AS DOUBLE) AS drawdown
+        |FROM p ORDER BY day""".stripMargin.replace("\n", " ")),
   )
 }

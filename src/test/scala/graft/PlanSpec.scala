@@ -198,6 +198,8 @@ class PlanSpec extends SparkSpec {
       "vec_kmeans_lloyd",       // broadcast ≤10-row centroid table per Lloyd round
       "vec_matryoshka_eval",    // 10 broadcast query vectors × both arms (J3 pattern)
       "text_bm25_topk",         // broadcast 1-row corpus stats + 3-row query terms
+      "vec_ivf_stats",          // broadcast 10-row centroid table + 1-row totals
+      "text_perplexity_proxy",  // broadcast 1-row total-token count
       "dq_benford_first_digit") // broadcast 1-row order-count denominator
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

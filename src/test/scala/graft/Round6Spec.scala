@@ -137,4 +137,49 @@ class Round6Spec extends SparkSpec {
         s"dup count for ${r.getString(0)} must equal the no-bloom exact answer")
     }
   }
+
+  test("J20 vec_ivf_stats: cells partition the corpus, imbalance averages to 1") {
+    val rows = run("vec_ivf_stats").collect()
+    assert(rows.length == 10, "one row per quantizer cell")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n, "cells must partition the corpus")
+    val fracs = rows.map(_.getDouble(2))
+    assert(math.abs(fracs.sum - 1.0) < 1e-4, "corpus fractions sum to 1")
+    val imb = rows.map(_.getDouble(3))
+    assert(math.abs(imb.sum / imb.length - 1.0) < 1e-4, "mean imbalance is 1 by construction")
+  }
+
+  test("M61 text_decontaminate_13gram: test slice only, hits bounded, short docs clean") {
+    val rows = run("text_decontaminate_13gram").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, "only test-slice docs appear")
+      assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed n-gram count")
+      assert(r.getBoolean(3) == (r.getLong(2) > 0))
+      if (r.getLong(1) == 0) assert(!r.getBoolean(3), "no n-grams -> clean by definition")
+    }
+  }
+
+  test("M62 text_perplexity_proxy: top-20 surprise scores positive and non-increasing") {
+    val rows = run("text_perplexity_proxy").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0), "-ln(p) of p<1 is positive")
+  }
+
+  test("F14 win_drawdown: peak runs the max, drawdown nonnegative and consistent") {
+    val rows = run("win_drawdown").collect()
+    assert(rows.nonEmpty)
+    var peak = Double.MinValue
+    var bal = 0.0
+    rows.foreach { r =>
+      bal += r.getDouble(1)
+      assert(math.abs(r.getDouble(2) - bal) < 1e-6, "balance is the cumulative flow")
+      peak = math.max(peak, r.getDouble(2))
+      assert(math.abs(r.getDouble(3) - peak) < 1e-6, "peak is the running max")
+      assert(r.getDouble(4) >= -1e-9, "drawdown nonnegative")
+      assert(math.abs(r.getDouble(4) - (r.getDouble(3) - r.getDouble(2))) < 1e-6)
+    }
+  }
 }
