@@ -519,4 +519,56 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) > 0).as("is_contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** M63 dedup_lsh_recall_eval — the eval harness for the TEXT dedup
+    * stack (the ann_recall_at_k / vec_matryoshka_eval pattern aimed at
+    * MinHash banding): over the bounded M2 slice, compare the LSH
+    * candidate pairs (b=2 bands × r=2 rows, the production config)
+    * against ground truth = ALL pairs with exact shingle-Jaccard ≥ 0.8,
+    * and report candidate count, truth count, hits, precision and
+    * recall — the numbers that justify (or re-tune) a banding config
+    * before a corpus-scale run. Ground truth never materializes the
+    * pair space: candidates for the exact side come from the
+    * shingle-co-occurrence join (pairs sharing ≥ 1 shingle — a superset
+    * of every pair with Jaccard > 0), keyed by shingle, linear in
+    * co-occurrences. One-row output, all counts exact, two rounded
+    * divisions at the end.
+    */
+  def lshRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir, 200).cache()
+    val sig = signatures(sh).localCheckpoint(true)
+    val band = sig.select(col("doc_id"), unhex(md5(concat(col("s0"), col("s1")))).as("b"))
+      .unionAll(sig.select(col("doc_id"), unhex(md5(concat(col("s2"), col("s3")))).as("b")))
+    val cand = band.as("x").join(band.as("y"),
+        col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // exact side: only pairs that SHARE a shingle can clear any positive
+    // Jaccard bar, so the shingle-keyed co-occurrence join is the
+    // complete candidate generator for ground truth
+    val inter = sh.select(col("doc_id").as("a_id"), col("s"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("ni"))
+    val truth = inter
+      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .where(col("ni").cast("double") / (col("na") + col("nb") - col("ni")) >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    val hits = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nH = hits.agg(count(lit(1)).as("n_hit"))
+    // empty candidate/truth sets are real at small SFs (the banding finds
+    // nothing) — the ratio is then undefined, reported as NULL, never /0
+    nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") > 0,
+          round(col("n_hit").cast("double") / col("n_cand"), 6) + lit(0.0))
+          .as("precision"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true"), 6) + lit(0.0))
+          .as("recall"))
+  }
 }

@@ -2566,5 +2566,22 @@ object OracleSql {
         |SELECT day, CAST(flow AS DOUBLE) AS net_flow, CAST(balance AS DOUBLE) AS balance,
         |CAST(peak AS DOUBLE) AS peak, CAST(peak - balance AS DOUBLE) AS drawdown
         |FROM p ORDER BY day""".stripMargin.replace("\n", " ")),
+
+    // LSH banding (the M2 CTEs) scored against exact-Jaccard ground truth
+    // from the shingle co-occurrence join; counts exact, two divisions
+    "dedup_lsh_recall_eval" ->
+      (s"WITH $lshPairChain, " +
+        """alltr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ni
+        |FROM sh x JOIN sh y ON y.s = x.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |truth AS (SELECT t.a_id, t.b_id FROM alltr t
+        |JOIN cnt ca ON ca.doc_id = t.a_id JOIN cnt cb ON cb.doc_id = t.b_id
+        |WHERE CAST(t.ni AS DOUBLE) / (ca.n + cb.n - t.ni) >= 0.8),
+        |h AS (SELECT COUNT(*) AS n_hit FROM truth t JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id),
+        |nt AS (SELECT COUNT(*) AS n_true FROM truth),
+        |nc AS (SELECT COUNT(*) AS n_cand FROM cand)
+        |SELECT n_true, n_cand, n_hit,
+        |CASE WHEN n_cand > 0 THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) + 0.0 END AS precision,
+        |CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) + 0.0 END AS recall
+        |FROM nt, nc, h""".stripMargin.replace("\n", " ")),
   )
 }

@@ -200,6 +200,7 @@ class PlanSpec extends SparkSpec {
       "text_bm25_topk",         // broadcast 1-row corpus stats + 3-row query terms
       "vec_ivf_stats",          // broadcast 10-row centroid table + 1-row totals
       "text_perplexity_proxy",  // broadcast 1-row total-token count
+      "dedup_lsh_recall_eval",  // 1-row count × count × count final join
       "dq_benford_first_digit") // broadcast 1-row order-count denominator
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -182,4 +182,16 @@ class Round6Spec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - (r.getDouble(3) - r.getDouble(2))) < 1e-6)
     }
   }
+
+  test("M63 dedup_lsh_recall_eval: counts consistent, ratios bounded or null when undefined") {
+    val r = run("dedup_lsh_recall_eval").head()
+    val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= nTrue && nHit <= nCand, "hits bound by both sets")
+    if (nCand > 0) assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) else assert(r.isNullAt(3))
+    if (nTrue > 0) assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) else assert(r.isNullAt(4))
+    // banding with 2 bands over a 4-hash signature catches every pair
+    // agreeing on (s0,s1) or (s2,s3); a 0.8-Jaccard pair usually does, so
+    // recall should be high on any slice where truth is nonempty
+    if (nTrue > 0) assert(r.getDouble(4) >= 0.5, s"suspiciously low LSH recall: $r")
+  }
 }
