@@ -34,8 +34,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 for t in TABLES:
+    # single-file driver fixture OR a resharded directory of parts
+    # (tools/reshard.py layout: <table>.parquet/part-*.parquet)
+    path = f"{SF}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
     con.execute(
-        f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+        f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
