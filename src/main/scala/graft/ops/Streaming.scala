@@ -812,4 +812,34 @@ object Streaming {
         expr("max_by(value, struct(ts_us, event_id))").as("last_value"),
         count(lit(1)).as("n_ops"),
         max(col("ts_us")).as("last_ts_us"))
+
+  /** L23 win_retention_cohort — the weekly cohort-retention triangle:
+    * users grouped by their FIRST-activity week, then for each (cohort,
+    * weeks-since) cell the distinct users active that week and the share
+    * of the cohort they represent — the standard growth-analytics matrix
+    * (stream_dau_retention is its 1-day diagonal). Weeks are epoch-week
+    * integer buckets (`ts_us div 604800000000` — pure integer division,
+    * no calendar or timezone semantics to diverge on); cohort = min
+    * bucket per user (one keyed agg), activity = distinct (user, week)
+    * pairs, and the matrix is one more keyed agg joined to the 1-week-0
+    * cohort sizes. Retention is the single rounded division. At 100 TB:
+    * three keyed shuffles, all on (user) or (cohort, offset) — the
+    * distinct-pairs relation is the only corpus-sized intermediate.
+    */
+  def retentionCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val wk = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_us div 604800000000").as("wk"))
+      .distinct()
+      .localCheckpoint(true)
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val cells = wk.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"), col("cohort_size"),
+        (round(col("n_active").cast("double") / col("cohort_size"), 6) + lit(0.0))
+          .as("retention"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
 }

@@ -788,4 +788,27 @@ object TextAnalysis {
       .where(col("rk") <= 20)
       .orderBy(col("rk"))
   }
+
+  /** M64 pipeline_packing_efficiency — the ops report for the M49
+    * sequence packer: bins used vs the information-theoretic ideal
+    * (ceil(total/budget)), mean fill, and how many bins the greedy
+    * prefix-split overflowed (a doc straddling a 512 boundary lands in
+    * the bin its cum-prefix starts in, so a bin can exceed budget — the
+    * number a packing config review asks for first). Reuses the M49
+    * two-pass range-partitioned packing verbatim; the report is one more
+    * aggregate over its (already tiny) per-bin relation, so the audit
+    * costs nothing beyond the packing itself. All counts exact; the two
+    * ratios are single rounded divisions.
+    */
+  def packingEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    packSequences(spark, sfDir)
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("seq_tokens")).as("total_tokens"),
+        sum(when(col("seq_tokens") > 512, 1L).otherwise(0L)).as("n_over_budget"),
+        max(col("seq_tokens")).as("max_seq_tokens"))
+      .select(col("n_seqs"), col("total_tokens"),
+        expr("CAST((total_tokens + 511) div 512 AS BIGINT)").as("ideal_seqs"),
+        col("n_over_budget"), col("max_seq_tokens"),
+        (round(col("total_tokens").cast("double") / (col("n_seqs") * lit(512.0)), 6)
+          + lit(0.0)).as("mean_fill"))
 }

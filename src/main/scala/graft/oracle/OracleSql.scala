@@ -2583,5 +2583,34 @@ object OracleSql {
         |CASE WHEN n_cand > 0 THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) + 0.0 END AS precision,
         |CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) + 0.0 END AS recall
         |FROM nt, nc, h""".stripMargin.replace("\n", " ")),
+
+    // epoch-week integer buckets (ts_us // us-per-week) — no calendar
+    // semantics to diverge on; all counts exact, one rounded division
+    "win_retention_cohort" ->
+      (EV + """, wk AS (SELECT DISTINCT user_id, ts_us // 604800000000 AS wk FROM ev),
+        |ch AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id),
+        |cl AS (SELECT ch.cohort_wk, wk.wk - ch.cohort_wk AS week_offset, COUNT(*) AS n_active
+        |FROM wk JOIN ch ON ch.user_id = wk.user_id GROUP BY 1, 2),
+        |sz AS (SELECT cohort_wk, COUNT(*) AS cohort_size FROM ch GROUP BY cohort_wk)
+        |SELECT cl.cohort_wk, cl.week_offset, cl.n_active, sz.cohort_size,
+        |round(CAST(cl.n_active AS DOUBLE) / sz.cohort_size, 6) + 0.0 AS retention
+        |FROM cl JOIN sz ON sz.cohort_wk = cl.cohort_wk
+        |ORDER BY cl.cohort_wk, cl.week_offset""".stripMargin.replace("\n", " ")),
+
+    // the M49 packing CTEs + one report aggregate over the bin relation
+    "pipeline_packing_efficiency" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        |c AS (SELECT doc_id, tokens, COALESCE(SUM(tokens) OVER
+        |(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM d),
+        |bins AS (SELECT CAST(cum_before // 512 AS BIGINT) AS seq_id,
+        |CAST(SUM(tokens) AS BIGINT) AS seq_tokens FROM c GROUP BY 1),
+        |agg AS (SELECT COUNT(*) AS n_seqs, CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+        |CAST(COUNT(*) FILTER (WHERE seq_tokens > 512) AS BIGINT) AS n_over_budget,
+        |CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens FROM bins)
+        |SELECT n_seqs, total_tokens,
+        |CAST((total_tokens + 511) // 512 AS BIGINT) AS ideal_seqs,
+        |n_over_budget, max_seq_tokens,
+        |round(CAST(total_tokens AS DOUBLE) / (n_seqs * 512.0), 6) + 0.0 AS mean_fill
+        |FROM agg""".stripMargin.replace("\n", " "),
   )
 }

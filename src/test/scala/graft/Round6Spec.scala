@@ -194,4 +194,35 @@ class Round6Spec extends SparkSpec {
     // recall should be high on any slice where truth is nonempty
     if (nTrue > 0) assert(r.getDouble(4) >= 0.5, s"suspiciously low LSH recall: $r")
   }
+
+  test("L23 win_retention_cohort: week-0 is full retention, cells bounded by cohort size") {
+    val rows = run("win_retention_cohort").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "active users bounded by cohort size")
+      assert(r.getLong(1) >= 0, "offsets nonnegative")
+      if (r.getLong(1) == 0)
+        assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0,
+          "week 0 contains the whole cohort by definition")
+    }
+    // cohort sizes partition the user base
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    val sizes = rows.filter(_.getLong(1) == 0).map(_.getLong(3)).sum
+    assert(sizes == users, "cohorts partition the user base")
+  }
+
+  test("M64 pipeline_packing_efficiency: report consistent with the M49 bin relation") {
+    val r = run("pipeline_packing_efficiency").head()
+    val (nSeqs, total, ideal) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ideal == (total + 511) / 512)
+    assert(nSeqs >= ideal, "greedy packing can never beat the ideal bin count")
+    // a bin holds < 512 + max_doc_tokens, so mean fill sits near 1 but is
+    // strictly positive and bounded well under 2 on this corpus
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 2.0, "mean fill out of range")
+    val bins = run("pipeline_pack_sequences").collect()
+    assert(bins.length.toLong == nSeqs)
+    assert(bins.map(_.getLong(2)).sum == total)
+    assert(bins.count(_.getLong(2) > 512).toLong == r.getLong(3))
+    assert(bins.map(_.getLong(2)).max == r.getLong(4))
+  }
 }
