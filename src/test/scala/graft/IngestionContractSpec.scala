@@ -100,4 +100,39 @@ class IngestionContractSpec extends SparkSpec {
     Tables.registerAll(spark, sf)
     assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
   }
+
+  test("orders date column normalizes from DATE, TIMESTAMP, and TIMESTAMP_NTZ layouts") {
+    val s2 = spark
+    import s2.implicits._
+    def write(dir: String, t: DataType): Unit =
+      Seq((1L, "1996-01-15"), (2L, "1997-06-30")).toDF("o_orderkey", "d")
+        .withColumn("o_orderdate", col("d").cast(TimestampNTZType).cast(t))
+        .select("o_orderkey", "o_orderdate")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def loaded(dir: String) = {
+      val df = Tables.orders(spark, dir)
+      assert(df.schema("o_orderdate").dataType == TimestampNTZType,
+        s"expected NTZ, got ${df.schema("o_orderdate").dataType}")
+      df.orderBy("o_orderkey").collect().map(_.get(1).toString).toSeq
+    }
+    val dirs = Seq(DateType, TimestampType, TimestampNTZType).map { t =>
+      val d = tmp(s"graft_ord_${t.simpleString}"); write(d, t); d
+    }
+    val vals = dirs.map(loaded)
+    assert(vals.distinct.size == 1, s"date layouts diverged: $vals")
+  }
+
+  test("embeddings array column normalizes from double[] to the float[] contract") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = tmp("graft_emb_dbl")
+    Seq((0L, Seq(1.5, -2.25), 0), (1L, Seq(0.5, 3.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Tables.embeddings(spark, dir)
+    assert(df.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true))
+    val v = df.orderBy("vec_id").collect().map(_.getSeq[Float](1)).toSeq
+    assert(v == Seq(Seq(1.5f, -2.25f), Seq(0.5f, 3.0f)))
+  }
 }
