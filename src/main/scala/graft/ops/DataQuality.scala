@@ -270,4 +270,43 @@ object DataQuality {
       .withColumn("keep_frac",
         round(col("n_kept").cast("double") / col("n_seen"), 6) + lit(0.0))
   }
+
+  /** N9 dq_ks_test — two-sample Kolmogorov–Smirnov drift statistic
+    * between the R-flag and N-flag price distributions: the continuous
+    * sibling of the N5 chi-square (which needs categories). The whole
+    * computation stays in the EXACT integer domain until one final
+    * division: prices collapse to per-value counts (one keyed agg), both
+    * cumulative counts run through GlobalRank's range-partitioned prefix
+    * sum over the value order (never a single-partition window — distinct
+    * prices are corpus-sized), and the sup-distance maximizes
+    * |cumA·nB − cumB·nA| as a LONG before the lone rounded division
+    * D = max/(nA·nB). Evaluating at value-block boundaries (inclusive
+    * cums on the collapsed relation) is exactly the tie-correct KS
+    * definition. Two range partitionings (one per sample's counter)
+    * re-join on the value key — both keyed, both linear.
+    */
+  def dqKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag").isin("R", "N"))
+      .select(graft.ops.Cols.dec2(col("l_extendedprice")).as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ia"))
+    val g = base.groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+      .localCheckpoint(true)
+    val cumA = GlobalRank.withGlobalRunningSum(g, 32, col("ca"), col("v"))
+      .select(col("v"), (col("cum_before") + col("ca")).as("cum_a"))
+    val cumB = GlobalRank.withGlobalRunningSum(g, 32, col("cb"), col("v"))
+      .select(col("v").as("v2"), (col("cum_before") + col("cb")).as("cum_b"))
+    val tot = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cumA.join(cumB, col("v") === col("v2"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("dev"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dev")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6) + lit(0.0))
+          .as("ks_d"))
+  }
 }

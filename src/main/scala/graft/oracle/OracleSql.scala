@@ -2612,5 +2612,21 @@ object OracleSql {
         |n_over_budget, max_seq_tokens,
         |round(CAST(total_tokens AS DOUBLE) / (n_seqs * 512.0), 6) + 0.0 AS mean_fill
         |FROM agg""".stripMargin.replace("\n", " "),
+
+    // exact-integer KS: per-value counts, cumulative counts over the value
+    // order, sup of |cumA*nB - cumB*nA| as BIGINT, one rounded division
+    "dq_ks_test" ->
+      """WITH b AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+        |CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+        |FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |g AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(1 - ia) AS BIGINT) AS cb FROM b GROUP BY v),
+        |c AS (SELECT v, SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b FROM g),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM g),
+        |d AS (SELECT n_a, n_b, CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+        |FROM c, t GROUP BY n_a, n_b)
+        |SELECT n_a, n_b, d_num,
+        |round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) + 0.0 AS ks_d
+        |FROM d""".stripMargin.replace("\n", " "),
   )
 }

@@ -201,6 +201,7 @@ class PlanSpec extends SparkSpec {
       "vec_ivf_stats",          // broadcast 10-row centroid table + 1-row totals
       "text_perplexity_proxy",  // broadcast 1-row total-token count
       "dedup_lsh_recall_eval",  // 1-row count × count × count final join
+      "dq_ks_test",             // broadcast 1-row (n_a, n_b) totals
       "dq_benford_first_digit") // broadcast 1-row order-count denominator
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)

@@ -225,4 +225,27 @@ class Round6Spec extends SparkSpec {
     assert(bins.count(_.getLong(2) > 512).toLong == r.getLong(3))
     assert(bins.map(_.getLong(2)).max == r.getLong(4))
   }
+
+  test("N9 dq_ks_test: statistic bounded, equal to the single-window reference form") {
+    val r = run("dq_ks_test").head()
+    val (nA, nB, dNum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nA > 0 && nB > 0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    // reference: the classic one-window formulation over the same blocks
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(spark, sf)
+      .where(col("l_returnflag").isin("R", "N"))
+      .select(graft.ops.Cols.dec2(col("l_extendedprice")).as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ia"))
+    val g = base.groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.withColumn("cumA", sum(col("ca")).over(w))
+      .withColumn("cumB", sum(col("cb")).over(w))
+    val expect = c.crossJoin(
+        g.agg(sum(col("ca")).as("nA"), sum(col("cb")).as("nB")))
+      .select(abs(col("cumA") * col("nB") - col("cumB") * col("nA")).as("dev"))
+      .agg(max(col("dev"))).head().getLong(0)
+    assert(dNum == expect, s"two-pass KS must equal the window form: $dNum vs $expect")
+  }
 }
