@@ -30,6 +30,44 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
+  /** Derived `partsupp` relation (SURVEY §2.W round-7): the driver corpus
+    * ships no partsupp table, so the five classic shapes that need one
+    * (Q2/Q9/Q11/Q16/Q20) are closed over a partsupp DERIVED as a pure
+    * integer function of the existing dense 0-based part × supplier keys —
+    * the DuckDB oracle computes the identical CTE, so the comparison is
+    * exact (the same synthesis trick the PII fixture query uses).
+    *
+    * Per part, 4 supplier slots k ∈ {0,1,2,3}:
+    *   ps_suppkey          = (p_partkey + 17·k) mod n_supp
+    *   ps_availqty         = (p_partkey·37 + ps_suppkey·11 + k) mod 9999 + 1
+    *   ps_supplycost cents = (p_partkey·13 + ps_suppkey·7 + k·3) mod 99900 + 100
+    *
+    * 17·k mod n_supp is distinct for k<4 at every fixture size (n_supp ∈
+    * {10,100,1000}), so the 4 suppliers per part are distinct. Cost stays
+    * in exact LONG cents through all arithmetic (the [[graft.ops.Cols]]
+    * money protocol); consumers divide by 100.0 only at final output.
+    *
+    * 100 TB: the build is a narrow projection of `part` (4× explode) plus
+    * one broadcast of the 1-row supplier count — no shuffle, no action;
+    * downstream joins on ps_partkey/ps_suppkey shuffle exactly like a
+    * stored partsupp would, so every consumer plan is the plan a real
+    * partsupp table would produce.
+    */
+  def partsupp(spark: SparkSession, sfDir: String): DataFrame = {
+    val nSupp = supplier(spark, sfDir).agg(count(lit(1)).as("n_supp"))
+    part(spark, sfDir)
+      .select(col("p_partkey"), explode(array((0 to 3).map(lit): _*)).as("k"))
+      .crossJoin(broadcast(nSupp))
+      .withColumn("ps_suppkey", (col("p_partkey") + col("k") * 17) % col("n_supp"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        ((col("p_partkey") * 37 + col("ps_suppkey") * 11 + col("k")) % 9999 + 1)
+          .as("ps_availqty"),
+        ((col("p_partkey") * 13 + col("ps_suppkey") * 7 + col("k") * 3) % 99900 + 100)
+          .as("ps_cost_cents"))
+  }
+
   /** Events loader — the ONLY way to read `events.parquet`.
     *
     * SCHEMA-ADAPTIVE: fixture generators have shipped `ts` in multiple

@@ -410,4 +410,158 @@ object Workload {
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
           .as("low_line_count"))
       .orderBy(col("lag_class"))
+
+  // ---- round-7: the partsupp-dependent family (W17–W21) over the derived
+  // partsupp relation ([[Tables.partsupp]] — identical CTE on the oracle
+  // side, so comparisons are exact).
+
+  /** Suppliers of a region joined to their nation name, the shared dim
+    * chain of W17/W19/W21: supplier ⋈ broadcast(nation ⋈ broadcast(region
+    * filtered to one name)). Nation/region are 25/5 rows at every SF —
+    * always broadcast; supplier stays on the probe side.
+    */
+  private def regionSuppliers(spark: SparkSession, sfDir: String, regionName: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .join(broadcast(Tables.region(spark, sfDir).where(col("r_name") === regionName)),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+
+  /** W17 wk_q2_min_cost_supplier — the Q2 shape: for LARGE parts of size
+    * ≤ 25, the EUROPE supplier(s) offering the minimum supply cost, top-100
+    * by account balance. The correlated MIN subquery is re-expressed as a
+    * per-part min aggregate joined back on (partkey, cost) — one extra
+    * keyed shuffle instead of a per-row rescan; ties (several suppliers at
+    * the min) keep every witness, exactly like the classic query.
+    *
+    * 100 TB: candidate set shrinks first (part filter pushes into the part
+    * scan, region filter cuts suppliers before the partsupp join); the min
+    * re-join is on the already-reduced candidate relation, and cost is
+    * exact LONG cents so the min and its equality join are exact.
+    */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = Tables.partsupp(spark, sfDir)
+      .join(regionSuppliers(spark, sfDir, "EUROPE"), col("ps_suppkey") === col("s_suppkey"))
+      .join(Tables.part(spark, sfDir).where(col("p_type") === "LARGE" && col("p_size") <= 25),
+        col("ps_partkey") === col("p_partkey"))
+    val minCost = cand.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_cost_cents")).as("min_cents"))
+    cand.join(minCost,
+        col("ps_partkey") === col("mk") && col("ps_cost_cents") === col("min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), (col("ps_cost_cents").cast("double") / 100.0).as("supply_cost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .limit(100)
+  }
+
+  /** W18 wk_q9_product_profit — the Q9 shape: profit on '%red%' parts by
+    * supplier nation and order year. profit = Σ revenue − Σ supplycost·qty,
+    * with revenue exact DECIMAL and the cost side exact LONG cents·qty —
+    * one double subtraction at the very end, identical on both engines.
+    *
+    * 100 TB: lineitem joins the part-filtered partsupp on the composite
+    * (partkey, suppkey) key — one fact-side shuffle; orders brings the
+    * year, supplier→nation is the broadcast dim chain. All joins keyed,
+    * Catalyst free to reorder.
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val redPs = Tables.partsupp(spark, sfDir)
+      .join(Tables.part(spark, sfDir).where(col("p_name").like("%red%"))
+        .select(col("p_partkey")),
+        col("ps_partkey") === col("p_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .join(redPs,
+        col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(Cols.revenue).as("rev"),
+        sum(col("ps_cost_cents") * col("l_quantity").cast("long")).as("cq"))
+      .select(col("n_name"), col("o_year"),
+        (col("rev").cast("double") - col("cq").cast("double") / 100.0).as("profit"))
+      .orderBy(asc("n_name"), desc("o_year"))
+  }
+
+  /** W19 wk_q11_important_stock — the Q11 shape: stock value
+    * (supplycost·availqty, exact LONG cents) of ASIA-held partsupp per
+    * part, keeping parts above 1.6× the mean per-part value. The TPC-H
+    * fraction 0.0001/SF is replaced by a SELF-SCALING threshold (value ·
+    * n_parts · 5 > total · 8 — the exact-integer cross-multiplied form of
+    * value > 1.6·mean), so selectivity is SF-invariant without an
+    * SF-dependent literal. The 1-row total broadcasts.
+    *
+    * 100 TB: one keyed agg over the region-filtered partsupp, one 1-row
+    * broadcast comparison — no second pass over the data. The cross
+    * multiply stays in LONG range up to ~10⁹ parts; past that, promote to
+    * DECIMAL(38,0) on both engines.
+    */
+  def q11ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.partsupp(spark, sfDir)
+      .join(regionSuppliers(spark, sfDir, "ASIA").select(col("s_suppkey")),
+        col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cq"))
+    val t = v.agg(sum(col("value_cq")).as("total"), count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(t))
+      .where(col("value_cq") * col("n_parts") * 5 > col("total") * 8)
+      .select(col("ps_partkey"), (col("value_cq").cast("double") / 100.0).as("stock_value"))
+      .orderBy(desc("stock_value"), asc("ps_partkey"))
+      .limit(100)
+  }
+
+  /** W20 wk_q16_supplier_cnt — the Q16 shape: distinct-supplier counts per
+    * (brand, type, size) for an 8-size slice, excluding one brand, one
+    * type, and the "at-risk" suppliers (acctbal < 500 — the adaptation of
+    * Q16's complaint-comment blacklist; this fixture carries no comment
+    * column). The NOT IN compiles to a broadcast left-anti join.
+    *
+    * 100 TB: part filters push to the scan; the anti side is a filtered
+    * supplier key list (small, broadcast); count-distinct shuffles once on
+    * the 3-part group key.
+    */
+  def q16SupplierCnt(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.partsupp(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir).where(col("s_acctbal") < 500)
+        .select(col("s_suppkey").as("bad_sk"))),
+        col("ps_suppkey") === col("bad_sk"), "left_anti")
+      .join(Tables.part(spark, sfDir).where(col("p_brand") =!= "Brand#5" &&
+        col("p_type") =!= "PROMO" && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)),
+        col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+
+  /** W21 wk_q20_excess_stock — the Q20 shape: AFRICA suppliers holding
+    * excess stock of a 'blue%' part — availqty exceeding half the 1997
+    * shipped quantity of that (part, supplier). The nested EXISTS chain
+    * becomes: 1997 shipped-qty agg → inner join to the blue-part partsupp
+    * (a missing 1997 row excludes the pair, matching the NULL-comparison
+    * semantics of the classic scalar subquery) → left-semi into the
+    * region's suppliers.
+    *
+    * 100 TB: the qty agg is one keyed shuffle over the date-pruned
+    * lineitem; the semi join emits each supplier once regardless of how
+    * many excess parts it holds. qty is a sum of integral doubles (exact
+    * below 2^53), so the 0.5· comparison is deterministic cross-engine.
+    */
+  def q20ExcessStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val q97 = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .groupBy(col("l_partkey").as("qpk"), col("l_suppkey").as("qsk"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val excess = Tables.partsupp(spark, sfDir)
+      .join(Tables.part(spark, sfDir).where(col("p_name").like("blue%"))
+        .select(col("p_partkey")),
+        col("ps_partkey") === col("p_partkey"))
+      .join(q97, col("qpk") === col("ps_partkey") && col("qsk") === col("ps_suppkey"))
+      .where(col("ps_availqty").cast("double") > lit(0.5) * col("qty"))
+    regionSuppliers(spark, sfDir, "AFRICA")
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(asc("s_name"))
+  }
 }

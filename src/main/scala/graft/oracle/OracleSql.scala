@@ -20,6 +20,18 @@ object OracleSql {
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
       "value, props FROM events) "
 
+  /** Shared derived-partsupp CTE prefix — mirrors [[graft.Tables.partsupp]]
+    * exactly: per part 4 supplier slots, integer availqty, exact LONG-cents
+    * supply cost (SURVEY §2.W round-7).
+    */
+  val PS: String =
+    "WITH ns AS (SELECT COUNT(*) AS n_supp FROM supplier), " +
+      "ks AS (SELECT unnest([0,1,2,3]) AS k), " +
+      "ps0 AS (SELECT p_partkey, k, (p_partkey + 17*k) % n_supp AS ps_suppkey FROM part, ns, ks), " +
+      "partsupp AS (SELECT p_partkey AS ps_partkey, ps_suppkey, " +
+      "(p_partkey*37 + ps_suppkey*11 + k) % 9999 + 1 AS ps_availqty, " +
+      "(p_partkey*13 + ps_suppkey*7 + k*3) % 99900 + 100 AS ps_cost_cents FROM ps0) "
+
   /** Shared shingle CTE body (3-word shingles, distinct, as (doc_id, s)). */
   private def shingleCte(whereClause: String): String =
     s"d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents $whereClause), " +
@@ -2628,5 +2640,77 @@ object OracleSql {
         |SELECT n_a, n_b, d_num,
         |round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) + 0.0 AS ks_d
         |FROM d""".stripMargin.replace("\n", " "),
+
+    // ---- round-7: partsupp-dependent family over the DERIVED partsupp
+    // relation — this CTE mirrors Tables.partsupp exactly (same integer
+    // formulas, same LONG-cents cost), so every comparison is exact.
+
+    "wk_q2_min_cost_supplier" ->
+      (PS +
+        """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |CAST(ps_cost_cents AS DOUBLE)/100 AS supply_cost
+        |FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 25
+        |AND ps_cost_cents = (
+        |SELECT MIN(ps2.ps_cost_cents) FROM partsupp ps2
+        |JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin.replace("\n", " ")),
+
+    "wk_q9_product_profit" ->
+      (PS +
+        """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |- CAST(SUM(ps_cost_cents * CAST(l_quantity AS BIGINT)) AS DOUBLE)/100 AS profit
+        |FROM lineitem
+        |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, 2 ORDER BY n_name, o_year DESC""".stripMargin.replace("\n", " ")),
+
+    "wk_q11_important_stock" ->
+      (PS +
+        """, v AS (SELECT ps_partkey, SUM(ps_cost_cents * ps_availqty) AS value_cq
+        |FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY ps_partkey),
+        |t AS (SELECT SUM(value_cq) AS total, COUNT(*) AS n_parts FROM v)
+        |SELECT ps_partkey, CAST(value_cq AS DOUBLE)/100 AS stock_value
+        |FROM v, t WHERE value_cq * n_parts * 5 > total * 8
+        |ORDER BY stock_value DESC, ps_partkey LIMIT 100""".stripMargin.replace("\n", " ")),
+
+    "wk_q16_supplier_cnt" ->
+      (PS +
+        """SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |AND p_size IN (1,4,9,14,19,24,29,34)
+        |AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin.replace("\n", " ")),
+
+    "wk_q20_excess_stock" ->
+      (PS +
+        """, q97 AS (SELECT l_partkey AS qpk, l_suppkey AS qsk, SUM(l_quantity) AS qty
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal FROM supplier
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'AFRICA' AND EXISTS (
+        |SELECT 1 FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |JOIN q97 ON qpk = ps_partkey AND qsk = ps_suppkey
+        |WHERE ps_suppkey = s_suppkey AND p_name LIKE 'blue%'
+        |AND CAST(ps_availqty AS DOUBLE) > 0.5 * qty)
+        |ORDER BY s_name""".stripMargin.replace("\n", " ")),
   )
 }
