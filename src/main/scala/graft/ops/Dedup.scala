@@ -454,9 +454,21 @@ object Dedup {
     * matters at 100 TB: the ~1%-fpp filter shrinks the join probe to
     * ~|dups| + 1% of the batch, so the expensive exact join touches a
     * sliver of the data; the filter itself is the standing index artifact
-    * (here built per-run via df.stat.bloomFilter — executor-side
-    * aggregation, driver merge, broadcast probe; capacity would come from
-    * table stats in a deployment, fixed here for determinism of the run).
+    * (built via df.stat.bloomFilter — executor-side aggregation, driver
+    * merge, broadcast probe).
+    *
+    * Capacity is SIZED FROM THE DATA ([[sizedBloom]]): one cheap count()
+    * of the standing slice (in a deployment: the table's row-count stat,
+    * no scan at all) keeps the realized fpp at the 1% design point at ANY
+    * corpus size — a fixed capacity would saturate to fpp≈1 on a 100 TB
+    * corpus (~10¹⁰ fingerprints), passing everything to the exact join:
+    * still correct, but the prefilter would do no work. Past ~10⁹ rows
+    * the single driver-merged bloom itself becomes the bottleneck
+    * (multi-GB bitmap through driver merge + broadcast); the scale form
+    * is a PARTITIONED bloom — hash-bucket the fingerprints, build one
+    * right-sized filter per bucket, and probe each incoming row against
+    * only its bucket's filter (a bucket-keyed join of filter fragments) —
+    * same no-false-negative guarantee, no driver chokepoint.
     */
   def bloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
     val fpCol = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary"))
@@ -465,10 +477,12 @@ object Dedup {
       .select(fpCol.as("fp"))
     val incoming = docs.where(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("source"), fpCol.as("fp"))
-    // tier 1: probabilistic prefilter (no false negatives)
-    val bloom = existing.stat.bloomFilter("fp", 1000000L, 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bloomBc.value.mightContainString(s))
+    // tier 1: probabilistic prefilter (no false negatives). Null-safe: a
+    // null fingerprint (null text) can never match the standing corpus —
+    // probe must say false, not NPE.
+    val bloomBc = spark.sparkContext.broadcast(sizedBloom(existing, "fp"))
+    val mightContain =
+      udf((s: String) => s != null && bloomBc.value.mightContainString(s))
     val candidates = incoming.where(mightContain(col("fp")))
     // tier 2: exact confirm — false positives die here
     val confirmed = candidates
@@ -484,6 +498,16 @@ object Dedup {
           + lit(0.0)).as("dup_frac"))
       .orderBy(col("source"))
   }
+
+  /** Data-sized Bloom build for [[bloomPrefilter]]: expected-item count
+    * from one count() of the slice (deployment: table stats), fpp pinned
+    * at the 1% design point, capacity floored at 1 (stat.bloomFilter
+    * rejects 0). Factored out so the fpp spec exercises the EXACT
+    * production sizing path.
+    */
+  private[graft] def sizedBloom(slice: DataFrame, colName: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    slice.stat.bloomFilter(colName, math.max(slice.count(), 1L), 0.01)
 
   /** M61 text_decontaminate_13gram — benchmark decontamination at the
     * PUBLISHED standard granularity: a test document is contaminated if

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Property specs for the round-7 batch: the derived-partsupp workload
+  * family and the data-sized Bloom prefilter.
+  */
+class Round7Spec extends SparkSpec {
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  test("partsupp derivation: 4 distinct suppliers per part, bounded availqty/cost") {
+    val ps = Tables.partsupp(spark, sf)
+    val nPart = Tables.part(spark, sf).count()
+    val nSupp = Tables.supplier(spark, sf).count()
+    assert(ps.count() == 4 * nPart, "exactly 4 slots per part")
+    val perPart = ps.groupBy("ps_partkey")
+      .agg(countDistinct("ps_suppkey").as("n")).agg(min("n"), max("n")).head()
+    assert(perPart.getLong(0) == 4 && perPart.getLong(1) == 4,
+      "the 4 supplier slots are distinct for every part at this fixture size")
+    val bounds = ps.agg(
+      min("ps_suppkey"), max("ps_suppkey"),
+      min("ps_availqty"), max("ps_availqty"),
+      min("ps_cost_cents"), max("ps_cost_cents")).head()
+    assert(bounds.getLong(0) >= 0 && bounds.getLong(1) < nSupp, "suppkey in range")
+    assert(bounds.getLong(2) >= 1 && bounds.getLong(3) <= 9999, "availqty in [1, 9999]")
+    assert(bounds.getLong(4) >= 100 && bounds.getLong(5) <= 99999,
+      "cost in [1.00, 999.99] dollars as exact cents")
+  }
+
+  test("W17 wk_q2: every output row carries its part's exact minimum EUROPE cost") {
+    val rows = run("wk_q2_min_cost_supplier").collect()
+    assert(rows.nonEmpty)
+    // per part, all reported costs must be identical (they are all THE min)
+    val byPart = rows.groupBy(_.getLong(3)).view.mapValues(_.map(_.getDouble(5)).distinct)
+    assert(byPart.values.forall(_.size == 1), "ties share one min cost per part")
+  }
+
+  test("W19 wk_q11: kept parts all exceed 1.6x the mean ASIA stock value") {
+    val kept = run("wk_q11_important_stock").collect()
+    assert(kept.nonEmpty)
+    // rebuild the full per-part value relation and its mean independently
+    val ps = Tables.partsupp(spark, sf)
+    val asia = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val v = ps.join(asia, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("v"))
+      .select(col("ps_partkey"), col("v")).as[(Long, Long)].collect().toMap
+    val mean = v.values.sum.toDouble / v.size
+    val keptKeys = kept.map(_.getLong(0)).toSet
+    for ((pk, value) <- v) {
+      val above = value * v.size * 5 > v.values.sum * 8
+      assert(keptKeys.contains(pk) == above || (above && kept.length == 100),
+        s"part $pk: value $value vs 1.6x mean $mean — threshold must be exact")
+    }
+  }
+
+  test("M57 sizedBloom: data-sized capacity holds realized fpp near the 1% design point") {
+    // standing corpus 10x the scale a fixed small capacity would assume
+    val n = 50000
+    val members = s.range(n).select(concat(lit("member_"), col("id")).as("fp"))
+    val sized = Dedup.sizedBloom(members, "fp")
+    val probes = (0 until 10000).map(i => s"absent_$i")
+    val fpSized = probes.count(sized.mightContainString).toDouble / probes.size
+    assert(fpSized < 0.05, s"sized filter fpp $fpSized must stay near design 1%")
+    // contrast: a filter sized for 1k items saturates on the same 50k corpus
+    val saturated = members.stat.bloomFilter("fp", 1000L, 0.01)
+    val fpSat = probes.count(saturated.mightContainString).toDouble / probes.size
+    assert(fpSat > 0.5, s"fixed undersized capacity saturates (got $fpSat) — the failure the sizing removes")
+    // no false negatives either way (the tier-2 correctness precondition)
+    val memberStrings = (0 until 1000).map(i => s"member_$i")
+    assert(memberStrings.forall(sized.mightContainString), "no false negatives")
+  }
+
+  test("M57 bloom probe is null-safe: null text rows flow through, not NPE") {
+    val docs = Seq((1L, "alpha beta gamma", "web"), (10L, null.asInstanceOf[String], "web"),
+      (20L, "alpha beta gamma", "book"), (3L, null.asInstanceOf[String], "book"))
+      .toDF("doc_id", "text", "source")
+    // run the same fingerprint + probe shape bloomPrefilter uses
+    val fpCol = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary"))
+    val existing = docs.where(col("doc_id") % 10 =!= 0).select(fpCol.as("fp"))
+    val bloom = Dedup.sizedBloom(existing, "fp")
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((x: String) => x != null && bc.value.mightContainString(x))
+    val incoming = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), when(col("text").isNotNull, fpCol).as("fp"))
+    val out = incoming.where(mightContain(col("fp"))).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(20L),
+      "null-text incoming row must be silently non-matching, duplicate text row must probe true")
+  }
+}
