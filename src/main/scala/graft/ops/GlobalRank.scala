@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Plan-gate hook (ADVICE r6 #2): `localCheckpoint` truncates lineage,
+    * so the heavy ranking stage's rangepartitioning is INVISIBLE in any
+    * consumer's executedPlan — a spec asserting on the consumer would
+    * silently pass even if the ranking regressed to a grouped window.
+    * With `capturePlans` on, the physical plan of each checkpointed stage
+    * is recorded here at materialization time, letting PlanSpec assert on
+    * the plan that actually executed. Off (zero-cost) outside specs.
+    */
+  @volatile private[graft] var capturePlans = false
+  @volatile private[graft] var lastRankedPlan: String = ""
+
+  private def checkpointEagerly(df: DataFrame): DataFrame = {
+    if (capturePlans) lastRankedPlan = df.queryExecution.executedPlan.toString
+    df.localCheckpoint(true)
+  }
+
   /** Appends `rn` (global row_number over `order`) and `n_total` to `df`
     * without a single-partition sort. The `order` columns MUST be a unique
     * key of `df` (so rank == row_number and downstream closed forms hold).
@@ -39,12 +55,11 @@ object GlobalRank {
     * counts each exchange once.
     */
   def withGlobalRowNumber(df: DataFrame, parts: Int, order: Column*): DataFrame = {
-    val ranked = df
+    val ranked = checkpointEagerly(df
       .repartitionByRange(parts, order: _*)
       .withColumn("part", spark_partition_id())
       .withColumn("lrn", row_number().over(
-        Window.partitionBy(col("part")).orderBy(order: _*)))
-      .localCheckpoint(true)
+        Window.partitionBy(col("part")).orderBy(order: _*))))
     val offsets = ranked.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
       .withColumn("offset",
         coalesce(sum(col("cnt")).over(
@@ -67,14 +82,13 @@ object GlobalRank {
     * exact, associative, engine-order-independent).
     */
   def withGlobalRunningSum(df: DataFrame, parts: Int, value: Column, order: Column*): DataFrame = {
-    val local = df
+    val local = checkpointEagerly(df
       .repartitionByRange(parts, order: _*)
       .withColumn("part", spark_partition_id())
       .withColumn("gv", value.cast("long"))
       .withColumn("lcum", coalesce(sum(col("gv")).over(
         Window.partitionBy(col("part")).orderBy(order: _*)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .localCheckpoint(true)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
     val offsets = local.groupBy(col("part")).agg(sum(col("gv")).as("ptot"))
       .withColumn("offset",
         coalesce(sum(col("ptot")).over(
