@@ -107,8 +107,10 @@ object DataQuality {
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("orphan_custkey").as("rule"), col("n_violations"))
-      // 1-row × 1-row: attach the denominator to the referential rule
-      .crossJoin(agg.select(col("n_rows")))
+      // 1-row × 1-row: attach the denominator to the referential rule;
+      // hinted like every other scalar join (VERDICT r6 #7) — AQE would
+      // usually rescue an unhinted plan, but uniformity beats luck
+      .crossJoin(broadcast(agg.select(col("n_rows"))))
     rowRules.select(col("rule"), col("n_violations"), col("n_rows"))
       .unionByName(orphan.select(col("rule"), col("n_violations"), col("n_rows")))
       .select(col("rule"), col("n_violations"),

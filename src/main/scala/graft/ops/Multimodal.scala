@@ -136,9 +136,17 @@ object Multimodal {
     * guard). At 100 TB: per-band keyed shuffles, never all-pairs — the
     * media twin of the MinHash band join.
     */
-  def phashHamming(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 16-bit block-SimHash signature stage of [[phashHamming]],
+    * factored out (ADVICE r6 #4) so specs can validate it INDEPENDENTLY
+    * of the band join: Round7Spec recomputes signatures for a synthetic
+    * corpus with driver-side MessageDigest md5 (no Spark SQL functions),
+    * and Round6Spec's banding-lossless cross-check explicitly validates
+    * only the banding step on top of this shared builder.
+    * Input needs (doc_id, text, n_chars); emits (doc_id, sig LONG).
+    */
+  private[graft] def phashSignatures(docs: DataFrame): DataFrame = {
     val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val blocks = Tables.documents(spark, sfDir)
+    val blocks = docs
       .where(col("n_chars") > 0)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0L, (n_chars + 63) div 64 - 1),
@@ -147,11 +155,15 @@ object Multimodal {
     val bitSums = (1 to 16).map { j =>
       sum(when(substring(col("h"), j, 1).isin(hi: _*), 1).otherwise(-1)).as(s"b$j")
     }
-    val sig = blocks.groupBy(col("doc_id"))
+    blocks.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), (1 to 16).map { j =>
         when(col(s"b$j") > 0, math.pow(2, j - 1).toLong).otherwise(0L)
       }.reduce(_ + _).cast("long").as("sig"))
+  }
+
+  def phashHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = phashSignatures(Tables.documents(spark, sfDir))
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("band", expr("shiftright(sig, k * 4) & 15"))

@@ -46,7 +46,12 @@ object Similarity {
     // IVF index builds once and reuses; 10 rows is free to pin.
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("comp").cast("double")), 6).as("c"))
+      // ADVICE r6 #5: centroid means integerized at 2^20 (the J17/J18
+      // fixed-point protocol) — the component sum is exact LONG math, so
+      // the quantizer is order-independent by construction instead of
+      // relying on round(.,6) to absorb partial-agg-vs-sequential drift
+      .agg(round(sum(expr("CAST(round(CAST(comp AS DOUBLE) * 1048576) AS BIGINT)"))
+        .cast("double") / (count(lit(1)) * lit(1048576.0)), 6).as("c"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
       .select(col("label").as("cell"), col("cvec"))
@@ -198,7 +203,12 @@ object Similarity {
   private[graft] def knnBucketed(e: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("comp").cast("double")), 6).as("c"))
+      // ADVICE r6 #5: centroid means integerized at 2^20 (the J17/J18
+      // fixed-point protocol) — the component sum is exact LONG math, so
+      // the quantizer is order-independent by construction instead of
+      // relying on round(.,6) to absorb partial-agg-vs-sequential drift
+      .agg(round(sum(expr("CAST(round(CAST(comp AS DOUBLE) * 1048576) AS BIGINT)"))
+        .cast("double") / (count(lit(1)) * lit(1048576.0)), 6).as("c"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
       .select(col("label").as("cell"), col("cvec"))
@@ -314,7 +324,12 @@ object Similarity {
     assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "comp")))
       .groupBy(col("cell"), col("dim"))
-      .agg(round(avg(col("comp").cast("double")), 6).as("c"))
+      // ADVICE r6 #5: centroid means integerized at 2^20 (the J17/J18
+      // fixed-point protocol) — the component sum is exact LONG math, so
+      // the quantizer is order-independent by construction instead of
+      // relying on round(.,6) to absorb partial-agg-vs-sequential drift
+      .agg(round(sum(expr("CAST(round(CAST(comp AS DOUBLE) * 1048576) AS BIGINT)"))
+        .cast("double") / (count(lit(1)) * lit(1048576.0)), 6).as("c"))
       .groupBy(col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
       .localCheckpoint(true)
@@ -529,7 +544,12 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("comp").cast("double")), 6).as("c"))
+      // ADVICE r6 #5: centroid means integerized at 2^20 (the J17/J18
+      // fixed-point protocol) — the component sum is exact LONG math, so
+      // the quantizer is order-independent by construction instead of
+      // relying on round(.,6) to absorb partial-agg-vs-sequential drift
+      .agg(round(sum(expr("CAST(round(CAST(comp AS DOUBLE) * 1048576) AS BIGINT)"))
+        .cast("double") / (count(lit(1)) * lit(1048576.0)), 6).as("c"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
       .select(col("label").as("cell"), col("cvec"))

@@ -354,13 +354,15 @@ object Windows {
     * same 2^-lag weights, so series edges (fewer than 31 lags available)
     * normalize correctly.
     *
-    * BIT-EXACT BY CONSTRUCTION: alpha = 1/2 makes every weight a dyadic
-    * 2^-lag (exactly representable); x is an integer count, so every term
-    * and every partial sum is a multiple of 2^-30 well inside the 2^53
-    * integer range (daily counts up to ~4M) — the float sums commute, no
-    * engine ordering can flip a bit. The one inexact op is the final
-    * division, identical IEEE on both engines. Day is emitted as an ISO
-    * string (L14/L21 canonicalization).
+    * BIT-EXACT BY CONSTRUCTION (ADVICE r6 #1): alpha = 1/2 makes every
+    * weight a dyadic 2^-lag, so contributions are INTEGERIZED at scale
+    * 2^30 — term = x · 2^(30-lag) is exact LONG arithmetic (the J17/J18
+    * fixed-point protocol), making the per-day numerator/denominator sums
+    * associative integers at ANY daily count (a float formulation would
+    * go order-dependent past ~2^53/(2^30·31) ≈ 270 k events/day — NOT
+    * the ~4M a hand-wave suggests). The 2^30 scale cancels in the one
+    * inexact op, the final division, identical IEEE on both engines.
+    * Day is emitted as an ISO string (L14/L21 canonicalization).
     */
   def winEwma(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
@@ -375,12 +377,13 @@ object Windows {
         explode(sequence(lit(0), lit(30))).as("lag"))
       .groupBy((col("rn") + col("lag")).as("t"))
       .agg(
-        sum(col("x") * pow(lit(0.5), col("lag"))).as("num"),
-        sum(pow(lit(0.5), col("lag"))).as("den"))
+        sum(col("x") * expr("shiftleft(cast(1 as bigint), 30 - lag)")).as("num_i"),
+        sum(expr("shiftleft(cast(1 as bigint), 30 - lag)")).as("den_i"))
     wr.join(contrib, col("rn") === col("t"))
       .select(col("day").cast("string").as("day"),
         col("x").as("n_events"),
-        (round(col("num") / col("den"), 6) + lit(0.0)).as("ewma"))
+        (round(col("num_i").cast("double") / col("den_i").cast("double"), 6)
+          + lit(0.0)).as("ewma"))
       .orderBy(col("day"))
   }
 

@@ -54,7 +54,7 @@ object OracleSql {
     */
   private val knnIvfChain: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings WHERE vec_id < 500),
-      |ccomp AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(emb[CAST(i AS INT)]), 6) AS c FROM e, range(1, 65) t(i) GROUP BY label, i),
+      |ccomp AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(emb[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM e, range(1, 65) t(i) GROUP BY label, i),
       |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM ccomp GROUP BY label),
       |cdots AS (SELECT e.vec_id, c.cell, list_dot_product(e.emb, c.cvec) AS d FROM e CROSS JOIN cent c),
       |cr AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM cdots),
@@ -1269,7 +1269,7 @@ object OracleSql {
     // ── similarity search ──
     "ann_ivf_topk" ->
       """WITH comp AS (SELECT label, CAST(i - 1 AS INT) AS dim,
-        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+        |round(CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c
         |FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
         |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM comp GROUP BY label),
         |dots AS (SELECT e.vec_id, e.embedding, c.cell,
@@ -1564,7 +1564,7 @@ object OracleSql {
     // chain with nprobe=2, rank 10; exact = vec_knn_topk's chain)
     "ann_recall_at_k" ->
       """WITH comp AS (SELECT label, CAST(i - 1 AS INT) AS dim,
-        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+        |round(CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c
         |FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
         |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM comp GROUP BY label),
         |dots AS (SELECT e.vec_id, e.embedding, c.cell,
@@ -2305,21 +2305,21 @@ object OracleSql {
     "vec_kmeans_lloyd" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
         |c0 AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM (
-        |SELECT label AS cell, CAST(i - 1 AS INT) AS dim, round(avg(emb[CAST(i AS INT)]), 6) AS c
+        |SELECT label AS cell, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(emb[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c
         |FROM e, range(1, 65) t(i) GROUP BY label, i) GROUP BY cell),
         |a1 AS (SELECT vec_id, emb, cell FROM (
         |SELECT e.vec_id, e.emb, c.cell,
         |ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.cell) AS rn
         |FROM e CROSS JOIN c0 c) WHERE rn = 1),
         |c1 AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM (
-        |SELECT cell, CAST(i - 1 AS INT) AS dim, round(avg(emb[CAST(i AS INT)]), 6) AS c
+        |SELECT cell, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(emb[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c
         |FROM a1, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell),
         |a2 AS (SELECT vec_id, emb, cell FROM (
         |SELECT e.vec_id, e.emb, c.cell,
         |ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.cell) AS rn
         |FROM e CROSS JOIN c1 c) WHERE rn = 1),
         |c2 AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM (
-        |SELECT cell, CAST(i - 1 AS INT) AS dim, round(avg(emb[CAST(i AS INT)]), 6) AS c
+        |SELECT cell, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(emb[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c
         |FROM a2, range(1, 65) t(i) GROUP BY cell, i) GROUP BY cell),
         |af AS (SELECT vec_id, cell, d FROM (
         |SELECT e.vec_id, c.cell, list_dot_product(e.emb, c.cvec) AS d,
@@ -2437,10 +2437,11 @@ object OracleSql {
     "win_ewma" ->
       (EV + """, daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM ev GROUP BY 1),
         |wr AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
-        |c AS (SELECT wr.rn + i AS t, SUM(x * power(0.5, i)) AS num, SUM(power(0.5, i)) AS den
+        |c AS (SELECT wr.rn + i AS t, SUM(x * (CAST(1 AS BIGINT) << CAST(30 - i AS INT))) AS num_i,
+        |SUM(CAST(1 AS BIGINT) << CAST(30 - i AS INT)) AS den_i
         |FROM wr, range(0, 31) r(i) GROUP BY wr.rn + i)
         |SELECT CAST(day AS VARCHAR) AS day, x AS n_events,
-        |round(num / den, 6) + 0.0 AS ewma
+        |round(CAST(num_i AS DOUBLE) / CAST(den_i AS DOUBLE), 6) + 0.0 AS ewma
         |FROM wr JOIN c ON c.t = wr.rn ORDER BY day""".stripMargin.replace("\n", " ")),
 
     // both arms replicated with the same rank cut; 16-dim arm slices the
@@ -2518,7 +2519,7 @@ object OracleSql {
     // coherence integerized at 2^20 before the exact sum (J18 protocol)
     "vec_ivf_stats" ->
       """WITH comp AS (SELECT label, CAST(i - 1 AS INT) AS dim,
-        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+        |round(CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c
         |FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
         |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM comp GROUP BY label),
         |dots AS (SELECT e.vec_id, c.cell,

@@ -95,21 +95,11 @@ class Round6Spec extends SparkSpec {
     }
     // pigeonhole: distance <= 3 over 4 bands of 4 bits -> at least one
     // band untouched, so the band join cannot have dropped a qualifying pair.
-    // Cross-check the full count against a direct (unbanded) computation.
-    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val blocks = Tables.documents(spark, sf)
-      .where(col("n_chars") > 0)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0L, (n_chars + 63) div 64 - 1),
-          |  i -> md5(cast(substring(text, cast(i as int) * 64 + 1, 64) as binary)))"""
-          .stripMargin)).as("h"))
-    val bitSums = (1 to 16).map { j =>
-      sum(when(substring(col("h"), j, 1).isin(hi: _*), 1).otherwise(-1)).as(s"b$j")
-    }
-    val sig = blocks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), (1 to 16).map { j =>
-        when(col(s"b$j") > 0, math.pow(2, j - 1).toLong).otherwise(0L)
-      }.reduce(_ + _).cast("long").as("sig"))
+    // Cross-check against the direct (unbanded) all-pairs computation over
+    // the SHARED signature builder (ADVICE r6 #4: this check validates
+    // ONLY the banding step; the signature computation itself is
+    // independently verified in Round7Spec against driver-side md5).
+    val sig = graft.ops.Multimodal.phashSignatures(Tables.documents(spark, sf))
     val a = sig.select(col("doc_id").as("a_id"), col("sig").as("sa"))
     val b = sig.select(col("doc_id").as("b_id"), col("sig").as("sb"))
     val brute = a.join(b, col("a_id") < col("b_id"))

@@ -77,6 +77,35 @@ class Round7Spec extends SparkSpec {
     assert(memberStrings.forall(sized.mightContainString), "no false negatives")
   }
 
+  test("M59 signature builder matches an independent driver-side md5 computation") {
+    // ADVICE r6 #4: the banding-lossless gate validates only the band
+    // join; THIS test validates the signature stage itself — the 16-bit
+    // block SimHash recomputed with java MessageDigest + plain string ops
+    // (no Spark SQL md5/substring/cast), on an ASCII synthetic corpus
+    // (char == byte, so 64-char and 64-byte blocks coincide).
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expectedSig(text: String): Long = {
+      val sums = new Array[Int](16)
+      for (block <- text.grouped(64); h = md5hex(block); j <- 0 until 16)
+        sums(j) += (if ("89abcdef".contains(h.charAt(j))) 1 else -1)
+      (0 until 16).map(j => if (sums(j) > 0) 1L << j else 0L).sum
+    }
+    val texts = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog " * 5),
+      2L -> "short block",
+      3L -> ("a" * 64 + "b" * 64 + "c" * 30),
+      4L -> ("mixed 0123456789 ascii payload with punctuation!?.," * 3))
+    val docs = texts.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = graft.ops.Multimodal.phashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, text) <- texts)
+      assert(got(id) == expectedSig(text),
+        s"doc $id: spark sig ${got(id)} != independent ${expectedSig(text)}")
+  }
+
   test("M57 bloom probe is null-safe: null text rows flow through, not NPE") {
     val docs = Seq((1L, "alpha beta gamma", "web"), (10L, null.asInstanceOf[String], "web"),
       (20L, "alpha beta gamma", "book"), (3L, null.asInstanceOf[String], "book"))
