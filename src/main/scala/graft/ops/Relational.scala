@@ -288,6 +288,35 @@ object Relational {
     * byte-for-byte, proving the text round-trip loses nothing (doubles
     * survive via shortest-repr formatting).
     */
+  /** A17 source_csv_permissive — malformed-row capture, the ingestion
+    * feature a real lake lives on: land a CSV with DETERMINISTICALLY
+    * corrupted rows (every doc_id ≡ 0 mod 7 gets a non-numeric payload),
+    * read it back under PERMISSIVE mode with a `_corrupt_record` column,
+    * and report row/good/corrupt counts plus the good-row payload sum.
+    * The oracle never parses the CSV — it recomputes the same numbers
+    * arithmetically from the source-of-truth table, so a hash match
+    * proves PERMISSIVE captured exactly the planted rows and passed every
+    * clean value through unchanged (no silent drops, no coercions).
+    * 100 TB: executor-parallel write/read; the corrupt-capture is
+    * per-row, map-only.
+    */
+  def sourceCsvPermissive(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Cols.tmpPath("graft_csv_permissive")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, lit("not_a_number"))
+          .otherwise(col("n_chars").cast("string")).as("payload"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema("doc_id BIGINT, lang STRING, payload BIGINT, _corrupt_record STRING")
+      .csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(col("payload")).as("sum_payload_good"))
+  }
+
   def sourceXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val out = Cols.tmpPath("graft_xml_orders")
     Tables.orders(spark, sfDir)

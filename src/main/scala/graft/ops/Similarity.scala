@@ -201,6 +201,19 @@ object Similarity {
     * Input must carry (vec_id, embedding, label).
     */
   private[graft] def knnBucketed(e: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val wTop = Window.partitionBy(col("a_id")).orderBy(desc("dot"), asc("b_id"))
+    knnCandidates(e, nprobe)
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** The candidate stage of [[knnBucketed]] — cell-pruned (a_id, b_id,
+    * dot) triples BEFORE the per-query rank cut, factored out so variant
+    * consumers (M67 hard-negative mining) can apply their own residual
+    * filter and cut without rebuilding the routing table.
+    */
+  private[graft] def knnCandidates(e: DataFrame, nprobe: Int): DataFrame = {
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
       .groupBy(col("label"), col("dim"))
       // ADVICE r6 #5: centroid means integerized at 2^20 (the J17/J18
@@ -236,9 +249,34 @@ object Similarity {
       .where(col("a_id") =!= col("b_id"))
       // codegen'd kernel; IEEE-identical to the HOF form (see DotProduct)
       .withColumn("dot", expr("graft_dot(a_emb, b_emb)"))
-      .withColumn("rn", row_number().over(wTop))
-      .where(col("rn") <= k)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), col("dot"))
+  }
+
+  /** M67 vec_hard_negatives — hard-negative mining, the contrastive-
+    * training data op: for each query vector, the top-3 most-similar
+    * candidates carrying a DIFFERENT label (high-similarity cross-label
+    * pairs are exactly the "hard" negatives an embedding trainer wants).
+    * Candidates come from the same cell-pruned IVF stage as the kNN graph
+    * family ([[knnCandidates]]) with the label inequality as a residual
+    * before the rank cut, so mining cost tracks the banded candidate
+    * count, never corpus². Label lookups are two keyed self-joins on the
+    * id — at 100 TB the label column rides the same inverted-list
+    * artifact the router persists.
+    */
+  def vecHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val w = Window.partitionBy(col("a_id")).orderBy(desc("dot"), asc("b_id"))
+    knnCandidates(e, 2)
+      .join(e.select(col("vec_id").as("a_id"), col("label").as("a_label")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("label").as("b_label")), Seq("b_id"))
+      .where(col("b_label") =!= col("a_label"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        (round(col("dot"), 4) + lit(0.0)).as("sim"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
   }
 
   def graphTriangleKnn(spark: SparkSession, sfDir: String): DataFrame = {

@@ -811,4 +811,74 @@ object TextAnalysis {
         col("n_over_budget"), col("max_seq_tokens"),
         (round(col("total_tokens").cast("double") / (col("n_seqs") * lit(512.0)), 6)
           + lit(0.0)).as("mean_fill"))
+
+  /** M68 text_novelty_frac — per-document 5-gram novelty in ingest
+    * (doc_id) order: the fraction of a document's distinct 5-grams whose
+    * FIRST corpus occurrence is this document. The canonical "how much
+    * new text does each arrival add" curve a streaming-ingest curation
+    * pipeline watches (late documents full of already-seen n-grams are
+    * crawl-duplicate suspects even when no single document matches).
+    *
+    * First occurrence = min(doc_id) per gram — one gram-keyed aggregate;
+    * the per-doc novelty count joins back on the gram key. Two keyed
+    * shuffles, linear in corpus grams, no ordering dependence (min is
+    * associative) — the shape holds at 100 TB where "ingest order" is a
+    * monotone snapshot id instead of doc_id. Documents under 5 tokens
+    * carry no grams and drop out (M61 convention). Counts exact; one
+    * rounded division.
+    */
+  def textNoveltyFrac(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(t) < 5 THEN array()
+          |ELSE transform(sequence(1, size(t) - 4),
+          |  i -> concat_ws(' ', slice(t, i, 5)))
+          |END""".stripMargin))).as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (round(col("n_novel").cast("double") / col("n_grams"), 6) + lit(0.0))
+          .as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** M69 pipeline_quality_weighted_sample — quality-weighted Bernoulli
+    * downsampling (the FineWeb-style "keep with probability = quality"
+    * recipe) made DETERMINISTIC: each document draws its uniform from
+    * md5('qs|' || doc_id) (first 8 hex digits as a 32-bit integer) and is
+    * kept iff draw < round(quality · 2³²) — an exact integer comparison,
+    * so the sample is reproducible bit-for-bit on any engine and any
+    * partitioning, and re-runs are idempotent (the property a 100 TB
+    * curation pipeline needs to resume a half-finished sampling job).
+    * Quality is the M19 score recomputed inline (same expression tree on
+    * both engines → identical doubles). Per-source report: docs, kept,
+    * kept fraction, kept token mass. Map-only until the final keyed agg.
+    */
+  def qualityWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a")
+    Tables.documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens") / lit(50.0)) *
+          (lit(1.0) - size(expr(s"filter(t, x -> x IN (${stop.map(s => s"'$s'").mkString(",")}))"))
+            .cast("double") / col("n_tokens")))
+      .withColumn("draw",
+        conv(substring(md5(concat(lit("qs|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("kept",
+        col("draw") < expr("CAST(round(quality * 4294967296) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens").cast("long")).otherwise(0L)).as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (round(col("n_kept").cast("double") / col("n_docs"), 6) + lit(0.0)).as("kept_frac"),
+        col("kept_tokens"))
+      .orderBy(col("source"))
+  }
 }

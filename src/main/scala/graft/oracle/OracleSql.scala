@@ -58,9 +58,9 @@ object OracleSql {
       |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM ccomp GROUP BY label),
       |cdots AS (SELECT e.vec_id, c.cell, list_dot_product(e.emb, c.cvec) AS d FROM e CROSS JOIN cent c),
       |cr AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM cdots),
-      |asg AS (SELECT cr.vec_id AS b_id, e.emb AS b_emb, cr.cell FROM cr JOIN e ON e.vec_id = cr.vec_id WHERE crn = 1),
+      |asg AS (SELECT cr.vec_id AS b_id, e.emb AS b_emb, e.label AS b_label, cr.cell FROM cr JOIN e ON e.vec_id = cr.vec_id WHERE crn = 1),
       |prb AS (SELECT vec_id AS a_id, cell FROM cr WHERE crn <= 2),
-      |cand AS (SELECT p.a_id, b.b_id, list_dot_product(q.emb, b.b_emb) AS dot
+      |cand AS (SELECT p.a_id, q.label AS a_label, b.b_id, b.b_label, list_dot_product(q.emb, b.b_emb) AS dot
       |FROM prb p JOIN e q ON q.vec_id = p.a_id JOIN asg b ON b.cell = p.cell AND b.b_id <> p.a_id),
       |rk AS (SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM cand)"""
       .stripMargin.replace("\n", " ")
@@ -2713,5 +2713,55 @@ object OracleSql {
         |WHERE ps_suppkey = s_suppkey AND p_name LIKE 'blue%'
         |AND CAST(ps_availqty AS DOUBLE) > 0.5 * qty)
         |ORDER BY s_name""".stripMargin.replace("\n", " ")),
+
+    // ---- round-7 batch 2
+
+    // reuses the shared IVF chain's label-carrying cand CTE; the rank cut
+    // applies the cross-label residual BEFORE ranking
+    "vec_hard_negatives" ->
+      ("WITH " + knnIvfChain +
+        """, hn AS (SELECT a_id, a_label, b_id, b_label, dot,
+        |ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn
+        |FROM cand WHERE b_label <> a_label)
+        |SELECT a_id, a_label, b_id, b_label, round(dot, 4) + 0.0 AS sim, rn
+        |FROM hn WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin.replace("\n", " ")),
+
+    "text_novelty_frac" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+        |ELSE list_transform(range(1, len(t) - 3), i -> t[CAST(i AS INT)] || ' ' ||
+        |t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] || ' ' ||
+        |t[CAST(i AS INT) + 3] || ' ' || t[CAST(i AS INT) + 4]) END)) AS gram FROM d),
+        |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |round(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0 AS novelty_frac
+        |FROM g JOIN f ON f.gram = g.gram GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin.replace("\n", " "),
+
+    // the uniform draw and the threshold are both exact integers, so the
+    // kept set is engine- and partitioning-independent by construction
+    "pipeline_quality_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |q AS (SELECT doc_id, source, len(t) AS n_tokens,
+        |least(1.0, len(t) / 50.0) * (1.0 - CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t)) AS quality
+        |FROM d),
+        |k AS (SELECT source, n_tokens,
+        |('0x' || substr(md5('qs|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |< CAST(round(quality * 4294967296, 0) AS BIGINT) AS kept FROM q)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |round(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0 AS kept_frac,
+        |CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+
+    // the oracle recomputes the permissive-read report ARITHMETICALLY from
+    // the base table: a hash match proves capture hit exactly the planted
+    // rows and every clean payload round-tripped
+    "source_csv_permissive" ->
+      """SELECT COUNT(*) AS n_rows,
+        |CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT) AS sum_payload_good
+        |FROM documents""".stripMargin.replace("\n", " "),
   )
 }

@@ -106,6 +106,68 @@ class Round7Spec extends SparkSpec {
         s"doc $id: spark sig ${got(id)} != independent ${expectedSig(text)}")
   }
 
+  test("M67 vec_hard_negatives: every mined pair is cross-label, ranked by sim") {
+    val rows = run("vec_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) != r.getInt(3), "a hard negative must carry a different label")
+      assert(r.getInt(5) >= 1 && r.getInt(5) <= 3, "rank cut at 3")
+    }
+    // within a query vector, sim must be non-increasing in rank
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(5)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"sim not monotone in rank: ${byRank.toSeq}")
+    }
+  }
+
+  test("M68 text_novelty_frac: first doc is fully novel, replayed text is not") {
+    val rows = run("text_novelty_frac").collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(1) == first.getLong(2) && first.getDouble(3) == 1.0,
+      "the earliest doc's grams are all first occurrences by definition")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "novel grams bounded by gram count")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // a duplicated document contributes zero novelty for the copy
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val grams = docs.select(c("doc_id"),
+      explode(expr("transform(sequence(1, size(split(text,' ')) - 4), " +
+        "i -> concat_ws(' ', slice(split(text,' '), i, 5)))")).as("g"))
+    val f = grams.groupBy("g").agg(min("doc_id").as("fd"))
+    val novel2 = grams.join(f, "g").where(c("doc_id") === 2 && c("fd") === 2).count()
+    assert(novel2 == 0, "an exact replay has zero novel grams")
+  }
+
+  test("M69 pipeline_quality_weighted_sample: kept set is the exact integer-threshold set") {
+    val rows = run("pipeline_quality_weighted_sample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "kept <= docs")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // determinism: two evaluations agree exactly (no rand(), no
+    // partitioning sensitivity)
+    val again = run("pipeline_quality_weighted_sample").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("A17 source_csv_permissive: capture hits exactly the planted rows") {
+    val r = run("source_csv_permissive").head()
+    val docs = Tables.documents(spark, sf)
+    val planted = docs.where(col("doc_id") % 7 === 0).count()
+    assert(r.getLong(0) == docs.count(), "every row lands")
+    assert(r.getLong(1) == planted, "corrupt count = planted count")
+    assert(r.getLong(2) == docs.count() - planted)
+    val goodSum = docs.where(col("doc_id") % 7 =!= 0)
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    assert(r.getLong(3) == goodSum, "clean payloads must round-trip exactly")
+  }
+
   test("M57 bloom probe is null-safe: null text rows flow through, not NPE") {
     val docs = Seq((1L, "alpha beta gamma", "web"), (10L, null.asInstanceOf[String], "web"),
       (20L, "alpha beta gamma", "book"), (3L, null.asInstanceOf[String], "book"))
