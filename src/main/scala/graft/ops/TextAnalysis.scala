@@ -819,10 +819,12 @@ object TextAnalysis {
     * pipeline watches (late documents full of already-seen n-grams are
     * crawl-duplicate suspects even when no single document matches).
     *
-    * First occurrence = min(doc_id) per gram — one gram-keyed aggregate;
-    * the per-doc novelty count joins back on the gram key. Two keyed
-    * shuffles, linear in corpus grams, no ordering dependence (min is
-    * associative) — the shape holds at 100 TB where "ingest order" is a
+    * First occurrence = min(doc_id) per gram, attached as an UNBOUNDED
+    * window min over the gram key — ONE gram-keyed shuffle and one gram
+    * explode total (an agg + join-back formulation, which the oracle
+    * uses, explodes the corpus-sized gram relation twice and shuffles it
+    * twice for identical results). min is associative — no ordering
+    * dependence; the shape holds at 100 TB where "ingest order" is a
     * monotone snapshot id instead of doc_id. Documents under 5 tokens
     * carry no grams and drop out (M61 convention). Counts exact; one
     * rounded division.
@@ -835,8 +837,9 @@ object TextAnalysis {
           |ELSE transform(sequence(1, size(t) - 4),
           |  i -> concat_ws(' ', slice(t, i, 5)))
           |END""".stripMargin))).as("g"))
-    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, Seq("g"))
+    grams
+      .withColumn("first_doc", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
