@@ -311,4 +311,37 @@ object DataQuality {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6) + lit(0.0))
           .as("ks_d"))
   }
+
+  /** N7 dq_rolling_zscore — trailing-7-day z-score of the daily
+    * per-event-type volume: the standing anomaly monitor a pipeline runs
+    * on its own ingest rates (a z spike = a crawler burst or an outage).
+    * Rows with fewer than 7 trailing days are withheld (no partial-window
+    * z), and a zero-variance window reports NULL rather than ±inf.
+    *
+    * Determinism: the window carries only exact LONG sums (Σx, Σx²); the
+    * variance NUMERATOR 7·Σx² − (Σx)² is compared to zero as an exact
+    * integer, and mean/σ become doubles in one identical expression tree
+    * on both engines. 100 TB: the day-collapse is the only corpus-sized
+    * aggregate; the window runs over the bounded per-type daily series
+    * (the L21 precedent).
+    */
+  def dqRollingZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-6, 0)
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .where(col("n_w") === 7)
+      .withColumn("varnum", lit(7L) * col("sxx") - col("sx") * col("sx"))
+      .select(col("day").cast("string").as("day"), col("event_type"), col("x"),
+        (round(col("sx").cast("double") / 7.0, 6) + lit(0.0)).as("mean7"),
+        when(col("varnum") > 0,
+          round((col("x") - col("sx").cast("double") / 7.0) /
+            sqrt(col("varnum").cast("double") / 42.0), 6) + lit(0.0))
+          .as("zscore"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -509,6 +509,68 @@ object Dedup {
       : org.apache.spark.util.sketch.BloomFilter =
     slice.stat.bloomFilter(colName, math.max(slice.count(), 1L), 0.01)
 
+  /** M71 dedup_band_tuning_sweep — the banding-config decision table: the
+    * M63 recall harness generalized to a SWEEP over the three (bands,
+    * rows) layouts a 4-hash MinHash admits — b2r2 (production), b4r1
+    * (recall-max), b1r4 (precision-max) — each scored against the same
+    * exact-Jaccard ≥ 0.8 ground truth. This is the table an engineer
+    * reads to pick a config BEFORE a corpus-scale dedup run: r=1 catches
+    * everything but floods the confirm join; r=4 barely probes.
+    *
+    * One signature build feeds all seven band slices (cfg and band index
+    * ride the join key, so configs never cross-pollinate); candidates per
+    * config come from the usual band-bucket self-join. Ground truth uses
+    * the complete shingle-co-occurrence generator (pairs sharing ≥ 1
+    * shingle ⊇ every pair with Jaccard > 0) — linear in co-occurrences,
+    * never all-pairs. Counts exact; ratios are rounded divisions,
+    * NULL (not /0) when a side is empty.
+    */
+  def bandTuningSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir, 200).cache()
+    val sig = signatures(sh).localCheckpoint(true)
+    def slice(cfg: String, k: Int, key: org.apache.spark.sql.Column) =
+      sig.select(lit(cfg).as("cfg"), lit(k).as("bk"), col("doc_id"), key.as("b"))
+    val bands = Seq(
+      slice("b2r2", 0, md5(concat(col("s0"), col("s1")))),
+      slice("b2r2", 1, md5(concat(col("s2"), col("s3")))),
+      slice("b4r1", 0, md5(col("s0"))), slice("b4r1", 1, md5(col("s1"))),
+      slice("b4r1", 2, md5(col("s2"))), slice("b4r1", 3, md5(col("s3"))),
+      slice("b1r4", 0, md5(concat(col("s0"), col("s1"), col("s2"), col("s3")))))
+      .reduce(_ unionAll _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.cfg") === col("y.cfg") && col("x.bk") === col("y.bk") &&
+          col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.cfg").as("cfg"), col("x.doc_id").as("a_id"),
+        col("y.doc_id").as("b_id"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("doc_id").as("a_id"), col("s"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("ni"))
+      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .where(col("ni").cast("double") / (col("na") + col("nb") - col("ni")) >= 0.8)
+      .select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val cfgs = bands.select(col("cfg")).distinct()
+    val perCfg = cand.groupBy(col("cfg")).agg(count(lit(1)).as("n_cand"))
+    val hitPerCfg = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
+      .groupBy(col("cfg")).agg(count(lit(1)).as("n_hit"))
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    cfgs.join(perCfg, Seq("cfg"), "left").join(hitPerCfg, Seq("cfg"), "left")
+      .crossJoin(broadcast(nT))
+      .select(col("cfg"), col("n_true"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_cand"), lit(0L)) > 0,
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            coalesce(col("n_cand"), lit(0L)), 6) + lit(0.0)).as("precision"),
+        when(col("n_true") > 0,
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_true"), 6)
+            + lit(0.0)).as("recall"))
+      .orderBy(col("cfg"))
+  }
+
   /** M61 text_decontaminate_13gram — benchmark decontamination at the
     * PUBLISHED standard granularity: a test document is contaminated if
     * ANY of its 13-token n-grams appears verbatim in the training slice

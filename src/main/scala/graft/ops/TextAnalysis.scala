@@ -812,6 +812,30 @@ object TextAnalysis {
         (round(col("total_tokens").cast("double") / (col("n_seqs") * lit(512.0)), 6)
           + lit(0.0)).as("mean_fill"))
 
+  /** M70 pipeline_epoch_shuffle — reproducible per-epoch data ordering:
+    * each training epoch re-shuffles the corpus, but the permutation must
+    * be a pure function of (epoch, doc_id) so any worker — or a re-run
+    * months later — derives the identical order with no coordination.
+    * The shuffle key is md5("ep<epoch>|<doc_id>"); the query emits each
+    * epoch's manifest head (first 10 docs) as the auditable witness.
+    * 100 TB: the key is map-side; the per-epoch top-10 prunes through
+    * WindowGroupLimit before any sort — the full permutation is never
+    * materialized, workers sort only their own shard by the same key.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch")).orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("epoch"))
+      .withColumn("shuffle_key",
+        md5(concat(lit("ep"), col("epoch").cast("string"), lit("|"),
+          col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("epoch"), col("rk"), col("doc_id"), col("shuffle_key"))
+      .orderBy(col("epoch"), col("rk"))
+  }
+
   /** M68 text_novelty_frac — per-document 5-gram novelty in ingest
     * (doc_id) order: the fraction of a document's distinct 5-grams whose
     * FIRST corpus occurrence is this document. The canonical "how much

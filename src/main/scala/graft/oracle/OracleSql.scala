@@ -2763,5 +2763,68 @@ object OracleSql {
         |CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
         |CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT) AS sum_payload_good
         |FROM documents""".stripMargin.replace("\n", " "),
+
+    // ---- round-7 batch 3
+
+    // exact LONG window sums; variance numerator compared to zero as an
+    // integer; one identical double expression tree for mean/z
+    "dq_rolling_zscore" ->
+      (EV + """, daily AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS x
+        |FROM ev GROUP BY 1, 2),
+        |w AS (SELECT day, event_type, x,
+        |COUNT(*) OVER win AS n_w, SUM(x) OVER win AS sx, SUM(x * x) OVER win AS sxx
+        |FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT CAST(day AS VARCHAR) AS day, event_type, x,
+        |round(CAST(sx AS DOUBLE) / 7.0, 6) + 0.0 AS mean7,
+        |CASE WHEN (7 * sxx - sx * sx) > 0 THEN
+        |round((x - CAST(sx AS DOUBLE) / 7.0) / sqrt(CAST(7 * sxx - sx * sx AS DOUBLE) / 42.0), 6) + 0.0
+        |END AS zscore
+        |FROM w WHERE n_w = 7 ORDER BY event_type, day""".stripMargin.replace("\n", " ")),
+
+    "pipeline_epoch_shuffle" ->
+      """WITH x AS (SELECT doc_id, unnest([0, 1, 2]) AS epoch FROM documents),
+        |k AS (SELECT epoch, doc_id,
+        |md5('ep' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)) AS shuffle_key FROM x),
+        |r AS (SELECT epoch, doc_id, shuffle_key,
+        |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY shuffle_key, doc_id) AS rk FROM k)
+        |SELECT epoch, rk, doc_id, shuffle_key FROM r WHERE rk <= 10
+        |ORDER BY epoch, rk""".stripMargin.replace("\n", " "),
+
+    // the sweep's band keys differ textually from Spark's (hex-string vs
+    // raw-binary md5 inputs) but are equality-faithful per engine, so the
+    // candidate PAIR sets — the only thing counted — are identical
+    "dedup_band_tuning_sweep" ->
+      (s"WITH ${shingleCte("WHERE doc_id < 200")}, " +
+        s"sig AS ($sigSelect), " +
+        """bandsw AS (
+        |SELECT 'b2r2' AS cfg, 0 AS bk, doc_id, md5(s0 || s1) AS b FROM sig
+        |UNION ALL SELECT 'b2r2', 1, doc_id, md5(s2 || s3) FROM sig
+        |UNION ALL SELECT 'b4r1', 0, doc_id, s0 FROM sig
+        |UNION ALL SELECT 'b4r1', 1, doc_id, s1 FROM sig
+        |UNION ALL SELECT 'b4r1', 2, doc_id, s2 FROM sig
+        |UNION ALL SELECT 'b4r1', 3, doc_id, s3 FROM sig
+        |UNION ALL SELECT 'b1r4', 0, doc_id, md5(s0 || s1 || s2 || s3) FROM sig),
+        |candsw AS (SELECT DISTINCT x.cfg, x.doc_id AS a_id, y.doc_id AS b_id
+        |FROM bandsw x JOIN bandsw y ON y.cfg = x.cfg AND y.bk = x.bk AND y.b = x.b AND x.doc_id < y.doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |alltr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS ni
+        |FROM sh x JOIN sh y ON y.s = x.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |truth AS (SELECT t.a_id, t.b_id FROM alltr t
+        |JOIN cnt ca ON ca.doc_id = t.a_id JOIN cnt cb ON cb.doc_id = t.b_id
+        |WHERE CAST(t.ni AS DOUBLE) / (ca.n + cb.n - t.ni) >= 0.8),
+        |cfgs AS (SELECT DISTINCT cfg FROM bandsw),
+        |pc AS (SELECT cfg, COUNT(*) AS n_cand FROM candsw GROUP BY cfg),
+        |hc AS (SELECT c.cfg, COUNT(*) AS n_hit FROM candsw c
+        |JOIN truth t ON t.a_id = c.a_id AND t.b_id = c.b_id GROUP BY c.cfg),
+        |nt AS (SELECT COUNT(*) AS n_true FROM truth)
+        |SELECT cfgs.cfg, n_true,
+        |COALESCE(pc.n_cand, 0) AS n_cand, COALESCE(hc.n_hit, 0) AS n_hit,
+        |CASE WHEN COALESCE(pc.n_cand, 0) > 0 THEN
+        |round(CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / pc.n_cand, 6) + 0.0 END AS precision,
+        |CASE WHEN n_true > 0 THEN
+        |round(CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / n_true, 6) + 0.0 END AS recall
+        |FROM cfgs LEFT JOIN pc ON pc.cfg = cfgs.cfg LEFT JOIN hc ON hc.cfg = cfgs.cfg, nt
+        |ORDER BY cfgs.cfg""".stripMargin.replace("\n", " ")),
   )
 }

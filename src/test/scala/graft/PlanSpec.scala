@@ -221,7 +221,8 @@ class PlanSpec extends SparkSpec {
       // broadcast 1-row supplier count (the only BNLJ in each plan);
       // wk_q11 additionally broadcasts its 1-row total/n_parts agg
       "wk_q2_min_cost_supplier", "wk_q9_product_profit",
-      "wk_q11_important_stock", "wk_q16_supplier_cnt", "wk_q20_excess_stock")
+      "wk_q11_important_stock", "wk_q16_supplier_cnt", "wk_q20_excess_stock",
+      "dedup_band_tuning_sweep") // broadcast 1-row ground-truth count
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

@@ -168,6 +168,50 @@ class Round7Spec extends SparkSpec {
     assert(r.getLong(3) == goodSum, "clean payloads must round-trip exactly")
   }
 
+  test("N7 dq_rolling_zscore: full windows only, flat windows yield NULL z") {
+    val rows = run("dq_rolling_zscore").collect()
+    assert(rows.nonEmpty)
+    // synthetic cross-check of the closed form on a hand-computable window
+    val xs = Seq(10L, 10L, 10L, 10L, 10L, 10L, 17L) // mean 11, var (7*829-77^2)/42
+    val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+    val varnum = 7 * sxx - sx * sx
+    val z = (17.0 - sx / 7.0) / math.sqrt(varnum / 42.0)
+    assert(math.abs(z - 2.2677868380553634) < 1e-9, "sanity of the closed form")
+    // production rows: z must be NULL only when the window is flat
+    rows.foreach { r =>
+      if (r.isNullAt(4)) {
+        // flat window: x equals the (rounded) mean exactly
+        assert(r.getDouble(3) == r.getLong(2).toDouble,
+          s"NULL z only for zero-variance windows: $r")
+      }
+    }
+  }
+
+  test("M70 pipeline_epoch_shuffle: permutations are reproducible and epoch-distinct") {
+    val a = run("pipeline_epoch_shuffle").collect()
+    val b = run("pipeline_epoch_shuffle").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "pure function of (epoch, doc_id)")
+    val byEpoch = a.groupBy(_.getInt(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    assert(byEpoch(0) != byEpoch(1) && byEpoch(1) != byEpoch(2),
+      "different epochs must produce different orders")
+    byEpoch.values.foreach(m => assert(m.size == 10 && m.distinct.size == 10))
+  }
+
+  test("M71 dedup_band_tuning_sweep: candidate sets and recall are monotone in band count") {
+    val rows = run("dedup_band_tuning_sweep").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("b1r4", "b2r2", "b4r1"))
+    // agreeing on all 4 sigs => agreeing on both halves => agreeing on any
+    // single sig: candidates(b1r4) <= candidates(b2r2) <= candidates(b4r1)
+    def cand(c: String) = rows(c).getLong(2)
+    def hit(c: String) = rows(c).getLong(3)
+    assert(cand("b1r4") <= cand("b2r2") && cand("b2r2") <= cand("b4r1"))
+    assert(hit("b1r4") <= hit("b2r2") && hit("b2r2") <= hit("b4r1"))
+    // the three rows share one ground truth
+    assert(rows.values.map(_.getLong(1)).toSet.size == 1)
+  }
+
   test("M57 bloom probe is null-safe: null text rows flow through, not NPE") {
     val docs = Seq((1L, "alpha beta gamma", "web"), (10L, null.asInstanceOf[String], "web"),
       (20L, "alpha beta gamma", "book"), (3L, null.asInstanceOf[String], "book"))
