@@ -509,6 +509,60 @@ object Dedup {
       : org.apache.spark.util.sketch.BloomFilter =
     slice.stat.bloomFilter(colName, math.max(slice.count(), 1L), 0.01)
 
+  /** M72 dedup_bloom_partitioned — the PARTITIONED form of the M57 bloom
+    * prefilter, i.e. the shape that survives a 100 TB standing corpus:
+    * fingerprints hash into 16 buckets and each bucket aggregates its OWN
+    * right-sized filter through the mergeable [[graft.functions.BloomSketch]]
+    * native aggregate — partial buffers OR-merge map-side, so no driver
+    * ever merges a corpus-sized filter tree (the r6-flagged chokepoint of
+    * the single-filter build). Probes route by the same bucket hash and
+    * consult only their bucket's filter; an incoming fingerprint in a
+    * bucket with no standing rows is definitionally new.
+    *
+    * Local-mode stand-in: the 16 built filters are collected (bounded —
+    * 16 rows, the per-round-fixpoint-signature precedent) and broadcast
+    * as a bucket-keyed map; on a cluster the filter relation would stay
+    * distributed and the probe would be a bucket-keyed join. Tier-2 exact
+    * confirm and the report are identical to M57 — the counts are
+    * bloom-independent, so the oracle is the same arithmetic SQL.
+    */
+  def bloomPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BloomSketch.register(spark)
+    val fpCol = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary"))
+    val docs = Tables.documents(spark, sfDir)
+    val existing = docs.where(col("doc_id") % 10 =!= 0).select(fpCol.as("fp"))
+    val incoming = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"), fpCol.as("fp"))
+    val nBuckets = 16L
+    val perBucket = math.max(existing.count() / nBuckets, 1L)
+    val filters = existing
+      .withColumn("bucket", pmod(xxhash64(col("fp")), lit(nBuckets)))
+      .groupBy(col("bucket"))
+      .agg(expr(s"graft_bloom(fp, ${perBucket}L, 0.01D)").as("bf"))
+    val bloomByBucket = filters.collect().map { r =>
+      r.getLong(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(bloomByBucket)
+    val probeFn =
+      udf((b: Long, s: String) => s != null && bc.value.get(b).exists(_.mightContainString(s)))
+    val candidates = incoming
+      .withColumn("bucket", pmod(xxhash64(col("fp")), lit(nBuckets)))
+      .where(probeFn(col("bucket"), col("fp")))
+    val confirmed = candidates
+      .join(existing.distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    incoming.join(confirmed, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_dup"))
+      .select(col("source"), col("n_incoming"), col("n_dup"),
+        (col("n_incoming") - col("n_dup")).as("n_new"),
+        (round(col("n_dup").cast("double") / col("n_incoming").cast("double"), 6)
+          + lit(0.0)).as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
   /** M71 dedup_band_tuning_sweep — the banding-config decision table: the
     * M63 recall harness generalized to a SWEEP over the three (bands,
     * rows) layouts a 4-hash MinHash admits — b2r2 (production), b4r1

@@ -2826,5 +2826,20 @@ object OracleSql {
         |round(CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / n_true, 6) + 0.0 END AS recall
         |FROM cfgs LEFT JOIN pc ON pc.cfg = cfgs.cfg LEFT JOIN hc ON hc.cfg = cfgs.cfg, nt
         |ORDER BY cfgs.cfg""".stripMargin.replace("\n", " ")),
+
+    // identical arithmetic to dedup_bloom_prefilter: the report counts are
+    // bloom-independent (tier 2 is exact), so the same oracle checks the
+    // partitioned build
+    "dedup_bloom_partitioned" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp,
+        |doc_id % 10 = 0 AS incoming FROM documents),
+        |ex AS (SELECT DISTINCT fp FROM fp WHERE NOT incoming),
+        |inc AS (SELECT f.source, CASE WHEN ex.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+        |FROM fp f LEFT JOIN ex ON ex.fp = f.fp WHERE f.incoming)
+        |SELECT source, COUNT(*) AS n_incoming, CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+        |CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_new,
+        |round(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) + 0.0 AS dup_frac
+        |FROM inc GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
   )
 }

@@ -212,6 +212,48 @@ class Round7Spec extends SparkSpec {
     assert(rows.values.map(_.getLong(1)).toSet.size == 1)
   }
 
+  test("M72 BloomSketch: partial buffers OR-merge losslessly across partitions") {
+    graft.functions.BloomSketch.register(spark)
+    // 8 input partitions force real partial-aggregate merges
+    val members = s.range(20000).repartition(8)
+      .select(concat(lit("m_"), col("id")).as("fp"))
+    val buckets = members
+      .withColumn("bucket", pmod(xxhash64(col("fp")), lit(4L)))
+      .groupBy(col("bucket")).agg(expr("graft_bloom(fp, 5000L, 0.01D)").as("bf"))
+      .collect()
+      .map(r => r.getLong(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
+    assert(buckets.size == 4)
+    // no false negatives through update+merge+serialize: every member
+    // probes true in ITS bucket
+    val missed = (0 until 20000).count { i =>
+      val fp = s"m_$i"
+      val b = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(fp),
+        org.apache.spark.sql.types.StringType, 42L)
+      val bucket = ((b % 4) + 4) % 4
+      !buckets(bucket).mightContainString(fp)
+    }
+    assert(missed == 0, s"$missed false negatives — merge must be lossless")
+    // realized fpp near design: probe absent keys through the same routing
+    val fps = (0 until 10000).count { i =>
+      val fp = s"absent_$i"
+      val b = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(fp),
+        org.apache.spark.sql.types.StringType, 42L)
+      val bucket = ((b % 4) + 4) % 4
+      buckets(bucket).mightContainString(fp)
+    }
+    assert(fps < 500, s"realized fpp ${fps / 10000.0} should stay near 1%")
+  }
+
+  test("M72 dedup_bloom_partitioned equals the single-filter report exactly") {
+    val part = run("dedup_bloom_partitioned").collect().map(_.toString)
+    val single = run("dedup_bloom_prefilter").collect().map(_.toString)
+    assert(part.toSeq == single.toSeq,
+      "bloom-independent counts: partitioned and single-filter builds must agree")
+  }
+
   test("M57 bloom probe is null-safe: null text rows flow through, not NPE") {
     val docs = Seq((1L, "alpha beta gamma", "web"), (10L, null.asInstanceOf[String], "web"),
       (20L, "alpha beta gamma", "book"), (3L, null.asInstanceOf[String], "book"))
