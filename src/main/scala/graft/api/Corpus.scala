@@ -104,6 +104,15 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def sparseCosineTopk(): DataFrame = VectorText.sparseCosineTopk(spark, dir)
   }
 
+  /** Per-doc novelty of 5-grams in ingest order (crawl-dup early warning). */
+  def noveltyFrac(): DataFrame = TextAnalysis.textNoveltyFrac(spark, dir)
+
+  /** Deterministic quality-weighted Bernoulli downsampling report. */
+  def qualityWeightedSample(): DataFrame = TextAnalysis.qualityWeightedSample(spark, dir)
+
+  /** Reproducible per-epoch shuffle manifests (pure function of epoch+id). */
+  def epochShuffle(): DataFrame = TextAnalysis.epochShuffle(spark, dir)
+
   /** Deduplication pipelines over the documents table. */
   object dedup {
     /** Exact dedup, keep first by content fingerprint. */
@@ -128,6 +137,17 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     /** Asymmetric containment |A∩B|/|A|: top-3 corpus absorbers per
       * probe doc — catches subset near-dups Jaccard misses. */
     def shingleContainment(): DataFrame = Dedup.shingleContainment(spark, dir)
+    /** Two-tier incremental-ingest dedup behind a data-sized Bloom
+      * prefilter (exact confirm — counts are filter-independent). */
+    def bloomPrefilter(): DataFrame = Dedup.bloomPrefilter(spark, dir)
+    /** The 100 TB form: per-bucket Bloom filters via the mergeable
+      * BloomSketch aggregate, no corpus-sized driver merge. */
+    def bloomPartitioned(): DataFrame = Dedup.bloomPartitioned(spark, dir)
+    /** Banding decision table: candidates/precision/recall for every
+      * (bands, rows) layout of the 4-hash MinHash. */
+    def bandTuningSweep(): DataFrame = Dedup.bandTuningSweep(spark, dir)
+    /** Benchmark decontamination at the published 13-gram standard. */
+    def decontaminate13gram(): DataFrame = Dedup.decontaminate13gram(spark, dir)
   }
 
   /** Similarity search over the embeddings table. */
@@ -155,6 +175,9 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def kmeansClusters(): DataFrame = Similarity.vecKmeansLloyd(spark, dir)
     /** Neighbor-set Jaccard of the 5-NN graph (link-prediction score). */
     def knnJaccard(): DataFrame = Similarity.graphKnnJaccard(spark, dir)
+    /** Contrastive hard negatives: top-3 cross-label neighbors per
+      * vector from the cell-pruned IVF candidate stage. */
+    def hardNegatives(): DataFrame = Similarity.vecHardNegatives(spark, dir)
   }
 
   /** Data-quality checks. */
@@ -169,6 +192,10 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def referentialIntegrity(): DataFrame = DataQuality.dqReferentialIntegrity(spark, dir)
     /** Benford first-digit screen on order totals. */
     def benfordScreen(): DataFrame = DataQuality.dqBenfordFirstDigit(spark, dir)
+    /** Trailing-7-day z-score of daily ingest volume per event type. */
+    def rollingZscore(): DataFrame = DataQuality.dqRollingZscore(spark, dir)
+    /** Two-sample Kolmogorov-Smirnov drift statistic, exact-integer sup. */
+    def ksTest(): DataFrame = DataQuality.dqKsTest(spark, dir)
   }
 
   /** Multimodal (opaque binary) columns. */

@@ -165,8 +165,12 @@ object VectorText {
     Tables.embeddings(spark, sfDir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
       .groupBy(col("label"), col("dim"))
-      // + 0.0 normalizes IEEE -0.0 (DuckDB round keeps the sign, §5.3)
-      .agg((round(avg(col("comp").cast("double")), 4) + lit(0.0)).as("centroid"),
+      // + 0.0 normalizes IEEE -0.0 (DuckDB round keeps the sign, §5.3);
+      // mean via the 2^20 fixed-point protocol (round 7, the ADVICE r6
+      // quantizer class): exact LONG component sums make the rounded
+      // mean order-independent, not partial-agg-order-dependent
+      .agg((round(sum(expr("CAST(round(CAST(comp AS DOUBLE) * 1048576) AS BIGINT)"))
+          .cast("double") / (count(lit(1)) * lit(1048576.0)), 4) + lit(0.0)).as("centroid"),
         count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim"))
 

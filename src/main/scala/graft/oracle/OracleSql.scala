@@ -802,7 +802,7 @@ object OracleSql {
 
     "vec_centroid_by_label" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
-        |round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) + 0.0 AS centroid, COUNT(*) AS n
+        |round(CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 4) + 0.0 AS centroid, COUNT(*) AS n
         |FROM embeddings, range(1, 65) t(i) GROUP BY label, i ORDER BY label, dim""".stripMargin.replace("\n", " "),
 
     // ── text ──
