@@ -344,4 +344,59 @@ object DataQuality {
           .as("zscore"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** N9 dq_profile_drift — per-COLUMN profile drift between two snapshot
+    * versions (modulo-sliced halves of events, the M27 snapshot
+    * simulation): for each (column, metric) pair — row count, null count,
+    * distinct count, and numeric min/max/integerized sum — report old vs
+    * new and a 10%-threshold drift flag. The complement of
+    * dq_distribution_drift (value-histogram level): THIS is the cheap
+    * schema-health diff a pipeline runs on every ingest batch before the
+    * expensive distribution pass. All metrics are exact integers or
+    * single IEEE ops, so old/new/flag are bit-identical cross-engine; the
+    * flag compare is `|new−old|·10 > |old|` — multiplication, never a
+    * division. One scan per snapshot, 13-row output at any scale.
+    */
+  def dqProfileDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(slice: DataFrame, side: String): DataFrame = {
+      val m = slice.agg(
+        count(lit(1)).cast("double").as("et_n"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).cast("double").as("et_null"),
+        countDistinct(col("event_type")).cast("double").as("et_distinct"),
+        count(col("user_id")).cast("double").as("uid_n"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).cast("double").as("uid_null"),
+        countDistinct(col("user_id")).cast("double").as("uid_distinct"),
+        min(col("user_id")).cast("double").as("uid_min"),
+        max(col("user_id")).cast("double").as("uid_max"),
+        count(col("value")).cast("double").as("v_n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).cast("double").as("v_null"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).cast("double").as("v_cents"))
+      m.select(expr(
+        """stack(13,
+          |  'event_type', 'n_rows',    et_n,
+          |  'event_type', 'n_null',    et_null,
+          |  'event_type', 'n_distinct', et_distinct,
+          |  'user_id',    'n_rows',    uid_n,
+          |  'user_id',    'n_null',    uid_null,
+          |  'user_id',    'n_distinct', uid_distinct,
+          |  'user_id',    'min',       uid_min,
+          |  'user_id',    'max',       uid_max,
+          |  'value',      'n_rows',    v_n,
+          |  'value',      'n_null',    v_null,
+          |  'value',      'min',       v_min,
+          |  'value',      'max',       v_max,
+          |  'value',      'sum_cents', v_cents) AS (col_name, metric, v)""".stripMargin))
+        .withColumnRenamed("v", s"v_$side")
+    }
+    val ev = Tables.events(spark, sfDir)
+    val old = profile(ev.where(col("event_id") % 2 === 0), "old")
+    val neu = profile(ev.where(col("event_id") % 2 === 1), "new")
+    old.join(neu, Seq("col_name", "metric"))
+      .select(col("col_name"), col("metric"), col("v_old"), col("v_new"),
+        when(abs(col("v_new") - col("v_old")) * 10.0 > abs(col("v_old")), 1)
+          .otherwise(0).as("drifted"))
+      .orderBy(col("col_name"), col("metric"))
+  }
 }

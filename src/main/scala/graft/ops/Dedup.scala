@@ -711,4 +711,55 @@ object Dedup {
           round(col("n_hit").cast("double") / col("n_true"), 6) + lit(0.0))
           .as("recall"))
   }
+
+  /** M78 dedup_url_canonical — crawl-frontier URL dedup: canonicalize
+    * each document's URL (lowercase scheme+host, strip `www.`, strip
+    * default ports 80/443, drop the fragment, drop `utm_*` tracking
+    * params, strip the trailing slash) and collapse to one keeper per
+    * canonical form — the dedup every crawler runs BEFORE fetching,
+    * since the same page hides behind dozens of surface forms. URLs are
+    * synthesized as a pure integer function of doc_id (the M28
+    * synthetic-PII pattern — no URL column in the fixtures) spanning all
+    * the canonicalization cases; the policy itself reads only the URL
+    * string, and the oracle synthesizes + canonicalizes identically.
+    * Output: duplicate groups (canonical form, host, surface-form count,
+    * keeper = min doc_id).
+    *
+    * 100 TB: canonicalization is a per-row projection; the collapse is
+    * one hash shuffle on the canonical string — linear, and in a real
+    * frontier the canonical key is also the partitioning key, making
+    * re-crawl dedup exchange-free.
+    */
+  def urlCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = expr(
+      """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        |(CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+        |'Site' || CAST(doc_id % 7 AS STRING) || '.Example.com' ||
+        |(CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
+        |'/p/' || CAST(doc_id % 11 AS STRING) ||
+        |(CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+        |(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS STRING)
+        |      WHEN doc_id % 7 = 0 THEN '?id=' || CAST(doc_id % 5 AS STRING) ELSE '' END) ||
+        |(CASE WHEN doc_id % 8 = 0 THEN '#sec' ELSE '' END)""".stripMargin)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), url.as("url"))
+      // 1. fragment never reaches the server — drop it
+      .withColumn("u", regexp_replace(col("url"), "#.*$", ""))
+      // 2. split at the authority boundary; only the head is case-folded
+      .withColumn("head", regexp_extract(col("u"), "^([a-zA-Z]+://[^/]*)", 1))
+      .withColumn("tail", expr("substring(u, length(head) + 1)"))
+      .withColumn("head", regexp_replace(
+        expr("replace(lower(head), '://www.', '://')"), ":(80|443)$", ""))
+      // 3. tracking params out, '/?' and trailing '/' collapsed
+      .withColumn("tail", regexp_replace(col("tail"), "utm_[a-z_]+=[a-z0-9]+&", ""))
+      .withColumn("tail", regexp_replace(col("tail"), "[?&]utm_[a-z_]+=[a-z0-9]+$", ""))
+      .withColumn("tail", regexp_replace(expr("replace(tail, '/?', '?')"), "/$", ""))
+      .withColumn("canonical_url", concat(col("head"), col("tail")))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_forms"), min(col("doc_id")).as("keeper_doc_id"))
+      .where(col("n_forms") > 1)
+      .withColumn("host", regexp_extract(col("canonical_url"), "^https?://([^/:]+)", 1))
+      .select(col("canonical_url"), col("host"), col("n_forms"), col("keeper_doc_id"))
+      .orderBy(col("canonical_url"))
+  }
 }

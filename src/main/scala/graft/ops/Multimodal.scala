@@ -179,4 +179,41 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
   }
+
+  /** A18 mm_magic_sniff — content-type sniffing over an opaque media
+    * column: classify every blob by its magic bytes (JPEG FFD8FFE0, PNG
+    * 89504E47, GIF 47494638, PDF 25504446, else unknown) and report the
+    * per-type inventory (count, byte mass, size range) — the first audit
+    * any multimodal ingest runs, because upstream MIME labels lie.
+    * Payloads are synthesized (magic header ‖ text bytes, header chosen by
+    * doc_id mod 5) since the container ships no real media; the sniffing
+    * itself reads ONLY the bytes, never the synthesis key, and the oracle
+    * builds the same blobs and sniffs the same 4-byte prefix.
+    *
+    * 100 TB: a pure per-row projection + one tiny keyed aggregate — the
+    * scan reads the first 4 bytes of each blob (parquet column-index
+    * pruning keeps the tail unread where row groups allow).
+    */
+  def magicSniff(spark: SparkSession, sfDir: String): DataFrame = {
+    val header = expr(
+      """CASE CAST(doc_id % 5 AS INT)
+        |  WHEN 0 THEN unhex('FFD8FFE0') WHEN 1 THEN unhex('89504E47')
+        |  WHEN 2 THEN unhex('47494638') WHEN 3 THEN unhex('25504446')
+        |  ELSE CAST('' AS BINARY) END""".stripMargin)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), concat(header, col("text").cast("binary")).as("data"))
+      .withColumn("magic", hex(expr("substring(data, 1, 4)")))
+      .withColumn("media_type",
+        when(col("magic") === "FFD8FFE0", "jpeg")
+          .when(col("magic") === "89504E47", "png")
+          .when(col("magic") === "47494638", "gif")
+          .when(col("magic") === "25504446", "pdf")
+          .otherwise("unknown"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(length(col("data")).cast("long")).as("total_bytes"),
+        min(length(col("data")).cast("long")).as("min_bytes"),
+        max(length(col("data")).cast("long")).as("max_bytes"))
+      .orderBy(col("media_type"))
+  }
 }

