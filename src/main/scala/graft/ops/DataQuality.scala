@@ -399,4 +399,27 @@ object DataQuality {
           .otherwise(0).as("drifted"))
       .orderBy(col("col_name"), col("metric"))
   }
+
+  /** N10 dq_freshness_lag — ingest-freshness monitor: per event type, how
+    * far its newest event trails the newest event anywhere (the lag an
+    * SLA dashboard pages on — a type whose feed stalled shows a growing
+    * lag while total volume looks healthy). Lag is computed in EXACT
+    * integer microseconds (epoch µs difference, floor-divided to whole
+    * minutes) so the SLA flag (>60 min) can never float-flip. One keyed
+    * aggregate + a broadcast 1-row global max at any scale.
+    */
+  def dqFreshnessLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val perType = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("max_us"))
+    val global = perType.agg(max(col("max_us")).as("g_us"))
+    perType.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n_events"),
+        timestamp_micros(col("max_us")).as("latest_ts"),
+        expr("CAST((g_us - max_us) div 60000000 AS BIGINT)").as("lag_min"),
+        when(expr("(g_us - max_us) div 60000000") > 60, 1).otherwise(0)
+          .as("sla_breach"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -216,4 +216,51 @@ object Multimodal {
         max(length(col("data")).cast("long")).as("max_bytes"))
       .orderBy(col("media_type"))
   }
+
+  /** A19 mm_chunk_table — container parsing over the binary media column:
+    * each blob is a chunked container (magic `GRFT`, then 3 chunks of
+    * [4-byte tag][4-char ASCII-decimal length][payload] — the `ar`
+    * archive's ASCII-length convention, chosen because it parses with
+    * pure portable arithmetic) and the op walks the chunk chain OFFSET BY
+    * OFFSET from the bytes, emitting the chunk table (tag, declared
+    * length, payload md5) every media pipeline builds before it can route
+    * chunks to decoders. Synthesis slices payloads from text; the parser
+    * reads only the container bytes.
+    *
+    * 100 TB: a per-row projection (3 fixed substring walks — a real
+    * container with variable chunk count would iterate in mapPartitions);
+    * no shuffle at all until the final order for the contract output.
+    */
+  def chunkTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val build = expr(
+      """concat('GRFT',
+        |'TXTA', lpad(CAST(length(substring(text, 1, 10 + CAST(doc_id % 7 AS INT))) AS STRING), 4, '0'),
+        |substring(text, 1, 10 + CAST(doc_id % 7 AS INT)),
+        |'TXTB', lpad(CAST(length(substring(text, 21, 5 + CAST(doc_id % 11 AS INT))) AS STRING), 4, '0'),
+        |substring(text, 21, 5 + CAST(doc_id % 11 AS INT)),
+        |'META', lpad(CAST(length(substring(text, 41, 8 + CAST(doc_id % 5 AS INT))) AS STRING), 4, '0'),
+        |substring(text, 41, 8 + CAST(doc_id % 5 AS INT)))""".stripMargin)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), build.cast("binary").as("data"))
+      // parse side: bytes → string once, then offset arithmetic only
+      .withColumn("s", col("data").cast("string"))
+      .withColumn("t1", expr("substring(s, 5, 4)"))
+      .withColumn("n1", expr("CAST(substring(s, 9, 4) AS INT)"))
+      .withColumn("p1", expr("substring(s, 13, n1)"))
+      .withColumn("o2", expr("13 + n1"))
+      .withColumn("t2", expr("substring(s, o2, 4)"))
+      .withColumn("n2", expr("CAST(substring(s, o2 + 4, 4) AS INT)"))
+      .withColumn("p2", expr("substring(s, o2 + 8, n2)"))
+      .withColumn("o3", expr("o2 + 8 + n2"))
+      .withColumn("t3", expr("substring(s, o3, 4)"))
+      .withColumn("n3", expr("CAST(substring(s, o3 + 4, 4) AS INT)"))
+      .withColumn("p3", expr("substring(s, o3 + 8, n3)"))
+      .select(col("doc_id"), expr(
+        """stack(3,
+          |  1, t1, CAST(n1 AS BIGINT), md5(p1),
+          |  2, t2, CAST(n2 AS BIGINT), md5(p2),
+          |  3, t3, CAST(n3 AS BIGINT), md5(p3)) AS (idx, tag, chunk_len, payload_md5)"""
+          .stripMargin))
+      .orderBy(col("doc_id"), col("idx"))
+  }
 }

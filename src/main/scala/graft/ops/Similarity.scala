@@ -38,6 +38,28 @@ object Similarity {
     * (vec_id < qBound), return scored candidates (a_id, b_id, sim_raw).
     */
   private def ivfCandidates(e: DataFrame, qBound: Int, nprobe: Int): DataFrame = {
+    val (assigned, probe) = ivfRouting(e, qBound, nprobe)
+    // search only the probed cells' inverted lists; the probe×query side is
+    // nprobe×|queries| rows → broadcast it so the corpus never shuffles
+    val qVec = e.where(col("vec_id") < qBound)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    assigned
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
+      .join(broadcast(probe.join(qVec, "a_id")), Seq("cell"))
+      .where(col("a_id") =!= col("b_id"))
+      // codegen'd kernel; IEEE-identical to the HOF form (see DotProduct)
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+  }
+
+  /** The IVF routing tables shared by [[ivfCandidates]] (exact re-rank
+    * path) and annIvfPqTopk (ADC path): `assigned` = every vector's argmax
+    * cell (the inverted lists — at 100 TB this is the index build, written
+    * bucketed by cell and reused across queries); `probe` = the nprobe
+    * cells per QUERY vector (ranked over the |queries|×|cells| slice, not
+    * a corpus ranking).
+    */
+  private def ivfRouting(e: DataFrame, qBound: Int, nprobe: Int)
+      : (DataFrame, DataFrame) = {
     // centroid per label, components rounded to 6 dp. localCheckpoint
     // (10 rows): `dots` below is instantiated twice (assigned + probe), so
     // without materialization the centroid build — TWO full-corpus
@@ -63,28 +85,14 @@ object Similarity {
           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
       .select(col("vec_id"), col("embedding"), col("cell"), col("d"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    // Inverted lists: every vector's argmax cell (full-corpus ranking pass —
-    // at 100 TB this is the index build, written bucketed by cell and
-    // reused across queries).
     val assigned = dots.withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    // Probe list: nprobe cells per QUERY vector only — ranked over the
-    // pre-filtered |queries|×|cells| slice, not the full corpus ranking.
     val probe = dots.where(col("vec_id") < qBound)
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") <= nprobe)
       .select(col("vec_id").as("a_id"), col("cell"))
-    // search only the probed cells' inverted lists; the probe×query side is
-    // nprobe×|queries| rows → broadcast it so the corpus never shuffles
-    val qVec = e.where(col("vec_id") < qBound)
-      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    assigned
-      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
-      .join(broadcast(probe.join(qVec, "a_id")), Seq("cell"))
-      .where(col("a_id") =!= col("b_id"))
-      // codegen'd kernel; IEEE-identical to the HOF form (see DotProduct)
-      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+    (assigned, probe)
   }
 
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -666,28 +674,13 @@ object Similarity {
     */
   def vecPqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val (codebook, codes) = pqIndex(e)
-    val packed = codes.groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)").as("cds"))
     // per-query LUT: d2(query subvector, every code), keyed s*16+c, packed
     // into one 64-slot array so the scan is pure element_at arithmetic
-    val lut = e.where(col("vec_id") < 8)
-      .crossJoin(broadcast(e.sparkSession.range(4).select(col("id").cast("int").as("s"))))
-      .select(col("vec_id").as("a_id"), col("s"),
-        expr("transform(slice(embedding, s * 16 + 1, 16), x -> CAST(x AS DOUBLE))").as("sv"))
-      .join(broadcast(codebook), Seq("s"))
-      .withColumn("dv", expr("zip_with(sv, cb, (x, y) -> x - y)"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
-      .groupBy(col("a_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(s * 16 + c AS i, d2))), x -> x.d2)")
-        .as("lut"))
+    val (packed, lut) = pqAdcArtifacts(e, qBound = 8)
     val wTop = Window.partitionBy(col("a_id")).orderBy(asc("adc"), asc("b_id"))
     packed.withColumnRenamed("vec_id", "b_id").crossJoin(broadcast(lut))
       .where(col("b_id") =!= col("a_id"))
-      .withColumn("adc", expr(
-        "element_at(lut, element_at(cds, 1) + 1) + element_at(lut, 16 + element_at(cds, 2) + 1) " +
-          "+ element_at(lut, 32 + element_at(cds, 3) + 1) + element_at(lut, 48 + element_at(cds, 4) + 1)"))
+      .withColumn("adc", adcExpr)
       .withColumn("rn", row_number().over(wTop))
       .where(col("rn") <= 10)
       .select(col("a_id"), col("b_id"),
@@ -766,5 +759,140 @@ object Similarity {
         col("l").cast("int").as("label_pred"),
         when(col("l") === col("label"), 1).otherwise(0).as("correct"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Packed per-vector PQ code arrays + per-query 64-slot distance LUTs —
+    * the two artifacts an ADC scan touches, shared by vec_pq_adc_topk,
+    * ann_ivf_pq_topk and vec_pq_rerank.
+    */
+  private def pqAdcArtifacts(e: DataFrame, qBound: Int): (DataFrame, DataFrame) = {
+    val (codebook, codes) = pqIndex(e)
+    val packed = codes.groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)").as("cds"))
+    val lut = e.where(col("vec_id") < qBound)
+      .crossJoin(broadcast(e.sparkSession.range(4).select(col("id").cast("int").as("s"))))
+      .select(col("vec_id").as("a_id"), col("s"),
+        expr("transform(slice(embedding, s * 16 + 1, 16), x -> CAST(x AS DOUBLE))").as("sv"))
+      .join(broadcast(codebook), Seq("s"))
+      .withColumn("dv", expr("zip_with(sv, cb, (x, y) -> x - y)"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .groupBy(col("a_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s * 16 + c AS i, d2))), x -> x.d2)")
+        .as("lut"))
+    (packed, lut)
+  }
+
+  /** The fixed-order 4-lookup ADC distance over (cds, lut). */
+  private val adcExpr = expr(
+    "element_at(lut, element_at(cds, 1) + 1) + element_at(lut, 16 + element_at(cds, 2) + 1) " +
+      "+ element_at(lut, 32 + element_at(cds, 3) + 1) + element_at(lut, 48 + element_at(cds, 4) + 1)")
+
+  /** J23 ann_ivf_pq_topk — the COMPLETE IVF-PQ serving architecture (the
+    * production design for vector search at 10⁹⁺ scale): the IVF coarse
+    * quantizer routes each query to its nprobe=2 cells (same routing
+    * tables as ann_ivf_topk — the inverted lists an index build persists),
+    * and within the probed lists vectors are scored by PQ ADC lookups
+    * (same LUT artifacts as vec_pq_adc_topk) — so the scan touches ~2/10
+    * of the corpus AND reads 4 bytes per vector instead of 256. Top-10
+    * per query by (adc asc, b_id).
+    *
+    * 100 TB: both index artifacts are build-once; the query-side joins are
+    * broadcasts (probe table: |queries|×nprobe rows carrying 64-double
+    * LUTs); the only corpus-sized work is the cell-pruned code scan, which
+    * is map-only after the cell equi-join on the bucketed inverted lists.
+    */
+  def annIvfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val (assigned, probe) = ivfRouting(e, qBound = 8, nprobe = 2)
+    val (packed, lut) = pqAdcArtifacts(e, qBound = 8)
+    val wTop = Window.partitionBy(col("a_id")).orderBy(asc("adc"), asc("b_id"))
+    assigned.select(col("vec_id").as("b_id"), col("cell"))
+      .join(packed.withColumnRenamed("vec_id", "b_id"), Seq("b_id"))
+      .join(broadcast(probe.join(lut, Seq("a_id"))), Seq("cell"))
+      .where(col("b_id") =!= col("a_id"))
+      .withColumn("adc", adcExpr)
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 10)
+      .select(col("a_id"), col("b_id"),
+        (round(col("adc"), 6) + lit(0.0)).as("adc"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** J24 vec_pq_rerank — two-stage retrieval, the deployment pattern that
+    * recovers exact quality from a lossy first pass: ADC scores produce a
+    * top-50 shortlist per query (cheap, 4 bytes/vector), then ONLY the
+    * shortlist is re-ranked by the exact dot product on the full floats
+    * (50 vectors/query, not the corpus). Output: exact top-10 with both
+    * ranks — `rn_adc` vs `rn` shows how far the quantized order had to be
+    * corrected, the number that justifies (or kills) a shortlist size.
+    *
+    * 100 TB: stage 1 is the vec_pq_adc_topk map-only scan; stage 2 joins
+    * a |queries|×50 shortlist — broadcast — back to the float column, so
+    * full vectors are read for 50 rows per query, never the corpus.
+    */
+  def vecPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val (packed, lut) = pqAdcArtifacts(e, qBound = 8)
+    val wAdc = Window.partitionBy(col("a_id")).orderBy(asc("adc"), asc("b_id"))
+    val shortlist = packed.withColumnRenamed("vec_id", "b_id")
+      .crossJoin(broadcast(lut))
+      .where(col("b_id") =!= col("a_id"))
+      .withColumn("adc", adcExpr)
+      .withColumn("rn_adc", row_number().over(wAdc))
+      .where(col("rn_adc") <= 50)
+      .select(col("a_id"), col("b_id"), col("rn_adc"))
+    val wExact = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
+    broadcast(shortlist)
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
+      .join(broadcast(e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))), Seq("a_id"))
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+      .withColumn("rn", row_number().over(wExact))
+      .where(col("rn") <= 10)
+      .select(col("a_id"), col("b_id"),
+        (round(col("sim_raw"), 4) + lit(0.0)).as("sim"), col("rn"), col("rn_adc"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** M81 graph_modularity_labels — Newman modularity of the LABEL
+    * partition over the symmetrized 5-NN graph: does the human labeling
+    * align with embedding-space neighborhoods? Q = (4L·ΣL_c − Σd_c²) /
+    * (4L²) with L = edges, L_c = intra-label edges, d_c = label degree
+    * mass — the numerator is EXACT integer math (decimal(38,0) at real
+    * scale), so the whole metric is one final division. Q near 0 (this
+    * fixture, by construction — labels are geometry-independent) says
+    * don't expect label propagation or label-stratified IVF to work; Q
+    * near 1 − Σ(share²) says labels are geometric clusters.
+    *
+    * 100 TB: the edge build is the shared cell-pruned kNN; the audit
+    * itself is two broadcast-size label joins + one 1-row aggregate.
+    */
+  def graphModularityLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val kn = knnBucketed(e, 5)
+    val und = kn.select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val lab = e.select(col("vec_id"), col("label"))
+    val edges = und
+      .join(lab.select(col("vec_id").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("vec_id").as("v"), col("label").as("lv")), Seq("v"))
+    val deg = und.select(col("u").as("x")).unionAll(und.select(col("v").as("x")))
+      .join(lab.select(col("vec_id").as("x"), col("label")), Seq("x"))
+      .groupBy(col("label")).agg(count(lit(1)).as("d"))
+    val perLabel = deg.agg(sum(col("d") * col("d")).as("sum_d2"))
+    val counts = edges.agg(count(lit(1)).as("l_edges"),
+      sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra"))
+    counts.crossJoin(broadcast(perLabel))
+      .select(col("l_edges"), col("intra"), col("sum_d2"),
+        (round((lit(4L) * col("l_edges") * col("intra") - col("sum_d2"))
+          .cast("double") /
+          (lit(4L) * col("l_edges") * col("l_edges")).cast("double"), 6)
+          + lit(0.0)).as("modularity"))
   }
 }

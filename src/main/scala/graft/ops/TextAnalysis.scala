@@ -908,4 +908,36 @@ object TextAnalysis {
         col("kept_tokens"))
       .orderBy(col("source"))
   }
+
+  /** M80 pipeline_shard_manifest — token-balanced output sharding: assign
+    * documents (in doc_id order) to a FIXED number of shards (16) by
+    * proportional splitting of the global token tape — shard =
+    * cum_before·16 div total — and emit the shard manifest (doc count,
+    * token mass, id range, share in basis points). The writer-side twin
+    * of pipeline_pack_sequences: packing fills fixed-size windows,
+    * sharding splits a fixed shard COUNT so downstream training readers
+    * get near-equal token work. All-integer assignment (LONG cumsum ×
+    * 16, floor division) — reproducible on any engine or partitioning.
+    *
+    * 100 TB: the prefix sum is GlobalRank's two-pass range-partitioned
+    * form; the total is a 1-row broadcast; assignment is per-row
+    * arithmetic and the manifest one keyed aggregate. No single-partition
+    * window anywhere.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tokens"))
+    val cum = GlobalRank.withGlobalRunningSum(docs, 16, col("tokens"), col("doc_id"))
+    val total = docs.agg(sum(col("tokens")).as("total_tokens"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("shard", expr("CAST(cum_before * 16 div total_tokens AS BIGINT)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        max(col("total_tokens")).as("tt"))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        col("first_doc"), col("last_doc"),
+        expr("CAST(shard_tokens * 10000 div tt AS BIGINT)").as("share_bp"))
+      .orderBy(col("shard"))
+  }
 }

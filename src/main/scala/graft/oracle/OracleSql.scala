@@ -2958,6 +2958,104 @@ object OracleSql {
         |SELECT col_name, metric, v_old, v_new,
         |CASE WHEN abs(v_new - v_old) * 10.0 > abs(v_old) THEN 1 ELSE 0 END AS drifted
         |FROM m ORDER BY col_name, metric""".stripMargin.replace("\n", " ")),
+
+    // ── round-7 batch 5 ──
+
+    // full IVF-PQ: the unbounded per-label routing (ann_ivf_topk's
+    // quantizer) gates which code rows each query's ADC pass scores
+    "ann_ivf_pq_topk" ->
+      (pqChain +
+        """, ccomp AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |round(CAST(SUM(CAST(round(emb[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c
+        |FROM e, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM ccomp GROUP BY label),
+        |cdots AS (SELECT e.vec_id, c.cell, list_dot_product(e.emb, c.cvec) AS d FROM e CROSS JOIN cent c),
+        |cr AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM cdots),
+        |asg AS (SELECT vec_id AS b_id, cell FROM cr WHERE crn = 1),
+        |prb AS (SELECT vec_id AS a_id, cell FROM cr WHERE crn <= 2 AND vec_id < 8),
+        |lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc0 WHERE vec_id < 8),
+        |cand AS (SELECT p.a_id, a.b_id FROM prb p JOIN asg a ON a.cell = p.cell AND a.b_id <> p.a_id),
+        |adcp AS (SELECT c.a_id, c.b_id, k.s, l.d2 FROM cand c
+        |JOIN codes k ON k.vec_id = c.b_id JOIN lut l ON l.a_id = c.a_id AND l.s = k.s AND l.c = k.code),
+        |adc AS (SELECT a_id, b_id,
+        |MAX(CASE WHEN s = 0 THEN d2 END) + MAX(CASE WHEN s = 1 THEN d2 END)
+        |+ MAX(CASE WHEN s = 2 THEN d2 END) + MAX(CASE WHEN s = 3 THEN d2 END) AS adc_d2
+        |FROM adcp GROUP BY a_id, b_id)
+        |SELECT a_id, b_id, round(adc_d2, 6) + 0.0 AS adc, rn FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY adc_d2, b_id) AS rn FROM adc)
+        |WHERE rn <= 10 ORDER BY a_id, rn""".stripMargin.replace("\n", " ")),
+
+    "vec_pq_rerank" ->
+      (pqChain +
+        """, lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc0 WHERE vec_id < 8),
+        |adcp AS (SELECT l.a_id, k.vec_id AS b_id, k.s, l.d2
+        |FROM codes k JOIN lut l ON l.s = k.s AND l.c = k.code),
+        |adc AS (SELECT a_id, b_id,
+        |MAX(CASE WHEN s = 0 THEN d2 END) + MAX(CASE WHEN s = 1 THEN d2 END)
+        |+ MAX(CASE WHEN s = 2 THEN d2 END) + MAX(CASE WHEN s = 3 THEN d2 END) AS adc_d2
+        |FROM adcp WHERE a_id <> b_id GROUP BY a_id, b_id),
+        |short AS (SELECT a_id, b_id, rn_adc FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY adc_d2, b_id) AS rn_adc FROM adc) WHERE rn_adc <= 50),
+        |ex AS (SELECT s.a_id, s.b_id, s.rn_adc, list_dot_product(q.emb, b.emb) AS sim_raw
+        |FROM short s JOIN e q ON q.vec_id = s.a_id JOIN e b ON b.vec_id = s.b_id)
+        |SELECT a_id, b_id, round(sim_raw, 4) + 0.0 AS sim, rn, rn_adc FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim_raw DESC, b_id) AS rn FROM ex)
+        |WHERE rn <= 10 ORDER BY a_id, rn""".stripMargin.replace("\n", " ")),
+
+    // ar-style ASCII-length container; parse walks offsets from the bytes
+    "mm_chunk_table" ->
+      """WITH d AS (SELECT doc_id, 'GRFT' ||
+        |'TXTA' || lpad(CAST(length(substring(text, 1, 10 + CAST(doc_id % 7 AS INT))) AS VARCHAR), 4, '0') || substring(text, 1, 10 + CAST(doc_id % 7 AS INT)) ||
+        |'TXTB' || lpad(CAST(length(substring(text, 21, 5 + CAST(doc_id % 11 AS INT))) AS VARCHAR), 4, '0') || substring(text, 21, 5 + CAST(doc_id % 11 AS INT)) ||
+        |'META' || lpad(CAST(length(substring(text, 41, 8 + CAST(doc_id % 5 AS INT))) AS VARCHAR), 4, '0') || substring(text, 41, 8 + CAST(doc_id % 5 AS INT)) AS s
+        |FROM documents),
+        |p1 AS (SELECT doc_id, s, substring(s, 5, 4) AS t1, CAST(substring(s, 9, 4) AS INT) AS n1 FROM d),
+        |p2 AS (SELECT *, substring(s, 13, n1) AS pay1, 13 + n1 AS o2 FROM p1),
+        |p3 AS (SELECT *, substring(s, o2, 4) AS t2, CAST(substring(s, o2 + 4, 4) AS INT) AS n2 FROM p2),
+        |p4 AS (SELECT *, substring(s, o2 + 8, n2) AS pay2, o2 + 8 + n2 AS o3 FROM p3),
+        |p5 AS (SELECT *, substring(s, o3, 4) AS t3, CAST(substring(s, o3 + 4, 4) AS INT) AS n3 FROM p4),
+        |p6 AS (SELECT *, substring(s, o3 + 8, n3) AS pay3 FROM p5)
+        |SELECT doc_id, idx, tag, chunk_len, payload_md5 FROM (
+        |SELECT doc_id, 1 AS idx, t1 AS tag, CAST(n1 AS BIGINT) AS chunk_len, md5(pay1) AS payload_md5 FROM p6
+        |UNION ALL SELECT doc_id, 2, t2, CAST(n2 AS BIGINT), md5(pay2) FROM p6
+        |UNION ALL SELECT doc_id, 3, t3, CAST(n3 AS BIGINT), md5(pay3) FROM p6)
+        |ORDER BY doc_id, idx""".stripMargin.replace("\n", " "),
+
+    "dq_freshness_lag" ->
+      """WITH pt AS (SELECT event_type, COUNT(*) AS n_events,
+        |MAX(epoch_us(ts)) AS max_us FROM events GROUP BY 1),
+        |g AS (SELECT MAX(max_us) AS g_us FROM pt)
+        |SELECT event_type, n_events, make_timestamp(max_us) AS latest_ts,
+        |CAST((g_us - max_us) // 60000000 AS BIGINT) AS lag_min,
+        |CASE WHEN (g_us - max_us) // 60000000 > 60 THEN 1 ELSE 0 END AS sla_breach
+        |FROM pt, g ORDER BY event_type""".stripMargin.replace("\n", " "),
+
+    "pipeline_shard_manifest" ->
+      """WITH docs AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        |cum AS (SELECT *, COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM docs),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM docs)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+        |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |CAST(CAST(SUM(tokens) AS BIGINT) * 10000 // MAX(tt) AS BIGINT) AS share_bp
+        |FROM (SELECT d.*, t.tt, CAST(d.cum_before * 16 // t.tt AS BIGINT) AS shard FROM cum d, tot t)
+        |GROUP BY shard ORDER BY shard""".stripMargin.replace("\n", " "),
+
+    "graph_modularity_labels" ->
+      ("WITH " + knnIvfChain +
+        """, kn AS (SELECT a_id, b_id FROM rk WHERE rn <= 5),
+        |und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM kn),
+        |lab AS (SELECT vec_id, label FROM e),
+        |ed AS (SELECT lu.label AS lu2, lv.label AS lv2 FROM und
+        |JOIN lab lu ON lu.vec_id = und.u JOIN lab lv ON lv.vec_id = und.v),
+        |deg AS (SELECT l.label, COUNT(*) AS d FROM
+        |(SELECT u AS x FROM und UNION ALL SELECT v FROM und) t JOIN lab l ON l.vec_id = t.x GROUP BY l.label),
+        |s2 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sum_d2 FROM deg),
+        |cts AS (SELECT COUNT(*) AS l_edges,
+        |CAST(SUM(CASE WHEN lu2 = lv2 THEN 1 ELSE 0 END) AS BIGINT) AS intra FROM ed)
+        |SELECT l_edges, intra, sum_d2,
+        |round(CAST(4 * l_edges * intra - sum_d2 AS DOUBLE) / CAST(4 * l_edges * l_edges AS DOUBLE), 6) + 0.0 AS modularity
+        |FROM cts, s2""".stripMargin.replace("\n", " ")),
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan
@@ -2985,7 +3083,7 @@ object OracleSql {
     * codebooks (vec_id < 16), argmin squared-L2 with asc-code tiebreak.
     */
   private def pqChain: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
       |ss AS (SELECT unnest([0, 1, 2, 3]) AS s),
       |sub AS (SELECT vec_id, s, list_transform(range(1, 17), i -> emb[CAST(s * 16 + i AS INT)]) AS sv FROM e, ss),
       |cb AS (SELECT s, CAST(vec_id AS INT) AS c, sv AS cbv FROM sub WHERE vec_id < 16),

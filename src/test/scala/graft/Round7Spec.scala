@@ -374,6 +374,104 @@ class Round7Spec extends SparkSpec {
       "no canonicalization-target residue survives")
   }
 
+  test("J23 IVF-PQ: cell pruning can only push ADC distances up, never down") {
+    // per query and rank, the cell-pruned top-k distance must be >= the
+    // full-scan ADC top-k distance at the same rank (pruning loses
+    // candidates, it never invents closer ones)
+    val full = run("vec_pq_adc_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    val pruned = run("ann_ivf_pq_topk").collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall { r =>
+      full.get((r.getLong(0), r.getInt(3))).forall(_ <= r.getDouble(2) + 1e-9)
+    }, "IVF-pruned rank-k ADC distance dominates the full-scan one")
+  }
+
+  test("J24 rerank: exact order within the shortlist, true top-1 surfaces when present") {
+    val out = run("vec_pq_rerank").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getInt(4) >= 1 && r.getInt(4) <= 50),
+      "every hit comes from the ADC top-50 shortlist")
+    // brute-force exact top-1 per query from the raw vectors (driver-side,
+    // fully independent of the PQ machinery)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    for (a <- 0L until 8L) {
+      val qa = vecs(a)
+      val exactTop = vecs.filter(_._1 != a)
+        .map { case (b, vb) => (b, dot(qa, vb)) }
+        .maxBy { case (b, d) => (d, -b) }._1
+      val ranked = out.filter(_.getLong(0) == a).sortBy(_.getInt(3))
+      val inShortlist = ranked.exists(_.getLong(1) == exactTop)
+      if (inShortlist)
+        assert(ranked.head.getLong(1) == exactTop,
+          s"query $a: exact NN $exactTop is in the shortlist, so re-rank must put it first")
+    }
+  }
+
+  test("A19 chunk table: the parsed payloads match direct text slices byte for byte") {
+    val out = run("mm_chunk_table")
+    // recover each chunk's payload md5 STRAIGHT from documents.text (no
+    // container, no offsets) and demand the parser found the same bytes
+    val direct = Tables.documents(spark, sf).select(col("doc_id"), expr(
+      """stack(3,
+        |  1, CAST(length(substring(text, 1, 10 + CAST(doc_id % 7 AS INT))) AS BIGINT), md5(substring(text, 1, 10 + CAST(doc_id % 7 AS INT))),
+        |  2, CAST(length(substring(text, 21, 5 + CAST(doc_id % 11 AS INT))) AS BIGINT), md5(substring(text, 21, 5 + CAST(doc_id % 11 AS INT))),
+        |  3, CAST(length(substring(text, 41, 8 + CAST(doc_id % 5 AS INT))) AS BIGINT), md5(substring(text, 41, 8 + CAST(doc_id % 5 AS INT)))) AS (idx, chunk_len, payload_md5)"""
+        .stripMargin))
+    assert(out.count() == direct.count())
+    assert(out.join(direct, Seq("doc_id", "idx", "chunk_len", "payload_md5")).count()
+      == direct.count(), "every parsed chunk matches its source slice")
+    val tags = out.groupBy(col("idx")).agg(countDistinct(col("tag")).as("n")).collect()
+    assert(tags.forall(_.getLong(1) == 1), "tag is constant per chunk slot")
+  }
+
+  test("N10 freshness: the freshest type lags zero, totals reconcile") {
+    val out = run("dq_freshness_lag").collect()
+    assert(out.map(_.getLong(1)).sum == Tables.events(spark, sf).count(),
+      "per-type counts partition the table")
+    assert(out.exists(_.getLong(3) == 0L), "some type holds the global max")
+    assert(out.forall(r => (r.getLong(3) > 60) == (r.getInt(4) == 1)),
+      "sla_breach is exactly the >60min rule")
+  }
+
+  test("M80 shard manifest: contiguous doc ranges, conserved tokens, bounded skew") {
+    val out = run("pipeline_shard_manifest").collect().sortBy(_.getLong(0))
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 15), "16 shards max")
+    val total = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == total, "token mass conserved")
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3),
+        "shards cover contiguous, disjoint doc_id ranges")
+      case _ =>
+    }
+    // proportional splitting keeps every shard within a doc of its quota:
+    // share deviation bounded by the largest single document's tokens
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(max(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    val quota = total / 16.0
+    assert(out.forall(r => math.abs(r.getLong(2) - quota) <= maxDoc + quota / 16),
+      "every shard sits within one document of the even split")
+  }
+
+  test("M81 modularity: internal consistency and the geometry-independence verdict") {
+    val r = run("graph_modularity_labels").head()
+    val (l, intra, sumD2, q) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(l > 0 && intra >= 0 && intra <= l)
+    val expected = BigDecimal((4.0 * l * intra - sumD2) / (4.0 * l * l))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(q - expected) < 1e-9, "modularity recomputes from its own counts")
+    // this fixture's labels are independent of geometry: Q must sit near 0
+    assert(math.abs(q) < 0.2, s"geometry-independent labels must score Q≈0, got $q")
+  }
+
   test("N9 profile drift: metric pairs reconcile with a direct recount") {
     val out = run("dq_profile_drift").collect()
     assert(out.length == 13, "13 (column, metric) rows")
