@@ -422,4 +422,41 @@ object DataQuality {
           .as("sla_breach"))
       .orderBy(col("event_type"))
   }
+
+  /** N11 dq_outlier_tukey — Tukey-fence volume screen: per event type,
+    * the quartiles of the daily-count series set fences at Q1−1.5·IQR /
+    * Q3+1.5·IQR and days outside them are flagged — the boxplot rule, the
+    * robust complement to dq_rolling_zscore (fences come from the whole
+    * distribution, not a trailing window, so a slow drift can't drag the
+    * threshold along). Quartiles are exact interpolated percentiles over
+    * integer counts (the agg_percentiles protocol, 6-dp rounded BEFORE
+    * the fence arithmetic so both engines build fences from identical
+    * numbers). Output: one row per type with fences and outlier-day
+    * count. The daily rollup is the only corpus-sized aggregate; the
+    * fence pass runs over ~days×types rows.
+    */
+  def dqOutlierTukey(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val fences = daily.groupBy(col("event_type"))
+      .agg(round(expr("percentile(x, 0.25)"), 6).as("q1"),
+        round(expr("percentile(x, 0.75)"), 6).as("q3"))
+      .withColumn("lo_fence", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+    daily.join(fences, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("lo_fence")).as("lo_fence"), max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("x") < col("lo_fence") || col("x") > col("hi_fence"), 1L)
+          .otherwise(0L)).as("n_outlier_days"))
+      .select(col("event_type"), col("n_days"),
+        (col("q1") + lit(0.0)).as("q1"), (col("q3") + lit(0.0)).as("q3"),
+        (col("lo_fence") + lit(0.0)).as("lo_fence"),
+        (col("hi_fence") + lit(0.0)).as("hi_fence"),
+        col("n_outlier_days"))
+      .orderBy(col("event_type"))
+  }
 }

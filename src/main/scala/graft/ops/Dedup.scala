@@ -762,4 +762,68 @@ object Dedup {
       .select(col("canonical_url"), col("host"), col("n_forms"), col("keeper_doc_id"))
       .orderBy(col("canonical_url"))
   }
+
+  /** M82 dedup_pq_codes — semantic-dedup BLOCKING via product-quantization
+    * codes: vectors that quantize to the SAME 4-code word (the
+    * [[Similarity.pqIndex]] artifact) are near-dup candidates — the
+    * SemDeDup-at-scale trick where the PQ fingerprint, already persisted
+    * for search, doubles as the dedup blocking key, replacing an LSH
+    * build. Within each block the exact dot confirms; output is the
+    * candidate pair list with block id and similarity.
+    *
+    * 100 TB: one groupBy on a 4-byte key over the stored codes; pairs
+    * explode only inside blocks (bounded by block size, never corpus²) —
+    * the embedding-space twin of the MinHash band join.
+    */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val (_, codes) = Similarity.pqIndex(e)
+    val packed = codes.groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)").as("cds"))
+    val blocks = packed
+      .select(col("vec_id"), expr(
+        "element_at(cds, 1) * 4096 + element_at(cds, 2) * 256 " +
+          "+ element_at(cds, 3) * 16 + element_at(cds, 4)").as("block"))
+    blocks.select(col("vec_id").as("a_id"), col("block"))
+      .join(blocks.select(col("vec_id").as("b_id"), col("block")), Seq("block"))
+      .where(col("a_id") < col("b_id"))
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
+      .select(col("block"), col("a_id"), col("b_id"),
+        (round(expr("graft_dot(a_emb, b_emb)"), 4) + lit(0.0)).as("sim"))
+      .orderBy(col("block"), col("a_id"), col("b_id"))
+  }
+
+  /** M83 text_paragraph_dedup — segment-level exact dedup (the C4 /
+    * MassiveText line-dedup stage): documents split into sentence-ish
+    * segments on '. ', every segment fingerprinted, and only the GLOBAL
+    * first occurrence (min doc_id, then min position) of each fingerprint
+    * survives; per document the report gives segments kept/dropped and
+    * the character mass removed — the dedup that catches boilerplate
+    * repeated across different pages, which whole-document fingerprints
+    * miss.
+    *
+    * 100 TB: one fingerprint-keyed window-limit (WindowGroupLimit prunes
+    * map-side) + one doc-keyed aggregate — linear in total segments.
+    */
+  def paragraphDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("pos", "seg")))
+      .where(length(col("seg")) > 0)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))
+    segs.withColumn("fp", md5(col("seg")))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > 1, length(col("seg")).cast("long")).otherwise(0L))
+          .as("chars_removed"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (round(col("n_kept").cast("double") / col("n_segs"), 6) + lit(0.0))
+          .as("kept_frac"),
+        col("chars_removed"))
+      .orderBy(col("doc_id"))
+  }
 }

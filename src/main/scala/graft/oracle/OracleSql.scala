@@ -3056,6 +3056,41 @@ object OracleSql {
         |SELECT l_edges, intra, sum_d2,
         |round(CAST(4 * l_edges * intra - sum_d2 AS DOUBLE) / CAST(4 * l_edges * l_edges AS DOUBLE), 6) + 0.0 AS modularity
         |FROM cts, s2""".stripMargin.replace("\n", " ")),
+
+    // ── round-7 batch 6 ──
+
+    "dedup_pq_codes" ->
+      (pqChain +
+        """, pk AS (SELECT vec_id, list(code ORDER BY s) AS cds FROM codes GROUP BY vec_id),
+        |blk AS (SELECT vec_id, cds[1] * 4096 + cds[2] * 256 + cds[3] * 16 + cds[4] AS block FROM pk)
+        |SELECT a.block AS block, a.vec_id AS a_id, b.vec_id AS b_id,
+        |round(list_dot_product(ea.emb, eb.emb), 4) + 0.0 AS sim
+        |FROM blk a JOIN blk b ON a.block = b.block AND a.vec_id < b.vec_id
+        |JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        |ORDER BY a.block, a_id, b_id""".stripMargin.replace("\n", " ")),
+
+    "text_paragraph_dedup" ->
+      """WITH segs0 AS (SELECT doc_id, generate_subscripts(p, 1) - 1 AS pos, unnest(p) AS seg
+        |FROM (SELECT doc_id, string_split(text, '. ') AS p FROM documents) t),
+        |segs AS (SELECT doc_id, pos, seg, md5(seg) AS fp FROM segs0 WHERE len(seg) > 0),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk FROM segs)
+        |SELECT doc_id, COUNT(*) AS n_segs,
+        |CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |round(CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0 AS kept_frac,
+        |CAST(SUM(CASE WHEN rk > 1 THEN len(seg) ELSE 0 END) AS BIGINT) AS chars_removed
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+    "dq_outlier_tukey" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, round(quantile_cont(x, 0.25), 6) AS q1,
+        |round(quantile_cont(x, 0.75), 6) AS q3 FROM daily GROUP BY 1),
+        |f2 AS (SELECT *, q1 - (q3 - q1) * 1.5 AS lo_fence, q3 + (q3 - q1) * 1.5 AS hi_fence FROM f)
+        |SELECT d.event_type, COUNT(*) AS n_days, MAX(q1) + 0.0 AS q1, MAX(q3) + 0.0 AS q3,
+        |MAX(lo_fence) + 0.0 AS lo_fence, MAX(hi_fence) + 0.0 AS hi_fence,
+        |CAST(SUM(CASE WHEN x < lo_fence OR x > hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_days
+        |FROM daily d JOIN f2 USING (event_type) GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " "),
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan

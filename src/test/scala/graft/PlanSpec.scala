@@ -222,7 +222,15 @@ class PlanSpec extends SparkSpec {
       // wk_q11 additionally broadcasts its 1-row total/n_parts agg
       "wk_q2_min_cost_supplier", "wk_q9_product_profit",
       "wk_q11_important_stock", "wk_q16_supplier_cnt", "wk_q20_excess_stock",
-      "dedup_band_tuning_sweep") // broadcast 1-row ground-truth count
+      "dedup_band_tuning_sweep", // broadcast 1-row ground-truth count
+      // the PQ family: a broadcast 4-row subspace fanout in the index
+      // build, plus (ADC consumers) the ≤8-row per-query LUT broadcast —
+      // the ADC scan IS a broadcast cross of the bounded query set
+      "vec_pq_adc_topk", "vec_pq_error", "vec_pq_rerank",
+      "ann_ivf_pq_topk", "dedup_pq_codes",
+      "graph_modularity_labels",  // broadcast 1-row moment aggregate
+      "dq_freshness_lag",         // broadcast 1-row global-max aggregate
+      "pipeline_shard_manifest")  // broadcast 1-row token total
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

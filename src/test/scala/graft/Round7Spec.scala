@@ -472,6 +472,52 @@ class Round7Spec extends SparkSpec {
     assert(math.abs(q) < 0.2, s"geometry-independent labels must score Q≈0, got $q")
   }
 
+  test("M82 PQ-code blocking: every candidate pair shares the full code word") {
+    val out = run("dedup_pq_codes").collect()
+    assert(out.nonEmpty, "4-code collisions exist at every fixture size")
+    val codes = graft.ops.Similarity.pqIndex(Tables.embeddings(spark, sf))._2
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getInt(2)).toSeq).toMap
+    assert(out.forall { r =>
+      codes(r.getLong(1)) == codes(r.getLong(2))
+    }, "blocking admits exactly the identical-code-word pairs")
+    // block id decodes back to the shared word
+    assert(out.forall { r =>
+      val cs = codes(r.getLong(1))
+      r.getInt(0) == cs(0) * 4096 + cs(1) * 256 + cs(2) * 16 + cs(3)
+    }, "block id is the packed code word")
+  }
+
+  test("M83 paragraph dedup: segment conservation and global first-keeper") {
+    val out = run("text_paragraph_dedup").collect()
+    val segs = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("seg"))
+      .where(length(col("seg")) > 0)
+    assert(out.map(_.getLong(1)).sum == segs.count(), "all segments accounted for")
+    assert(out.map(_.getLong(2)).sum ==
+      segs.select(md5(col("seg"))).distinct().count(),
+      "exactly one keeper per distinct segment fingerprint, corpus-wide")
+    assert(out.forall(r => r.getLong(2) >= 1 || r.getLong(1) == 0),
+      "a doc with segments keeps at least... (first doc always keeps its first)")
+  }
+
+  test("N11 Tukey fences: outlier counts recompute from the raw daily series") {
+    val out = run("dq_outlier_tukey").collect()
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2))).toMap
+    out.foreach { r =>
+      val xs = daily(r.getString(0))
+      assert(r.getLong(1) == xs.length, "n_days matches the series length")
+      val lo = r.getDouble(4); val hi = r.getDouble(5)
+      assert(r.getLong(6) == xs.count(x => x < lo || x > hi),
+        "outlier count is exactly the fence rule on the raw series")
+      assert(lo <= hi && r.getDouble(2) <= r.getDouble(3), "fences are ordered")
+    }
+  }
+
   test("N9 profile drift: metric pairs reconcile with a direct recount") {
     val out = run("dq_profile_drift").collect()
     assert(out.length == 13, "13 (column, metric) rows")
