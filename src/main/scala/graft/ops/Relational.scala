@@ -353,6 +353,52 @@ object Relational {
         |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** D10 sql_udf_scalar — Spark 4 SQL-defined scalar functions (CREATE
+    * FUNCTION ... RETURN expr): the revenue formula lives ONCE as a
+    * catalog object instead of being re-spliced into every query — the
+    * governance surface a shared 100 TB warehouse standardizes metrics
+    * through. The body is the exact-decimal [[Cols.revenue]] protocol, and
+    * because a SQL UDF is inlined by the analyzer (not a black-box
+    * lambda), pushdown/codegen/whole-stage all survive — unlike a Scala
+    * UDF, this costs nothing at plan time. Oracle inlines the identical
+    * expression.
+    */
+  def sqlUdfScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_revenue(p DOUBLE, d DOUBLE)
+        |RETURNS DECIMAL(18,4)
+        |RETURN CAST(CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(12,2))) AS DECIMAL(18,4))"""
+        .stripMargin)
+    spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(graft_revenue(l_extendedprice, l_discount)) AS DOUBLE) AS disc_rev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** D11 sql_udf_table — Spark 4 SQL table functions (CREATE FUNCTION ...
+    * RETURNS TABLE): a parameterized top-k-per-status view invoked as a
+    * relation, the reusable-subquery surface that replaces copy-pasted
+    * CTEs across jobs. The body is an ordinary query, so it plans as the
+    * usual TakeOrderedAndProject — catalog sugar, zero plan cost. The
+    * oracle inlines the body per invocation.
+    */
+  def sqlUdfTable(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_top_orders(st STRING)
+        |RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE)
+        |RETURN SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = st
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin)
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT 'F' AS st, * FROM graft_top_orders('F')
+        |  UNION ALL SELECT 'O', * FROM graft_top_orders('O')
+        |  UNION ALL SELECT 'P', * FROM graft_top_orders('P'))
+        |ORDER BY st, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** D8 sql_pipe_syntax — Spark 4 SQL pipe syntax (`|>`): the linear
     * dataflow dialect where each stage feeds the next — FROM → WHERE →
     * EXTEND (derived column) → AGGREGATE … GROUP BY → ORDER BY. The parser

@@ -422,4 +422,35 @@ object VectorText {
       .orderBy(abs(col("loading")).desc, col("dim").asc)
       .limit(8)
   }
+
+  /** J25 vec_binary_hamming_topk — 1-bit (sign) quantization, the other
+    * standard embedding compression next to PQ: dims 1..63 pack into ONE
+    * BIGINT sign word (63 bits keeps the integer positive — exact,
+    * overflow-free arithmetic on both engines), and search is
+    * bit_count(xor) Hamming over 8 bytes/vector — a 32× compression where
+    * the whole scan is two ALU ops per candidate. Top-10 per query (10
+    * broadcast query words, the J3 bounded pattern) by (hamming asc,
+    * b_id). The binary twin of vec_pq_adc_topk: PQ keeps ranked distance
+    * quality, sign bits maximize scan throughput; vec_pq_rerank's
+    * shortlist+exact pattern applies to either.
+    */
+  def vecBinaryHammingTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+    val sig = e.select(col("vec_id"), expr(
+      """aggregate(sequence(0, 62), 0L, (acc, i) ->
+        |  acc + IF(element_at(embedding, CAST(i + 1 AS INT)) > 0,
+        |           shiftleft(1L, CAST(i AS INT)), 0L))""".stripMargin).as("sig"))
+    val q = sig.where(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("sig").as("sa"))
+    val wTop = Window.partitionBy(col("a_id")).orderBy(asc("hamming"), asc("b_id"))
+    sig.select(col("vec_id").as("b_id"), col("sig").as("sb"))
+      .join(broadcast(q))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 10)
+      .select(col("a_id"), col("b_id"), col("hamming"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
 }

@@ -3091,6 +3091,37 @@ object OracleSql {
         |CAST(SUM(CASE WHEN x < lo_fence OR x > hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_days
         |FROM daily d JOIN f2 USING (event_type) GROUP BY 1 ORDER BY 1"""
         .stripMargin.replace("\n", " "),
+
+    // ── round-7 batch 7 ──
+
+    // the SQL UDF is analyzer-inlined on the Spark side; the oracle IS
+    // the inlined form
+    "sql_udf_scalar" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE) AS disc_rev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", " "),
+
+    "sql_udf_table" ->
+      """SELECT * FROM (
+        |SELECT 'F' AS st, o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+        |UNION ALL SELECT * FROM (
+        |SELECT 'O', o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O' ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+        |UNION ALL SELECT * FROM (
+        |SELECT 'P', o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P' ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+        |ORDER BY st, o_totalprice DESC, o_orderkey""".stripMargin.replace("\n", " "),
+
+    "vec_binary_hamming_topk" ->
+      """WITH sig AS (SELECT vec_id,
+        |CAST(list_sum(list_transform(range(0, 63), i -> CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+        |THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+        |FROM embeddings)
+        |SELECT a_id, b_id, hamming, rn FROM (
+        |SELECT q.vec_id AS a_id, b.vec_id AS b_id,
+        |CAST(bit_count(xor(q.sig, b.sig)) AS INT) AS hamming,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY bit_count(xor(q.sig, b.sig)), b.vec_id) AS rn
+        |FROM sig q JOIN sig b ON q.vec_id < 10 AND b.vec_id <> q.vec_id)
+        |WHERE rn <= 10 ORDER BY a_id, rn""".stripMargin.replace("\n", " "),
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan

@@ -230,7 +230,8 @@ class PlanSpec extends SparkSpec {
       "ann_ivf_pq_topk", "dedup_pq_codes",
       "graph_modularity_labels",  // broadcast 1-row moment aggregate
       "dq_freshness_lag",         // broadcast 1-row global-max aggregate
-      "pipeline_shard_manifest")  // broadcast 1-row token total
+      "pipeline_shard_manifest",  // broadcast 1-row token total
+      "vec_binary_hamming_topk")  // 10 broadcast sign words (J3 pattern)
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

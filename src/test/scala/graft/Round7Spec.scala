@@ -518,6 +518,44 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("D10 SQL UDF: the catalog function computes exactly the inline revenue") {
+    val viaUdf = run("sql_udf_scalar").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.ops.Cols.revenue).cast("double").as("rev"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaUdf == direct, "SQL UDF result must be bit-identical to Cols.revenue")
+  }
+
+  test("D11 SQL table function: each invocation is the plain top-5 slice") {
+    val out = run("sql_udf_table").collect()
+    assert(out.groupBy(_.getString(0)).forall(_._2.length <= 5))
+    for (st <- Seq("F", "O", "P")) {
+      val direct = Tables.orders(spark, sf)
+        .where(col("o_orderstatus") === st)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(5).select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      val got = out.filter(_.getString(0) == st).map(_.getLong(1)).toSeq
+      assert(got == direct, s"status $st: table function returns the direct top-5")
+    }
+  }
+
+  test("J25 binary quantization: sign words recompute driver-side, Hamming is exact") {
+    val out = run("vec_binary_hamming_topk").collect()
+    assert(out.nonEmpty && out.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 63))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def word(v: Array[Float]): Long =
+      (0 until 63).foldLeft(0L)((acc, i) => if (v(i) > 0f) acc | (1L << i) else acc)
+    assert(out.forall { r =>
+      val h = java.lang.Long.bitCount(word(vecs(r.getLong(0))) ^ word(vecs(r.getLong(1))))
+      h == r.getInt(2)
+    }, "reported Hamming distances match an independent driver-side packing")
+  }
+
   test("N9 profile drift: metric pairs reconcile with a direct recount") {
     val out = run("dq_profile_drift").collect()
     assert(out.length == 13, "13 (column, metric) rows")
