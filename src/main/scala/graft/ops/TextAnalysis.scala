@@ -909,6 +909,26 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** M84 text_bpe_pair_stats — the first iteration of BPE tokenizer
+    * training: adjacent character-pair frequencies across the corpus's
+    * words (each word contributes length−1 overlapping 2-grams), top-20
+    * merge candidates by exact integer count (ties broken on the pair
+    * string) — the statistic that decides the first merge rule, and the
+    * audit that shows whether a tokenizer's merge table still fits a new
+    * corpus. Per-row explode + ONE pair-keyed aggregate + a
+    * TakeOrderedAndProject cut; linear in total characters at any scale.
+    */
+  def bpePairStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, CAST(i AS INT), 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(20)
+
   /** M80 pipeline_shard_manifest — token-balanced output sharding: assign
     * documents (in doc_id order) to a FIXED number of shards (16) by
     * proportional splitting of the global token tape — shard =

@@ -3122,6 +3122,47 @@ object OracleSql {
         |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY bit_count(xor(q.sig, b.sig)), b.vec_id) AS rn
         |FROM sig q JOIN sig b ON q.vec_id < 10 AND b.vec_id <> q.vec_id)
         |WHERE rn <= 10 ORDER BY a_id, rn""".stripMargin.replace("\n", " "),
+
+    // ── round-7 batch 8 ──
+
+    "text_bpe_pair_stats" ->
+      """SELECT pair, COUNT(*) AS n FROM (
+        |SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, CAST(i AS INT), 2))) AS pair
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 2)
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin.replace("\n", " "),
+
+    "dq_pk_uniqueness" ->
+      """WITH u AS (
+        |SELECT 'orders' AS table_name, COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS nd FROM orders
+        |UNION ALL SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey) FROM customer
+        |UNION ALL SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey) FROM part
+        |UNION ALL SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey) FROM supplier
+        |UNION ALL SELECT 'lineitem', COUNT(*), COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        |UNION ALL SELECT 'events', COUNT(*), COUNT(DISTINCT event_id) FROM events
+        |UNION ALL SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id) FROM documents
+        |UNION ALL SELECT 'embeddings', COUNT(*), COUNT(DISTINCT vec_id) FROM embeddings)
+        |SELECT table_name, n_rows, nd AS n_distinct_pk, n_rows - nd AS n_dup_rows,
+        |CASE WHEN n_rows <> nd THEN 1 ELSE 0 END AS violated
+        |FROM u ORDER BY table_name""".stripMargin.replace("\n", " "),
+
+    "ts_seasonal_anova" ->
+      (EV +
+        """, hourly AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n FROM ev GROUP BY 1),
+        |bounds AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM ev),
+        |spine AS (SELECT unnest(generate_series(d0 + INTERVAL 1 DAY, d1 - INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS hour FROM bounds),
+        |x AS (SELECT CAST(hour(s.hour) AS INT) AS hod, COALESCE(h.n, 0) AS x FROM spine s LEFT JOIN hourly h ON h.hour = s.hour),
+        |g AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS q FROM x),
+        |ph AS (SELECT hod, COUNT(*) AS m, CAST(SUM(x) AS BIGINT) AS sh, CAST(SUM(x * x) AS BIGINT) AS qh FROM x GROUP BY hod),
+        |sw AS (SELECT MAX(m) AS m, CAST(SUM(m * qh - sh * sh) AS BIGINT) AS ssw_m FROM ph),
+        |pk AS (SELECT hod AS peak_hour, sh AS peak_sum FROM
+        |(SELECT *, ROW_NUMBER() OVER (ORDER BY sh DESC, hod) AS r FROM ph) WHERE r = 1)
+        |SELECT CAST(n // 24 AS BIGINT) AS n_days, n AS n_hours,
+        |CAST(n * q - s * s AS BIGINT) AS sst_n, ssw_m,
+        |CASE WHEN n * q - s * s = 0 THEN NULL ELSE
+        |round(1.0 - CAST(n * ssw_m AS DOUBLE) / CAST(m * (n * q - s * s) AS DOUBLE), 6) + 0.0 END AS seasonal_r2,
+        |CAST(peak_hour AS INT) AS peak_hour,
+        |round(CAST(peak_sum AS DOUBLE) / m, 6) + 0.0 AS peak_mean
+        |FROM g, sw, pk""".stripMargin.replace("\n", " ")),
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan

@@ -231,7 +231,8 @@ class PlanSpec extends SparkSpec {
       "graph_modularity_labels",  // broadcast 1-row moment aggregate
       "dq_freshness_lag",         // broadcast 1-row global-max aggregate
       "pipeline_shard_manifest",  // broadcast 1-row token total
-      "vec_binary_hamming_topk")  // 10 broadcast sign words (J3 pattern)
+      "vec_binary_hamming_topk",  // 10 broadcast sign words (J3 pattern)
+      "ts_seasonal_anova")        // broadcast 1-row moment + peak aggregates
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

@@ -556,6 +556,56 @@ class Round7Spec extends SparkSpec {
     }, "reported Hamming distances match an independent driver-side packing")
   }
 
+  test("M84 BPE pairs: top-20 matches an independent driver-side tally") {
+    val out = run("text_bpe_pair_stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.length == 20 && out.forall(_._1.length == 2))
+    val tally = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select(col("text")).collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          tally(p) = tally.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val expect = tally.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(out.toSeq == expect, "exact counts and tie order from plain Scala")
+  }
+
+  test("N12 PK uniqueness: catches lineitem's real composite-key duplicates") {
+    val out = run("dq_pk_uniqueness").collect()
+    assert(out.length == 8)
+    // the audit's reason to exist: the synthetic lineitem genuinely
+    // reuses (l_orderkey, l_linenumber) pairs (~23% dup rows at every
+    // SF) — the audit must flag it, and ONLY it
+    val (dirty, clean) = out.partition(_.getString(0) == "lineitem")
+    assert(dirty.head.getInt(4) == 1 && dirty.head.getLong(3) > 0L,
+      "lineitem's duplicate composite keys are flagged")
+    assert(clean.forall(r => r.getInt(4) == 0 && r.getLong(3) == 0L),
+      "all seven other tables have clean primary keys")
+    val li = dirty.head
+    val expect = Tables.lineitem(spark, sf)
+      .select(countDistinct(col("l_orderkey"), col("l_linenumber"))).head().getLong(0)
+    assert(li.getLong(2) == expect, "distinct count reconciles")
+    val orders = out.find(_.getString(0) == "orders").get
+    assert(orders.getLong(1) == Tables.orders(spark, sf).count())
+  }
+
+  test("L24 seasonal ANOVA: trimmed spine shape, R2 recomputes, bounded") {
+    val r = run("ts_seasonal_anova").head()
+    assert(r.getLong(0) == 28 && r.getLong(1) == 672,
+      "the 30-day fixture trims to 28 complete days = 672 hours")
+    val (sstN, sswM) = (r.getLong(2), r.getLong(3))
+    val r2 = r.getDouble(4)
+    assert(r2 >= 0.0 && r2 <= 1.0, "ANOVA R2 is a variance share")
+    val n = r.getLong(1); val m = n / 24
+    val expect = BigDecimal(1.0 - (n * sswM).toDouble / (m * sstN).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r2 - expect) < 1e-9, "R2 recomputes from its own moments")
+    assert(r.getInt(5) >= 0 && r.getInt(5) <= 23)
+  }
+
   test("N9 profile drift: metric pairs reconcile with a direct recount") {
     val out = run("dq_profile_drift").collect()
     assert(out.length == 13, "13 (column, metric) rows")
