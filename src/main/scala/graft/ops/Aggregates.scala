@@ -486,6 +486,47 @@ object Aggregates {
           .as("peak_mean"))
   }
 
+  /** L25 ts_forecast_baseline_mae — the forecast-baseline backtest every
+    * series gets BEFORE anyone fits a model: per event type, the MAE of
+    * the naive predictor (x̂_t = x_{t−1}) vs the seasonal-naive predictor
+    * (x̂_t = x_{t−24}) over the zero-filled hourly series. If
+    * seasonal-naive doesn't beat naive, the hour-of-day term
+    * ([[tsSeasonalAnova]]'s R²) isn't worth modeling. Absolute errors are
+    * exact integer differences of counts; each MAE is one division,
+    * rounded 6 dp; the ratio divides the two ROUNDED doubles (identical
+    * trees both engines). Windows run per type over the bounded hourly
+    * spine (the L21 precedent), never over raw events.
+    */
+  def tsForecastBaselineMae(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("x"))
+      .withColumn("lag1", lag(col("x"), 1).over(w))
+      .withColumn("lag24", lag(col("x"), 24).over(w))
+      .where(col("lag24").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("x") - col("lag1"))).as("ae1"),
+        sum(abs(col("x") - col("lag24"))).as("ae24"))
+      .select(col("event_type"), col("n_eval"),
+        (round(col("ae1").cast("double") / col("n_eval"), 6) + lit(0.0)).as("mae_naive"),
+        (round(col("ae24").cast("double") / col("n_eval"), 6) + lit(0.0)).as("mae_seasonal"),
+        when(col("ae1") =!= 0,
+          round((round(col("ae24").cast("double") / col("n_eval"), 6) + lit(0.0)) /
+            (round(col("ae1").cast("double") / col("n_eval"), 6) + lit(0.0)), 6) + lit(0.0))
+          .as("mae_ratio"))
+      .orderBy(col("event_type"))
+  }
+
   /** E20 agg_decay_halflife — exponentially time-decayed engagement per
     * user with a ONE-DAY half-life: each event contributes 2^-age_days
     * (integer-floored age vs the corpus max timestamp, capped at 20 days,

@@ -263,4 +263,21 @@ object Multimodal {
           .stripMargin))
       .orderBy(col("doc_id"), col("idx"))
   }
+
+  /** M85 mm_phash_clusters — media near-dup CLUSTERING: the banded-pHash
+    * pair graph ([[phashHamming]], Hamming ≤ 3) collapsed to connected
+    * components with the same O(log²) large-star/small-star machinery the
+    * text pipeline uses ([[graft.ops.Dedup.starComponents]] — composed,
+    * not re-implemented), reported as the cluster-size histogram — the
+    * "how much duplicated media is there really" number a storage/crawl
+    * review starts from. Oracle is the exact transitive closure over the
+    * same pair list.
+    */
+  def phashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = phashHamming(spark, sfDir).select(col("a_id"), col("b_id"))
+    val (labels, _) = graft.ops.Dedup.starComponents(pairs)
+    labels.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
 }

@@ -929,6 +929,32 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("pair"))
       .limit(20)
 
+  /** M86 text_vocab_chao1 — vocabulary-richness estimation: Chao1's
+    * lower-bound estimate of the TRUE vocabulary size from the observed
+    * distinct count and the singleton/doubleton frequencies
+    * (D + f1²/(2·f2)), plus Good-Turing sample coverage (1 − f1/N) — the
+    * pair of numbers that says whether a corpus crawl has saturated its
+    * vocabulary or is still discovering new words at the margin. All
+    * inputs are exact integer counts from two keyed aggregates; the two
+    * estimates are single divisions rounded 6 dp.
+    */
+  def vocabChao1(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab_d"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab_d"), col("f1"), col("f2"),
+        (round(when(col("f2") > 0,
+          col("vocab_d") + (col("f1") * col("f1")).cast("double") / (lit(2L) * col("f2")))
+          .otherwise(col("vocab_d") +
+            (col("f1") * (col("f1") - 1)).cast("double") / 2.0), 6) + lit(0.0))
+          .as("chao1"),
+        (round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6) + lit(0.0))
+          .as("coverage"))
+
   /** M80 pipeline_shard_manifest — token-balanced output sharding: assign
     * documents (in doc_id order) to a FIXED number of shards (16) by
     * proportional splitting of the global token tape — shard =

@@ -2487,18 +2487,10 @@ object OracleSql {
     // band candidates (lossless at distance <= 3 by pigeonhole), exact
     // bit_count(xor) <= 3 re-rank
     "mm_phash_hamming" ->
-      """WITH blk AS (SELECT doc_id, unnest(list_transform(range(0, (n_chars + 63) // 64),
-        |i -> md5(substring(text, CAST(i AS INT) * 64 + 1, 64)))) AS h
-        |FROM documents WHERE n_chars > 0),
-        |bits AS (SELECT doc_id, j, SUM(CASE WHEN substring(h, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS bs
-        |FROM blk, range(1, 17) t(j) GROUP BY doc_id, j),
-        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bs > 0 THEN power(2, j - 1) ELSE 0 END) AS BIGINT) AS sig FROM bits GROUP BY doc_id),
-        |bands AS (SELECT doc_id, sig, k, (sig // CAST(power(2, k * 4) AS BIGINT)) % 16 AS band FROM sig, range(0, 4) t(k)),
-        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, x.sig AS sa, y.sig AS sb
-        |FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id)
-        |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      ("WITH " + phashPairChain +
+        """ SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-        |ORDER BY hamming, a_id, b_id""".stripMargin.replace("\n", " "),
+        |ORDER BY hamming, a_id, b_id""".stripMargin.replace("\n", " ")),
 
     // the bloom is a no-false-negative PREFILTER confirmed by an exact
     // join, so the counts are exact — the oracle checks them with plain
@@ -3163,6 +3155,53 @@ object OracleSql {
         |CAST(peak_hour AS INT) AS peak_hour,
         |round(CAST(peak_sum AS DOUBLE) / m, 6) + 0.0 AS peak_mean
         |FROM g, sw, pk""".stripMargin.replace("\n", " ")),
+
+    // ── round-7 batch 9 ──
+
+    "ts_forecast_baseline_mae" ->
+      (EV +
+        """, hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |spine AS (SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds, types t),
+        |x AS (SELECT s.event_type, s.hour, COALESCE(h.n, 0) AS x FROM spine s
+        |LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour),
+        |l AS (SELECT *, lag(x, 1) OVER (PARTITION BY event_type ORDER BY hour) AS lag1,
+        |lag(x, 24) OVER (PARTITION BY event_type ORDER BY hour) AS lag24 FROM x),
+        |a AS (SELECT event_type, COUNT(*) AS n_eval, CAST(SUM(abs(x - lag1)) AS BIGINT) AS ae1,
+        |CAST(SUM(abs(x - lag24)) AS BIGINT) AS ae24 FROM l WHERE lag24 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_eval,
+        |round(CAST(ae1 AS DOUBLE) / n_eval, 6) + 0.0 AS mae_naive,
+        |round(CAST(ae24 AS DOUBLE) / n_eval, 6) + 0.0 AS mae_seasonal,
+        |CASE WHEN ae1 <> 0 THEN round((round(CAST(ae24 AS DOUBLE) / n_eval, 6) + 0.0)
+        |/ (round(CAST(ae1 AS DOUBLE) / n_eval, 6) + 0.0), 6) + 0.0 END AS mae_ratio
+        |FROM a ORDER BY event_type""".stripMargin.replace("\n", " ")),
+
+    // pair graph from the shared banded-pHash chain; exact transitive
+    // closure labels each node with its component minimum (the
+    // componentChain pattern over media signatures)
+    "mm_phash_clusters" ->
+      ("WITH RECURSIVE " + phashPairChain +
+        """, pairs AS (SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+        |edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT a AS node, a AS label FROM edges
+        |UNION SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+        |sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY sz ORDER BY sz"""
+          .stripMargin.replace("\n", " ")),
+
+    "text_vocab_chao1" ->
+      """WITH wc AS (SELECT w, COUNT(*) AS c FROM
+        |(SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0 GROUP BY w),
+        |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab_d,
+        |CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2 FROM wc)
+        |SELECT n_tokens, vocab_d, f1, f2,
+        |round(CASE WHEN f2 > 0 THEN vocab_d + CAST(f1 * f1 AS DOUBLE) / (2 * f2)
+        |ELSE vocab_d + CAST(f1 * (f1 - 1) AS DOUBLE) / 2.0 END, 6) + 0.0 AS chao1,
+        |round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) + 0.0 AS coverage FROM a"""
+        .stripMargin.replace("\n", " "),
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan
@@ -3184,6 +3223,22 @@ object OracleSql {
       |MIN("value") AS v_min, MAX("value") AS v_max,
       |CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) AS DOUBLE) AS v_cents
       |FROM events WHERE event_id % 2 = $parity)""".stripMargin.replace("\n", " ")
+
+  /** The banded block-pHash pair chain (blk → bits → sig → bands → cand)
+    * shared by mm_phash_hamming and mm_phash_clusters; emitted WITHOUT
+    * the leading WITH so the clusters query can prepend WITH RECURSIVE.
+    */
+  private def phashPairChain: String =
+    """blk AS (SELECT doc_id, unnest(list_transform(range(0, (n_chars + 63) // 64),
+      |i -> md5(substring(text, CAST(i AS INT) * 64 + 1, 64)))) AS h
+      |FROM documents WHERE n_chars > 0),
+      |bits AS (SELECT doc_id, j, SUM(CASE WHEN substring(h, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS bs
+      |FROM blk, range(1, 17) t(j) GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bs > 0 THEN power(2, j - 1) ELSE 0 END) AS BIGINT) AS sig FROM bits GROUP BY doc_id),
+      |bands AS (SELECT doc_id, sig, k, (sig // CAST(power(2, k * 4) AS BIGINT)) % 16 AS band FROM sig, range(0, 4) t(k)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, x.sig AS sa, y.sig AS sb
+      |FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id)"""
+      .stripMargin.replace("\n", " ")
 
   /** The PQ index-build CTE chain shared by vec_pq_adc_topk / vec_pq_error,
     * mirroring Similarity.pqIndex: 4×16-dim subspaces, 16-entry sampled

@@ -232,7 +232,8 @@ class PlanSpec extends SparkSpec {
       "dq_freshness_lag",         // broadcast 1-row global-max aggregate
       "pipeline_shard_manifest",  // broadcast 1-row token total
       "vec_binary_hamming_topk",  // 10 broadcast sign words (J3 pattern)
-      "ts_seasonal_anova")        // broadcast 1-row moment + peak aggregates
+      "ts_seasonal_anova",        // broadcast 1-row moment + peak aggregates
+      "ts_forecast_baseline_mae") // hour spine × broadcast ~5-row type list
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

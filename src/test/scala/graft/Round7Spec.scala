@@ -606,6 +606,58 @@ class Round7Spec extends SparkSpec {
     assert(r.getInt(5) >= 0 && r.getInt(5) <= 23)
   }
 
+  test("L25 forecast baselines: spine shape and MAE arithmetic reconcile") {
+    val out = run("ts_forecast_baseline_mae").collect()
+    assert(out.nonEmpty)
+    // 30-day fixture span: 720 spine hours per type, minus 24 warm-up lags
+    assert(out.forall(_.getLong(1) == 696L),
+      "every type evaluates over the same 696-hour window")
+    assert(out.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0))
+    assert(out.forall { r =>
+      r.isNullAt(4) || math.abs(r.getDouble(4) -
+        BigDecimal(r.getDouble(3) / r.getDouble(2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9
+    }, "ratio recomputes from the two reported MAEs")
+  }
+
+  test("M85 pHash clusters: histogram matches a driver-side union-find") {
+    val hist = run("mm_phash_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = run("mm_phash_hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the banded pair graph is non-empty at this fixture")
+    // independent union-find over the same pair list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = nodes.groupBy(find).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    assert(hist == expect, "cluster-size histogram matches union-find")
+    assert(hist.keys.forall(_ >= 2), "only paired nodes form clusters")
+  }
+
+  test("M86 Chao1: richness estimate recomputes from a driver-side tally") {
+    val r = run("text_vocab_chao1").head()
+    val tally = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select(col("text")).collect().foreach { row =>
+      row.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => tally(w) = tally.getOrElse(w, 0L) + 1L)
+    }
+    val (n, d) = (tally.values.sum, tally.size.toLong)
+    val f1 = tally.values.count(_ == 1L).toLong
+    val f2 = tally.values.count(_ == 2L).toLong
+    assert(r.getLong(0) == n && r.getLong(1) == d
+      && r.getLong(2) == f1 && r.getLong(3) == f2)
+    assert(r.getDouble(4) >= d.toDouble, "Chao1 is a lower bound >= observed vocab")
+  }
+
   test("N9 profile drift: metric pairs reconcile with a direct recount") {
     val out = run("dq_profile_drift").collect()
     assert(out.length == 13, "13 (column, metric) rows")
