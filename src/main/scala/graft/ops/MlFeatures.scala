@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators for training-data pipelines: the
+  * deterministic, engine-reproducible transforms that turn curated rows
+  * into model inputs. Everything here follows the house protocol — exact
+  * integer cores, one final division, identical expression trees on both
+  * engines.
+  */
+object MlFeatures {
+
+  /** M89 ml_target_encode_loo — leave-one-out target encoding of a
+    * categorical column (event_type) against a numeric target (value):
+    * each row's feature is the mean target of its category EXCLUDING the
+    * row itself — the standard high-cardinality-categorical encoding, and
+    * leave-one-out is exactly what prevents the feature from leaking the
+    * row's own label. Target values integerize to cents, so the category
+    * (sum, count) pair is exact and every row's encoding is
+    * (S − v)/(n − 1): one LONG subtraction, ONE division, 6-dp rounded.
+    *
+    * 100 TB: the category statistics are one tiny keyed aggregate
+    * broadcast back over the fact scan — a map-only encode pass, the same
+    * shape a feature store materializes. Output bounded to event_id < 500
+    * (the encode is per-row; the contract slice keeps the oracle diff
+    * readable).
+    */
+  def targetEncodeLoo(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("s"))
+    ev.where(col("event_id") < 500)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        (round((col("s") - col("v_cents")).cast("double") /
+          ((col("n") - 1) * lit(100.0)), 6) + lit(0.0)).as("loo_enc"))
+      .orderBy(col("event_id"))
+  }
+
+  /** M90 ml_feature_hash — the hashing trick: words map to a fixed 64-slot
+    * feature space through the first six md5 bits (two hex nibbles decoded
+    * with plain ASCII arithmetic — `ascii(c) − (c ≥ 'a' ? 87 : 48)` — so
+    * the slot is UNIFORM over 0..63 and identical on any engine), giving
+    * every document a sparse bag-of-words vector with NO vocabulary
+    * build — the constant-memory featurizer for streaming/incremental
+    * training where a fitted vocabulary would go stale. Output: the
+    * nonzero (doc, slot, count) triples for the doc_id < 100 contract
+    * slice.
+    *
+    * 100 TB: one explode + one (doc, slot) keyed aggregate — linear in
+    * tokens; the feature space never materializes a dictionary.
+    */
+  def featureHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .withColumn("slot", expr(
+        """CAST((ascii(substring(md5(w), 1, 1)) -
+          |  IF(ascii(substring(md5(w), 1, 1)) >= 97, 87, 48)) * 4 +
+          |  (ascii(substring(md5(w), 2, 1)) -
+          |  IF(ascii(substring(md5(w), 2, 1)) >= 97, 87, 48)) % 4 AS INT)""".stripMargin))
+      .groupBy(col("doc_id"), col("slot"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("slot"))
+}

@@ -929,6 +929,54 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("pair"))
       .limit(20)
 
+  /** M87 text_gopher_gates — the Gopher-style RULE battery (pass/fail
+    * gates, the complement of text_quality_score's continuous score):
+    * word-count bounds, mean-word-length bounds (compared in the EXACT
+    * integer domain via cross-multiplication — never a float mean),
+    * minimum stopword hits, and a within-doc duplicate-segment ceiling.
+    * Emitted as the per-rule violation report plus the documents-passing-
+    * all row — the attrition table a curation run publishes before
+    * anything is dropped. One scan, one conditional aggregate (the N2
+    * shape); rules with zero violations are a normal, honest state.
+    */
+  def gopherGates(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and")
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        s"filter(t, x -> x IN (${stop.map(s => s"'$s'").mkString(",")}))")).cast("long"))
+      .withColumn("segs", expr("filter(split(text, '\\\\. '), s -> length(s) > 0)"))
+      .withColumn("n_seg", size(col("segs")).cast("long"))
+      .withColumn("n_seg_d", size(array_distinct(col("segs"))).cast("long"))
+      // letters = chars minus the single-space separators; both bounds
+      // cross-multiplied so the mean-length gate is exact integer math
+      .withColumn("n_let", col("n_chars") - (col("n_tok") - 1))
+      .select(
+        (col("n_tok") < 50 || col("n_tok") > 100000).cast("long").as("v_wc"),
+        (col("n_let") < lit(3L) * col("n_tok") ||
+          col("n_let") > lit(10L) * col("n_tok")).cast("long").as("v_awl"),
+        (col("n_stop") < 2).cast("long").as("v_stop"),
+        // dup-segment gate: distinct/total >= 0.7 ⇔ 10·distinct >= 7·total
+        (lit(10L) * col("n_seg_d") < lit(7L) * col("n_seg")).cast("long").as("v_dupseg"))
+    val agg = d.agg(count(lit(1)).as("n_docs"),
+      sum(col("v_wc")).as("v_wc"), sum(col("v_awl")).as("v_awl"),
+      sum(col("v_stop")).as("v_stop"), sum(col("v_dupseg")).as("v_dupseg"),
+      sum(when(col("v_wc") + col("v_awl") + col("v_stop") + col("v_dupseg") === 0, 0L)
+        .otherwise(1L)).as("v_any"))
+    agg.select(col("n_docs"), expr(
+      """stack(5,
+        |  'word_count_50_100k', v_wc,
+        |  'mean_word_len_3_10', v_awl,
+        |  'min_2_stopwords',    v_stop,
+        |  'dup_segment_30pct',  v_dupseg,
+        |  'ANY_RULE',           v_any) AS (rule, n_violations)""".stripMargin))
+      .select(col("rule"), col("n_violations"), col("n_docs"),
+        (round(col("n_violations").cast("double") / col("n_docs"), 6) + lit(0.0))
+          .as("viol_frac"))
+      .orderBy(col("rule"))
+  }
+
   /** M86 text_vocab_chao1 — vocabulary-richness estimation: Chao1's
     * lower-bound estimate of the TRUE vocabulary size from the observed
     * distinct count and the singleton/doubleton frequencies

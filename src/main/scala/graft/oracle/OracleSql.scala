@@ -3202,6 +3202,50 @@ object OracleSql {
         |ELSE vocab_d + CAST(f1 * (f1 - 1) AS DOUBLE) / 2.0 END, 6) + 0.0 AS chao1,
         |round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) + 0.0 AS coverage FROM a"""
         .stripMargin.replace("\n", " "),
+
+    // ── round-7 batch 10 ──
+
+    "text_gopher_gates" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t,
+        |list_filter(string_split(text, '. '), s -> len(s) > 0) AS segs FROM documents),
+        |m AS (SELECT CAST(len(t) AS BIGINT) AS n_tok,
+        |CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+        |CAST(len(segs) AS BIGINT) AS n_seg, CAST(len(list_distinct(segs)) AS BIGINT) AS n_seg_d,
+        |n_chars - (CAST(len(t) AS BIGINT) - 1) AS n_let FROM d),
+        |v AS (SELECT CASE WHEN n_tok < 50 OR n_tok > 100000 THEN 1 ELSE 0 END AS v_wc,
+        |CASE WHEN n_let < 3 * n_tok OR n_let > 10 * n_tok THEN 1 ELSE 0 END AS v_awl,
+        |CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS v_stop,
+        |CASE WHEN 10 * n_seg_d < 7 * n_seg THEN 1 ELSE 0 END AS v_dupseg FROM m),
+        |a AS (SELECT COUNT(*) AS n_docs,
+        |CAST(SUM(v_wc) AS BIGINT) AS v_wc, CAST(SUM(v_awl) AS BIGINT) AS v_awl,
+        |CAST(SUM(v_stop) AS BIGINT) AS v_stop, CAST(SUM(v_dupseg) AS BIGINT) AS v_dupseg,
+        |CAST(SUM(CASE WHEN v_wc + v_awl + v_stop + v_dupseg = 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_any FROM v),
+        |u AS (SELECT 'word_count_50_100k' AS rule, v_wc AS n_violations, n_docs FROM a
+        |UNION ALL SELECT 'mean_word_len_3_10', v_awl, n_docs FROM a
+        |UNION ALL SELECT 'min_2_stopwords', v_stop, n_docs FROM a
+        |UNION ALL SELECT 'dup_segment_30pct', v_dupseg, n_docs FROM a
+        |UNION ALL SELECT 'ANY_RULE', v_any, n_docs FROM a)
+        |SELECT rule, n_violations, n_docs,
+        |round(CAST(n_violations AS DOUBLE) / n_docs, 6) + 0.0 AS viol_frac
+        |FROM u ORDER BY rule""".stripMargin.replace("\n", " "),
+
+    "ml_target_encode_loo" ->
+      (EV +
+        """, e2 AS (SELECT event_id, event_type, CAST(round(value * 100, 0) AS BIGINT) AS v FROM ev),
+        |st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s FROM e2 GROUP BY 1)
+        |SELECT e2.event_id, e2.event_type,
+        |round(CAST(st.s - e2.v AS DOUBLE) / ((st.n - 1) * 100.0), 6) + 0.0 AS loo_enc
+        |FROM e2 JOIN st USING (event_type) WHERE e2.event_id < 500 ORDER BY e2.event_id"""
+          .stripMargin.replace("\n", " ")),
+
+    "ml_feature_hash" ->
+      """SELECT doc_id,
+        |CAST((ascii(substring(md5(w), 1, 1)) - CASE WHEN ascii(substring(md5(w), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 4
+        |+ (ascii(substring(md5(w), 2, 1)) - CASE WHEN ascii(substring(md5(w), 2, 1)) >= 97 THEN 87 ELSE 48 END) % 4 AS INT) AS slot,
+        |COUNT(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 100)
+        |WHERE len(w) > 0 GROUP BY 1, 2 ORDER BY doc_id, slot"""
+        .stripMargin.replace("\n", " "),
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan

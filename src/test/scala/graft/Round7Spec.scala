@@ -658,6 +658,53 @@ class Round7Spec extends SparkSpec {
     assert(r.getDouble(4) >= d.toDouble, "Chao1 is a lower bound >= observed vocab")
   }
 
+  test("M87 Gopher gates: the ANY row bounds the per-rule rows") {
+    val out = run("text_gopher_gates").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 5)
+    val any = out("ANY_RULE")
+    val rules = out - "ANY_RULE"
+    assert(rules.values.forall(_ <= any), "no single rule exceeds the union")
+    assert(any <= rules.values.sum, "the union is at most the sum")
+    val nDocs = run("text_gopher_gates").head().getLong(2)
+    assert(nDocs == Tables.documents(spark, sf).count())
+  }
+
+  test("M89 LOO encoding: excluding the row moves the mean the right way") {
+    val out = run("ml_target_encode_loo").collect()
+    assert(out.nonEmpty)
+    // independent recount: category means including vs excluding each row
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v")).collect()
+    val byType = ev.groupBy(_.getString(1))
+      .view.mapValues(rs => (rs.length.toLong, rs.map(_.getLong(2)).sum)).toMap
+    assert(out.forall { r =>
+      val (n, s) = byType(r.getString(1))
+      val v = ev.find(_.getLong(0) == r.getLong(0)).get.getLong(2)
+      val expect = BigDecimal((s - v).toDouble / ((n - 1) * 100.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.abs(r.getDouble(2) - expect) < 1e-9
+    }, "every encoding recomputes from the raw cents")
+  }
+
+  test("M90 feature hash: slots in range, token mass conserved") {
+    val out = run("ml_feature_hash").collect()
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 64))
+    val total = Tables.documents(spark, sf).where(col("doc_id") < 100)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).count()
+    assert(out.map(_.getLong(2)).sum == total,
+      "every token lands in exactly one slot")
+    // the digest spreads: the slice's ~31 distinct words should land in
+    // nearly as many distinct slots (collision-free ≈ uniform hashing)
+    val vocab = Tables.documents(spark, sf).where(col("doc_id") < 100)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).distinct().count()
+    assert(out.map(_.getInt(1)).distinct.length >= math.min(64L, vocab) * 4 / 5,
+      "hashing spreads: >=80% of the (slot-capped) vocabulary gets its own slot")
+  }
+
   test("N9 profile drift: metric pairs reconcile with a direct recount") {
     val out = run("dq_profile_drift").collect()
     assert(out.length == 13, "13 (column, metric) rows")
