@@ -454,6 +454,41 @@ object DataQuality {
       .orderBy(col("table_name"))
   }
 
+  /** N13 dq_ab_ttest — Welch's two-sample t-test between experiment arms
+    * (user_id parity over purchase values — the A/B readout every
+    * event-driven product runs): per-arm mean and variance come from
+    * EXACT cents moments (n·Q − S² in LONG), are rounded to 6 dp, and
+    * the t statistic and Welch–Satterthwaite df are then one fixed IEEE
+    * tree over those rounded inputs — bit-identical cross-engine, no
+    * float accumulation anywhere. One scan, two 1-row broadcast
+    * aggregates at any scale.
+    */
+  def dqAbTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    def arm(parity: Int) = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase" && col("user_id") % 2 === parity)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as(s"n$parity"),
+        sum(col("v")).as(s"s$parity"), sum(col("v") * col("v")).as(s"q$parity"))
+      .select(col(s"n$parity"),
+        round(col(s"s$parity").cast("double") / (col(s"n$parity") * lit(100.0)), 6)
+          .as(s"mean$parity"),
+        round((col(s"n$parity") * col(s"q$parity") - col(s"s$parity") * col(s"s$parity"))
+          .cast("double") /
+          (col(s"n$parity") * (col(s"n$parity") - 1) * lit(10000.0)).cast("double"), 6)
+          .as(s"var$parity"))
+    arm(0).crossJoin(broadcast(arm(1)))
+      .withColumn("se2", col("var0") / col("n0") + col("var1") / col("n1"))
+      .select(col("n0").as("n_a"), col("n1").as("n_b"),
+        (col("mean0") + lit(0.0)).as("mean_a"), (col("mean1") + lit(0.0)).as("mean_b"),
+        (col("var0") + lit(0.0)).as("var_a"), (col("var1") + lit(0.0)).as("var_b"),
+        (round((col("mean0") - col("mean1")) / sqrt(col("se2")), 4) + lit(0.0))
+          .as("t_stat"),
+        (round((col("se2") * col("se2")) /
+          ((col("var0") / col("n0")) * (col("var0") / col("n0")) / (col("n0") - 1) +
+            (col("var1") / col("n1")) * (col("var1") / col("n1")) / (col("n1") - 1)), 2)
+          + lit(0.0)).as("welch_df"))
+  }
+
   /** N11 dq_outlier_tukey — Tukey-fence volume screen: per event type,
     * the quartiles of the daily-count series set fences at Q1−1.5·IQR /
     * Q3+1.5·IQR and days outside them are flagged — the boxplot rule, the

@@ -54,6 +54,40 @@ object MlFeatures {
     * 100 TB: one explode + one (doc, slot) keyed aggregate — linear in
     * tokens; the feature space never materializes a dictionary.
     */
+  /** J26 ml_feature_scaler_fit — the "fit" half of a standard feature
+    * scaler over the embedding matrix (leading 8 dimensions): per
+    * dimension min/max (raw values, no arithmetic) and mean/std through
+    * the 2^20 fixed-point protocol — component sums and sum-of-squares
+    * are exact LONG math, so the moments are order-independent by
+    * construction and the only floats are the final divisions (6 dp).
+    * This is the artifact a training pipeline persists so that
+    * normalization is identical at train and serve time.
+    *
+    * 100 TB: one posexplode scan + one dim-keyed aggregate — 8 output
+    * rows regardless of corpus size; mergeable, so incremental refit
+    * composes (the E19 pattern).
+    */
+  def featureScalerFit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .where(col("dim") < 8)
+      // decimal(38,0) moments (the E25 idiom): n·Q − S² with 2^20-scaled
+      // squares exceeds LONG range, so the algebra stays in wide decimal
+      .withColumn("xi", expr(
+        "CAST(CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS DECIMAL(38,0))"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        (round(min(col("x")).cast("double"), 6) + lit(0.0)).as("min_x"),
+        (round(max(col("x")).cast("double"), 6) + lit(0.0)).as("max_x"),
+        sum(col("xi")).as("s"), sum(col("xi") * col("xi")).as("q"))
+      .select(col("dim"), col("n").cast("bigint").as("n"), col("min_x"), col("max_x"),
+        (round(col("s").cast("double") / (col("n").cast("double") * lit(1048576.0)), 6)
+          + lit(0.0)).as("mean_x"),
+        (round(sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
+          ((col("n") * (col("n") - lit(1))).cast("double") * lit(1048576.0) * lit(1048576.0))), 6)
+          + lit(0.0)).as("std_x"))
+      .orderBy(col("dim"))
+
   def featureHash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .where(col("doc_id") < 100)

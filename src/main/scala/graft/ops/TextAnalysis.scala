@@ -929,6 +929,40 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("pair"))
       .limit(20)
 
+  /** M92 pipeline_license_filter — license-compliance gating, the legal
+    * cut every training corpus makes before anything else: per-document
+    * license tags (synthesized as a pure key function — the M28 pattern;
+    * real corpora carry them as metadata) are grouped into the compliance
+    * report — docs, token mass, corpus share, allowed flag per license,
+    * and the attribution-required flag the release pipeline must honor.
+    * The policy (allow cc-by / cc-by-sa / cc0, require attribution on
+    * cc-by*) reads only the tag column. One scan, one tiny keyed
+    * aggregate at any scale; the filter itself is the `allowed = 1`
+    * predicate pushed into the next stage's scan.
+    */
+  def licenseFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val lic = expr(
+      """CASE CAST(doc_id % 10 AS INT)
+        |  WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by' WHEN 2 THEN 'cc-by'
+        |  WHEN 3 THEN 'cc-by-sa' WHEN 4 THEN 'cc-by-sa' WHEN 5 THEN 'cc0'
+        |  WHEN 6 THEN 'cc-by-nc' WHEN 7 THEN 'cc-by-nc'
+        |  WHEN 8 THEN 'proprietary' ELSE 'unknown' END""".stripMargin)
+    val d = Tables.documents(spark, sfDir)
+      .select(lic.as("license"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val total = d.agg(sum(col("n_tok")).as("tt"))
+    d.groupBy(col("license"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("license"), col("n_docs"), col("tokens"),
+        expr("CAST(tokens * 10000 div tt AS BIGINT)").as("share_bp"),
+        when(col("license").isin("cc-by", "cc-by-sa", "cc0"), 1).otherwise(0)
+          .as("allowed"),
+        when(col("license").isin("cc-by", "cc-by-sa"), 1).otherwise(0)
+          .as("needs_attribution"))
+      .orderBy(col("license"))
+  }
+
   /** M87 text_gopher_gates — the Gopher-style RULE battery (pass/fail
     * gates, the complement of text_quality_score's continuous score):
     * word-count bounds, mean-word-length bounds (compared in the EXACT

@@ -3238,6 +3238,54 @@ object OracleSql {
         |FROM e2 JOIN st USING (event_type) WHERE e2.event_id < 500 ORDER BY e2.event_id"""
           .stripMargin.replace("\n", " ")),
 
+    // ── round-7 batch 11 ──
+
+    "dq_ab_ttest" ->
+      (EV +
+        """, arm0 AS (SELECT COUNT(*) AS n0, CAST(SUM(v) AS BIGINT) AS s0, CAST(SUM(v * v) AS BIGINT) AS q0
+        |FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM ev WHERE event_type = 'purchase' AND user_id % 2 = 0)),
+        |arm1 AS (SELECT COUNT(*) AS n1, CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v * v) AS BIGINT) AS q1
+        |FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM ev WHERE event_type = 'purchase' AND user_id % 2 = 1)),
+        |r AS (SELECT n0, n1,
+        |round(CAST(s0 AS DOUBLE) / (n0 * 100.0), 6) AS mean0,
+        |round(CAST(s1 AS DOUBLE) / (n1 * 100.0), 6) AS mean1,
+        |round(CAST(n0 * q0 - s0 * s0 AS DOUBLE) / (n0 * (n0 - 1) * 10000.0), 6) AS var0,
+        |round(CAST(n1 * q1 - s1 * s1 AS DOUBLE) / (n1 * (n1 - 1) * 10000.0), 6) AS var1
+        |FROM arm0, arm1),
+        |r2 AS (SELECT *, var0 / n0 + var1 / n1 AS se2 FROM r)
+        |SELECT n0 AS n_a, n1 AS n_b, mean0 + 0.0 AS mean_a, mean1 + 0.0 AS mean_b,
+        |var0 + 0.0 AS var_a, var1 + 0.0 AS var_b,
+        |round((mean0 - mean1) / sqrt(se2), 4) + 0.0 AS t_stat,
+        |round((se2 * se2) / ((var0 / n0) * (var0 / n0) / (n0 - 1) + (var1 / n1) * (var1 / n1) / (n1 - 1)), 2) + 0.0 AS welch_df
+        |FROM r2""".stripMargin.replace("\n", " ")),
+
+    "ml_feature_scaler_fit" ->
+      """WITH x AS (SELECT CAST(i - 1 AS INT) AS dim, embedding[CAST(i AS INT)] AS x
+        |FROM embeddings, range(1, 9) t(i)),
+        |m AS (SELECT dim, COUNT(*) AS n,
+        |round(CAST(MIN(x) AS DOUBLE), 6) + 0.0 AS min_x, round(CAST(MAX(x) AS DOUBLE), 6) + 0.0 AS max_x,
+        |SUM(CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS s,
+        |SUM(CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT) * CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS q
+        |FROM x GROUP BY dim)
+        |SELECT dim, CAST(n AS BIGINT) AS n, min_x, max_x,
+        |round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0), 6) + 0.0 AS mean_x,
+        |round(sqrt(CAST(n * q - s * s AS DOUBLE) / (CAST(n * (n - 1) AS DOUBLE) * 1048576.0 * 1048576.0)), 6) + 0.0 AS std_x
+        |FROM m ORDER BY dim""".stripMargin.replace("\n", " "),
+
+    "pipeline_license_filter" ->
+      """WITH d AS (SELECT CASE CAST(doc_id % 10 AS INT)
+        |WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by' WHEN 2 THEN 'cc-by'
+        |WHEN 3 THEN 'cc-by-sa' WHEN 4 THEN 'cc-by-sa' WHEN 5 THEN 'cc0'
+        |WHEN 6 THEN 'cc-by-nc' WHEN 7 THEN 'cc-by-nc'
+        |WHEN 8 THEN 'proprietary' ELSE 'unknown' END AS license,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tt FROM d)
+        |SELECT license, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |CAST(CAST(SUM(n_tok) AS BIGINT) * 10000 // MAX(tt) AS BIGINT) AS share_bp,
+        |CASE WHEN license IN ('cc-by', 'cc-by-sa', 'cc0') THEN 1 ELSE 0 END AS allowed,
+        |CASE WHEN license IN ('cc-by', 'cc-by-sa') THEN 1 ELSE 0 END AS needs_attribution
+        |FROM d, t GROUP BY license ORDER BY license""".stripMargin.replace("\n", " "),
+
     "ml_feature_hash" ->
       """SELECT doc_id,
         |CAST((ascii(substring(md5(w), 1, 1)) - CASE WHEN ascii(substring(md5(w), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 4

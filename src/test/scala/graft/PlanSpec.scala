@@ -233,7 +233,9 @@ class PlanSpec extends SparkSpec {
       "pipeline_shard_manifest",  // broadcast 1-row token total
       "vec_binary_hamming_topk",  // 10 broadcast sign words (J3 pattern)
       "ts_seasonal_anova",        // broadcast 1-row moment + peak aggregates
-      "ts_forecast_baseline_mae") // hour spine × broadcast ~5-row type list
+      "ts_forecast_baseline_mae", // hour spine × broadcast ~5-row type list
+      "dq_ab_ttest",              // two broadcast 1-row arm aggregates
+      "pipeline_license_filter")  // broadcast 1-row token total
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

@@ -705,6 +705,60 @@ class Round7Spec extends SparkSpec {
       "hashing spreads: >=80% of the (slot-capped) vocabulary gets its own slot")
   }
 
+  test("N13 Welch t-test: arms partition purchases, statistic recomputes") {
+    val r = run("dq_ab_ttest").head()
+    val nPurch = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase").count()
+    assert(r.getLong(0) + r.getLong(1) == nPurch, "arms partition the purchases")
+    val (m0, m1, v0, v1) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val (n0, n1) = (r.getLong(0), r.getLong(1))
+    val se2 = v0 / n0 + v1 / n1
+    val t = BigDecimal((m0 - m1) / math.sqrt(se2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(6) - t) < 1e-9, "t recomputes from reported moments")
+    val df = BigDecimal(se2 * se2 /
+      ((v0 / n0) * (v0 / n0) / (n0 - 1) + (v1 / n1) * (v1 / n1) / (n1 - 1)))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(7) - df) < 1e-9, "Welch df recomputes")
+    assert(r.getDouble(7) <= (n0 + n1 - 2).toDouble + 1e-9,
+      "Welch df never exceeds the pooled df")
+  }
+
+  test("J26 scaler fit: moments recompute from a driver-side fixed-point pass") {
+    val out = run("ml_feature_scaler_fit").collect()
+    assert(out.length == 8)
+    val vecs = Tables.embeddings(spark, sf).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    out.foreach { r =>
+      val d = r.getInt(0)
+      val xs = vecs.map(_(d))
+      assert(r.getLong(1) == xs.length)
+      val xi = xs.map(x => math.round(x.toDouble * 1048576))
+      val (s, q) = (xi.sum, xi.map(v => v * v).sum)
+      val n = xs.length.toLong
+      val mean = BigDecimal(s.toDouble / (n * 1048576.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - mean) < 1e-9, s"dim $d mean")
+      val std = BigDecimal(math.sqrt((n.toDouble * q - s.toDouble * s) /
+        (n.toDouble * (n - 1) * 1048576.0 * 1048576.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - std) < 1e-6, s"dim $d std")
+      assert(r.getDouble(2) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(3),
+        "min <= mean <= max")
+    }
+  }
+
+  test("M92 license filter: shares and counts conserve, policy flags consistent") {
+    val out = run("pipeline_license_filter").collect()
+    assert(out.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    val bp = out.map(_.getLong(3)).sum
+    assert(bp <= 10000 && bp >= 10000 - out.length, "floor-rounded shares sum to ~100%")
+    val allowed = out.filter(_.getInt(4) == 1).map(_.getString(0)).toSet
+    assert(allowed == Set("cc-by", "cc-by-sa", "cc0"))
+    assert(out.forall(r => r.getInt(5) == 0 || r.getInt(4) == 1),
+      "attribution is only required on allowed licenses")
+  }
+
   test("N9 profile drift: metric pairs reconcile with a direct recount") {
     val out = run("dq_profile_drift").collect()
     assert(out.length == 13, "13 (column, metric) rows")
