@@ -489,6 +489,40 @@ object DataQuality {
           + lit(0.0)).as("welch_df"))
   }
 
+  /** N14 dq_incident_islands — anomaly PERSISTENCE: consecutive
+    * high-volume days collapse into incidents (gaps-and-islands over the
+    * flagged daily series), reported as (type, start, end, duration,
+    * peak) — what an alerting pipeline pages on instead of day-by-day
+    * flag spam. The flag is exact integer math (day is high when
+    * 10·x·n_days > 11·Σx, i.e. count > 1.1× the type's mean — a
+    * cross-multiplied compare, no division; 1.1× because the synthetic
+    * daily series flattens toward its mean as SF grows), and the
+    * island key is the
+    * classic rn-difference, also exact. Windows run over the bounded
+    * per-type daily series (L21 precedent); the day collapse is the only
+    * corpus-sized aggregate.
+    */
+  def dqIncidentIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val flagged = daily.join(broadcast(tot), Seq("event_type"))
+      .where(lit(10L) * col("x") * col("nd") > lit(11L) * col("sx"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", expr("date_sub(day, rn)"))
+    flagged.groupBy(col("event_type"), col("grp"))
+      .agg(min(col("day")).cast("string").as("start_day"),
+        max(col("day")).cast("string").as("end_day"),
+        count(lit(1)).as("n_days"), max(col("x")).as("peak_count"))
+      .select(col("event_type"), col("start_day"), col("end_day"),
+        col("n_days"), col("peak_count"))
+      .orderBy(col("event_type"), col("start_day"))
+  }
+
   /** N11 dq_outlier_tukey — Tukey-fence volume screen: per event type,
     * the quartiles of the daily-count series set fences at Q1−1.5·IQR /
     * Q3+1.5·IQR and days outside them are flagged — the boxplot rule, the

@@ -3286,6 +3286,20 @@ object OracleSql {
         |CASE WHEN license IN ('cc-by', 'cc-by-sa') THEN 1 ELSE 0 END AS needs_attribution
         |FROM d, t GROUP BY license ORDER BY license""".stripMargin.replace("\n", " "),
 
+    "dq_incident_islands" ->
+      (EV +
+        """, daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT event_type, COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS sx FROM daily GROUP BY 1),
+        |f AS (SELECT d.event_type, d.day, d.x,
+        |ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+        |FROM daily d JOIN tot t USING (event_type) WHERE 10 * d.x * t.nd > 11 * t.sx),
+        |g AS (SELECT *, day - CAST(rn AS INT) AS grp FROM f)
+        |SELECT event_type, CAST(MIN(day) AS VARCHAR) AS start_day,
+        |CAST(MAX(day) AS VARCHAR) AS end_day, COUNT(*) AS n_days,
+        |CAST(MAX(x) AS BIGINT) AS peak_count
+        |FROM g GROUP BY event_type, grp ORDER BY event_type, start_day"""
+          .stripMargin.replace("\n", " ")),
+
     "ml_feature_hash" ->
       """SELECT doc_id,
         |CAST((ascii(substring(md5(w), 1, 1)) - CASE WHEN ascii(substring(md5(w), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 4

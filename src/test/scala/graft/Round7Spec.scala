@@ -759,6 +759,36 @@ class Round7Spec extends SparkSpec {
       "attribution is only required on allowed licenses")
   }
 
+  test("N14 incident islands: maximal runs of flagged days, nothing merged or split") {
+    val out = run("dq_incident_islands").collect()
+    assert(out.nonEmpty, "the 1.1x-mean flag fires at every fixture size")
+    // independent recount: flag days driver-side, then check each
+    // incident is a maximal consecutive run
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .groupBy(_.getString(0))
+    out.groupBy(_.getString(0)).foreach { case (et, incidents) =>
+      val series = daily(et).map(r => (r.getDate(1).toLocalDate, r.getLong(2)))
+      val n = series.length.toLong; val s = series.map(_._2).sum
+      val flagged = series.filter { case (_, x) => 10 * x * n > 11 * s }
+        .map(_._1).sortBy(_.toEpochDay)
+      assert(incidents.map(_.getLong(3)).sum == flagged.length,
+        s"$et: incident days partition the flagged days")
+      incidents.foreach { inc =>
+        val a = java.time.LocalDate.parse(inc.getString(1))
+        val b = java.time.LocalDate.parse(inc.getString(2))
+        assert(b.toEpochDay - a.toEpochDay + 1 == inc.getLong(3),
+          "duration equals the day span (no gaps inside an island)")
+        assert(!flagged.contains(a.minusDays(1)) && !flagged.contains(b.plusDays(1)),
+          "islands are maximal")
+        assert((a.toEpochDay to b.toEpochDay)
+          .forall(d => flagged.contains(java.time.LocalDate.ofEpochDay(d))),
+          "every day inside an island is flagged")
+      }
+    }
+  }
+
   test("N9 profile drift: metric pairs reconcile with a direct recount") {
     val out = run("dq_profile_drift").collect()
     assert(out.length == 13, "13 (column, metric) rows")
