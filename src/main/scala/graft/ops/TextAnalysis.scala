@@ -929,6 +929,36 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("pair"))
       .limit(20)
 
+  /** M93 pipeline_version_hash — content-addressable dataset versioning:
+    * every (doc_id, text) pair contributes a 32-bit word decoded from its
+    * md5 head (the M90 nibble arithmetic ×8), and the corpus version is
+    * the XOR of all words — ORDER-INDEPENDENT by construction, so the
+    * same logical corpus yields the same version under any partitioning,
+    * split count, engine, or shuffle plan. Per-source subversions compose
+    * the same way (XOR is the mergeable aggregate), and any single-row
+    * change flips the version with probability 1 − 2⁻³². This is the
+    * "did the input actually change" primitive that gates incremental
+    * rebuilds and pins training-data provenance.
+    *
+    * 100 TB: one scan, one keyed XOR aggregate (map-side combinable);
+    * the version of a union of shards is the XOR of shard versions —
+    * verifiable without re-reading data.
+    */
+  def versionHash(spark: SparkSession, sfDir: String): DataFrame = {
+    def nib(i: Int) =
+      s"(ascii(substring(h, $i, 1)) - IF(ascii(substring(h, $i, 1)) >= 97, 87, 48))"
+    val wordExpr = (1 to 8)
+      .map(i => s"${nib(i)} * ${1L << ((8 - i) * 4)}L").mkString(" + ")
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))))
+      .select(col("source"), expr(s"CAST($wordExpr AS BIGINT)").as("w"))
+    val perSource = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(w)").as("version"))
+    val all = d.agg(count(lit(1)).as("n_docs"), expr("bit_xor(w)").as("version"))
+      .select(lit("ALL").as("source"), col("n_docs"), col("version"))
+    perSource.unionByName(all).orderBy(col("source"))
+  }
+
   /** M92 pipeline_license_filter — license-compliance gating, the legal
     * cut every training corpus makes before anything else: per-document
     * license tags (synthesized as a pure key function — the M28 pattern;

@@ -3286,6 +3286,21 @@ object OracleSql {
         |CASE WHEN license IN ('cc-by', 'cc-by-sa') THEN 1 ELSE 0 END AS needs_attribution
         |FROM d, t GROUP BY license ORDER BY license""".stripMargin.replace("\n", " "),
 
+    // per-doc 32-bit digest word (M90 nibble arithmetic ×8), XOR-merged —
+    // order-independent, so both engines agree regardless of plan
+    "pipeline_version_hash" -> {
+      def nib(i: Int) =
+        s"(ascii(substring(h, $i, 1)) - CASE WHEN ascii(substring(h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+      val wordExpr = (1 to 8)
+        .map(i => s"CAST(${nib(i)} AS BIGINT) * ${1L << ((8 - i) * 4)}").mkString(" + ")
+      s"""WITH d AS (SELECT source, CAST($wordExpr AS BIGINT) AS w FROM
+      (SELECT source, md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h FROM documents))
+      SELECT source, n_docs, version FROM (
+      SELECT source, COUNT(*) AS n_docs, bit_xor(w) AS version FROM d GROUP BY source
+      UNION ALL SELECT 'ALL', COUNT(*), bit_xor(w) FROM d)
+      ORDER BY source""".replaceAll("\\s+", " ")
+    },
+
     "dq_incident_islands" ->
       (EV +
         """, daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x FROM ev GROUP BY 1, 2),

@@ -789,6 +789,24 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("M93 version hash: XOR composes across sources and ignores partitioning") {
+    val out = run("pipeline_version_hash").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val all = out("ALL")
+    val parts = out - "ALL"
+    assert(parts.values.map(_._1).sum == all._1, "doc counts compose")
+    assert(parts.values.map(_._2).reduce(_ ^ _) == all._2,
+      "the corpus version is the XOR of the per-source versions")
+    // partitioning invariance: the same corpus through a different
+    // physical layout yields the identical version
+    val reshuffled = Tables.documents(spark, sf).repartition(13, col("text"))
+    reshuffled.createOrReplaceTempView("graft_vh_tmp")
+    val v2 = run("pipeline_version_hash").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(v2 == out.view.mapValues(_._2).toMap,
+      "version is independent of partitioning and evaluation order")
+  }
+
   test("N9 profile drift: metric pairs reconcile with a direct recount") {
     val out = run("dq_profile_drift").collect()
     assert(out.length == 13, "13 (column, metric) rows")
