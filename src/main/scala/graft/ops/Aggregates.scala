@@ -462,9 +462,12 @@ object Aggregates {
     val perH = x.groupBy(col("hod"))
       .agg(count(lit(1)).as("m"), sum(col("x")).as("sh"),
         sum(col("x") * col("x")).as("qh"))
+    // single-row by construction (agg, not groupBy(m)): if the trimmed
+    // spine ever yields unequal per-hod sample counts the contract row
+    // still stays 1×1 — MAX(m) mirrors the oracle's sw CTE exactly
     val ssw = perH
       .select(col("m"), (col("m") * col("qh") - col("sh") * col("sh")).as("w"))
-      .groupBy(col("m")).agg(sum(col("w")).as("ssw_m"))
+      .agg(max(col("m")).as("m"), sum(col("w")).as("ssw_m"))
     val peak = perH
       .select(max(struct(col("sh"), (lit(23) - col("hod")).as("inv"))).as("p"),
         max(col("m")).as("m2"))

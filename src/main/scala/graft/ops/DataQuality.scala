@@ -436,9 +436,20 @@ object DataQuality {
     * MERGE-keyed pipeline would not.
     */
   def dqPkUniqueness(spark: SparkSession, sfDir: String): DataFrame = {
+    // composite keys count distinct over a canonical concatenated key with
+    // explicit NULL handling (ADVICE r7): Spark's multi-column
+    // countDistinct drops rows where ANY key column is NULL while SQL
+    // row-value DISTINCT counts the tuple, so both engines are pinned to
+    // the same canonical string — a NULL component becomes the sentinel
+    // '<null>' and still counts as a key value (a duplicated
+    // NULL-component tuple is a duplicate, exactly what a MERGE would see)
+    def canonicalKey(pk: Seq[String]) =
+      pk.map(c => coalesce(col(c).cast("string"), lit("<null>")))
+        .reduce((a, b) => concat(a, lit("|"), b))
     def audit(df: DataFrame, table: String, pk: Seq[String]): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
-        countDistinct(col(pk.head), pk.tail.map(col): _*).as("n_distinct_pk"))
+        countDistinct(if (pk.size == 1) col(pk.head) else canonicalKey(pk))
+          .as("n_distinct_pk"))
         .select(lit(table).as("table_name"), col("n_rows"), col("n_distinct_pk"),
           (col("n_rows") - col("n_distinct_pk")).as("n_dup_rows"),
           when(col("n_rows") =!= col("n_distinct_pk"), 1).otherwise(0).as("violated"))

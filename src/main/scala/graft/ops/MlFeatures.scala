@@ -42,9 +42,11 @@ object MlFeatures {
   }
 
   /** M90 ml_feature_hash — the hashing trick: words map to a fixed 64-slot
-    * feature space through the first six md5 bits (two hex nibbles decoded
-    * with plain ASCII arithmetic — `ascii(c) − (c ≥ 'a' ? 87 : 48)` — so
-    * the slot is UNIFORM over 0..63 and identical on any engine), giving
+    * feature space from the first hex nibble and the LOW two bits of the
+    * second nibble of md5 (`nib1 * 4 + nib2 % 4` — 6 uniform md5 bits,
+    * though not the leading six; nibbles decoded with plain ASCII
+    * arithmetic — `ascii(c) − (c ≥ 'a' ? 87 : 48)` — identical on any
+    * engine), giving
     * every document a sparse bag-of-words vector with NO vocabulary
     * build — the constant-memory featurizer for streaming/incremental
     * training where a fitted vocabulary would go stale. Output: the

@@ -944,14 +944,24 @@ object TextAnalysis {
     * the version of a union of shards is the XOR of shard versions —
     * verifiable without re-reading data.
     */
-  def versionHash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-row version words for [[versionHash]], factored over an ARBITRARY
+    * (doc_id, text, source) input so the partitioning-invariance property
+    * is testable against a reshuffled physical layout of the same corpus
+    * (ADVICE r7: the invariance spec must route its repartitioned input
+    * through the actual arithmetic, not re-read the table).
+    */
+  private[graft] def versionWords(docs: DataFrame): DataFrame = {
     def nib(i: Int) =
       s"(ascii(substring(h, $i, 1)) - IF(ascii(substring(h, $i, 1)) >= 97, 87, 48))"
     val wordExpr = (1 to 8)
       .map(i => s"${nib(i)} * ${1L << ((8 - i) * 4)}L").mkString(" + ")
-    val d = Tables.documents(spark, sfDir)
+    docs
       .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))))
       .select(col("source"), expr(s"CAST($wordExpr AS BIGINT)").as("w"))
+  }
+
+  def versionHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = versionWords(Tables.documents(spark, sfDir))
     val perSource = d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), expr("bit_xor(w)").as("version"))
     val all = d.agg(count(lit(1)).as("n_docs"), expr("bit_xor(w)").as("version"))

@@ -3129,7 +3129,7 @@ object OracleSql {
         |UNION ALL SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey) FROM customer
         |UNION ALL SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey) FROM part
         |UNION ALL SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey) FROM supplier
-        |UNION ALL SELECT 'lineitem', COUNT(*), COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        |UNION ALL SELECT 'lineitem', COUNT(*), COUNT(DISTINCT COALESCE(CAST(l_orderkey AS VARCHAR), '<null>') || '|' || COALESCE(CAST(l_linenumber AS VARCHAR), '<null>')) FROM lineitem
         |UNION ALL SELECT 'events', COUNT(*), COUNT(DISTINCT event_id) FROM events
         |UNION ALL SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id) FROM documents
         |UNION ALL SELECT 'embeddings', COUNT(*), COUNT(DISTINCT vec_id) FROM embeddings)

@@ -797,13 +797,17 @@ class Round7Spec extends SparkSpec {
     assert(parts.values.map(_._1).sum == all._1, "doc counts compose")
     assert(parts.values.map(_._2).reduce(_ ^ _) == all._2,
       "the corpus version is the XOR of the per-source versions")
-    // partitioning invariance: the same corpus through a different
-    // physical layout yields the identical version
-    val reshuffled = Tables.documents(spark, sf).repartition(13, col("text"))
-    reshuffled.createOrReplaceTempView("graft_vh_tmp")
-    val v2 = run("pipeline_version_hash").collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(v2 == out.view.mapValues(_._2).toMap,
+    // partitioning invariance: the SAME corpus pushed through a hostile
+    // physical layout (13 text-hash partitions, descending within each)
+    // and the actual version arithmetic yields the identical version
+    val reshuffled = Tables.documents(spark, sf)
+      .repartition(13, col("text"))
+      .sortWithinPartitions(desc("text"))
+    val v2 = graft.ops.TextAnalysis.versionWords(reshuffled)
+      .groupBy(col("source"))
+      .agg(expr("bit_xor(w)").as("version"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 == parts.view.mapValues(_._2).toMap,
       "version is independent of partitioning and evaluation order")
   }
 
