@@ -519,14 +519,26 @@ object Dedup {
     * consult only their bucket's filter; an incoming fingerprint in a
     * bucket with no standing rows is definitionally new.
     *
-    * Local-mode stand-in: the 16 built filters are collected (bounded —
-    * 16 rows, the per-round-fixpoint-signature precedent) and broadcast
-    * as a bucket-keyed map; on a cluster the filter relation would stay
-    * distributed and the probe would be a bucket-keyed join. Tier-2 exact
-    * confirm and the report are identical to M57 — the counts are
-    * bloom-independent, so the oracle is the same arithmetic SQL.
+    * The probe is DISTRIBUTED end to end (VERDICT r7 #1): the filter
+    * relation never reaches the driver — probes shuffle by `bucket` and
+    * join their bucket's filter bytes (shuffle-hash join, broadcast
+    * explicitly disallowed so the shape is the one that survives filters
+    * too big for any single machine), and `might_contain` is evaluated
+    * per row against a per-task deserialization cache ([[BucketBloomProbe]]
+    * — each task inflates each distinct filter it sees exactly once).
+    * Tier-2 exact confirm and the report are identical to M57 — the
+    * counts are bloom-independent, so the oracle is the same arithmetic
+    * SQL.
     */
-  def bloomPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The tier-1 probe pipeline of [[bloomPartitioned]], factored so the
+    * PlanSpec scale gate can assert on EXACTLY the probe sub-plan: returns
+    * (incoming, existing, candidates) where `candidates` is the
+    * bucket-keyed shuffle join of probes against the distributed filter
+    * relation — by construction it contains no broadcast and no driver
+    * collect of any filter.
+    */
+  private[graft] def bloomPartitionedProbe(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.BloomSketch.register(spark)
     val fpCol = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).cast("binary"))
     val docs = Tables.documents(spark, sfDir)
@@ -539,16 +551,20 @@ object Dedup {
       .withColumn("bucket", pmod(xxhash64(col("fp")), lit(nBuckets)))
       .groupBy(col("bucket"))
       .agg(expr(s"graft_bloom(fp, ${perBucket}L, 0.01D)").as("bf"))
-    val bloomByBucket = filters.collect().map { r =>
-      r.getLong(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-    }.toMap
-    val bc = spark.sparkContext.broadcast(bloomByBucket)
-    val probeFn =
-      udf((b: Long, s: String) => s != null && bc.value.get(b).exists(_.mightContainString(s)))
+    val probeFn = udf(new BucketBloomProbe())
     val candidates = incoming
       .withColumn("bucket", pmod(xxhash64(col("fp")), lit(nBuckets)))
-      .where(probeFn(col("bucket"), col("fp")))
+      // inner bucket join: a probe whose bucket has no standing filter is
+      // definitionally new (and a null fingerprint has a null bucket —
+      // never matches), so dropping it from the candidate set is exact
+      .join(filters.hint("shuffle_hash"), Seq("bucket"))
+      .where(probeFn(col("bucket"), col("bf"), col("fp")))
+      .select(col("doc_id"), col("fp"))
+    (incoming, existing, candidates)
+  }
+
+  def bloomPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val (incoming, existing, candidates) = bloomPartitionedProbe(spark, sfDir)
     val confirmed = candidates
       .join(existing.distinct(), Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(1L).as("is_dup"))
@@ -561,6 +577,27 @@ object Dedup {
         (round(col("n_dup").cast("double") / col("n_incoming").cast("double"), 6)
           + lit(0.0)).as("dup_frac"))
       .orderBy(col("source"))
+  }
+
+  /** Per-task bloom-probe kernel for [[bloomPartitioned]]: `might_contain`
+    * over the bucket-joined filter BYTES. Tasks deserialize each distinct
+    * bucket's filter exactly once — the cache is an instance field, and
+    * Spark deserializes a fresh closure instance per task, so the
+    * bucket-keyed entries can never leak across queries or stale builds;
+    * within a task every row of a bucket after the shuffle-hash join hits
+    * the same inflated filter. Null fingerprint or absent filter ⇒ false
+    * (a null can never match the standing corpus; no-filter buckets are
+    * new by definition).
+    */
+  private[graft] class BucketBloomProbe
+      extends ((Long, Array[Byte], String) => Boolean) with Serializable {
+    @transient private lazy val cache =
+      scala.collection.mutable.HashMap.empty[Long, org.apache.spark.util.sketch.BloomFilter]
+    override def apply(bucket: Long, bf: Array[Byte], s: String): Boolean =
+      s != null && bf != null &&
+        cache.getOrElseUpdate(bucket,
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bf))).mightContainString(s)
   }
 
   /** M71 dedup_band_tuning_sweep — the banding-config decision table: the

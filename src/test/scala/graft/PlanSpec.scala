@@ -536,6 +536,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("M72: partitioned-bloom probe is a bucket-keyed shuffle join, filter relation never broadcast/collected") {
+    // VERDICT r7 #1: the probe shape that survives a 100 TB standing
+    // corpus — probes shuffle by bucket and meet their bucket's filter
+    // bytes in a shuffle-hash join; no filter ever reaches the driver or
+    // a broadcast. Asserted on exactly the probe sub-plan.
+    val (_, _, candidates) = graft.ops.Dedup.bloomPartitionedProbe(spark, sf)
+    candidates.collect()
+    val plan = candidates.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin [bucket"),
+      s"probe must be a bucket-keyed shuffle-hash join:\n$plan")
+    assert(plan.contains("graft_bloom"),
+      s"the distributed filter build (graft_bloom agg) must feed the join:\n$plan")
+    assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+      s"the filter relation must stay distributed — no broadcast anywhere in the probe:\n$plan")
+  }
+
   test("A4: partitioned parquet write round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_write").toString
     Tables.orders(spark, sf)
