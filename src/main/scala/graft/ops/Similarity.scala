@@ -624,38 +624,84 @@ object Similarity {
   }
 
   /** The PQ index-build shared by vec_pq_adc_topk / vec_pq_error: 4
-    * subspaces of 16 dims, a 16-entry codebook per subspace sampled from
-    * the first 16 vectors (sampled codebooks are the standard cheap PQ
-    * bootstrap; a Lloyd refinement would slot in front unchanged). Returns
-    * (codebook, codes): `codebook` = (s, c, cb double[16]); `codes` =
-    * per-vector (vec_id, s, code, qerr) — argmin squared-L2 over the 16
-    * codes with an asc-code tiebreak. The distance is a sequential fold
-    * over the 16-dim diff vector (dv·dv), IEEE-identical to DuckDB's
+    * subspaces of 16 dims, a 16-entry codebook per subspace TRAINED with
+    * one Lloyd round (VERDICT r7 #3) — init from the first 16 vectors
+    * (the standard cheap bootstrap, kept as [[pqIndexSampled]] for the
+    * quality spec), assign the whole corpus to its argmin code, then
+    * recompute each code as the mean of its assigned subvectors through
+    * the 2^20 fixed-point protocol (exact LONG component sums →
+    * order-independent, round 6 dp — the J17/J18 centroid discipline), a
+    * dead code keeping its init entry. Returns (codebook, codes):
+    * `codebook` = (s, c, cb double[16]); `codes` = per-vector (vec_id, s,
+    * code, qerr, sv) — argmin squared-L2 over the 16 trained codes with
+    * an asc-code tiebreak. The distance is a sequential fold over the
+    * 16-dim diff vector (dv·dv), IEEE-identical to DuckDB's
     * list_dot_product(dv, dv), so the argmin needs no rounding guard.
     *
-    * 100 TB: the codebook is 64 rows — broadcast; encode is one corpus
-    * scan fanned ×64 into a (vec_id, s)-keyed argmin aggregate (min on a
-    * (d2, c) struct — partial-aggregable, no window). The encoded corpus
+    * 100 TB: the codebook is 64 rows — broadcast; each encode pass is one
+    * corpus scan fanned ×64 into a (vec_id, s)-keyed argmin aggregate
+    * (min on a (d2, c) struct — partial-aggregable, no window); the
+    * M-step is one keyed aggregate over the assignment (the k-means
+    * shape). Training costs exactly one extra encode+aggregate pass —
+    * build-once, amortized over every serving query. The encoded corpus
     * (4 bytes/vector here, 1/64 of the raw floats) is the artifact a PQ
     * deployment persists and serves from.
     */
   private[graft] def pqIndex(e: DataFrame): (DataFrame, DataFrame) = {
-    val sub = e.crossJoin(
+    val sub = pqSubvectors(e)
+    val cb0 = pqSampledCodebook(sub)
+    val codes0 = pqEncode(sub, cb0)
+    // Lloyd M-step: per (s, code, dim) exact fixed-point mean of the
+    // assigned subvectors; collect back into the 16-dim centroid array
+    val trained = codes0
+      .select(col("s"), col("code").as("c"), posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy(col("s"), col("c"), col("dim"))
+      .agg(round(sum(expr("CAST(round(v * 1048576) AS BIGINT)")).cast("double") /
+        (count(lit(1)) * lit(1048576.0)), 6).as("cc"))
+      .groupBy(col("s"), col("c"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cc))), x -> x.cc)").as("cbt"))
+    val codebook = cb0.join(trained, Seq("s", "c"), "left")
+      .select(col("s"), col("c"), coalesce(col("cbt"), col("cb")).as("cb"))
+      .localCheckpoint(true)
+    (codebook, pqEncode(sub, codebook))
+  }
+
+  /** The untrained (first-16-sampled) PQ index — the bootstrap [[pqIndex]]
+    * now trains past; kept so the quality spec can assert the Lloyd round
+    * strictly reduces mean quantization error.
+    */
+  private[graft] def pqIndexSampled(e: DataFrame): (DataFrame, DataFrame) = {
+    val sub = pqSubvectors(e)
+    val cb0 = pqSampledCodebook(sub)
+    (cb0, pqEncode(sub, cb0))
+  }
+
+  /** Corpus → (vec_id, s, sv): the 4 16-dim double subvectors per vector. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.crossJoin(
       broadcast(e.sparkSession.range(4).select(col("id").cast("int").as("s"))))
       .select(col("vec_id"), col("s"),
         expr("transform(slice(embedding, s * 16 + 1, 16), x -> CAST(x AS DOUBLE))").as("sv"))
-    val codebook = sub.where(col("vec_id") < 16)
+
+  private def pqSampledCodebook(sub: DataFrame): DataFrame =
+    sub.where(col("vec_id") < 16)
       .select(col("s"), col("vec_id").cast("int").as("c"), col("sv").as("cb"))
       .localCheckpoint(true)
-    val codes = sub.join(broadcast(codebook), Seq("s"))
+
+  /** Encode every subvector against a 64-row broadcast codebook: argmin
+    * squared-L2, asc-code tiebreak; carries sv through (pruned by Catalyst
+    * when a consumer doesn't read it) so the M-step needs no second
+    * corpus join.
+    */
+  private def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("s"))
       .withColumn("dv", expr("zip_with(sv, cb, (x, y) -> x - y)"))
       .withColumn("d2", expr(
         "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
       .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d2"), col("c"))).as("m"))
-      .select(col("vec_id"), col("s"), col("m.c").as("code"), col("m.d2").as("qerr"))
-    (codebook, codes)
-  }
+      .agg(min(struct(col("d2"), col("c"))).as("m"), first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("s"), col("m.c").as("code"), col("m.d2").as("qerr"),
+        col("sv"))
 
   /** J21 vec_pq_adc_topk — product-quantization ADC search, the serving
     * half of the IVF-PQ architecture every 100 TB vector deployment runs:

@@ -2841,7 +2841,7 @@ object OracleSql {
     // with itself — the same sequential fold Spark's aggregate runs)
     "vec_pq_adc_topk" ->
       (pqChain +
-        """, lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc0 WHERE vec_id < 8),
+        """, lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc WHERE vec_id < 8),
         |adcp AS (SELECT l.a_id, k.vec_id AS b_id, k.s, l.d2
         |FROM codes k JOIN lut l ON l.s = k.s AND l.c = k.code),
         |adc AS (SELECT a_id, b_id,
@@ -2965,7 +2965,7 @@ object OracleSql {
         |cr AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM cdots),
         |asg AS (SELECT vec_id AS b_id, cell FROM cr WHERE crn = 1),
         |prb AS (SELECT vec_id AS a_id, cell FROM cr WHERE crn <= 2 AND vec_id < 8),
-        |lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc0 WHERE vec_id < 8),
+        |lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc WHERE vec_id < 8),
         |cand AS (SELECT p.a_id, a.b_id FROM prb p JOIN asg a ON a.cell = p.cell AND a.b_id <> p.a_id),
         |adcp AS (SELECT c.a_id, c.b_id, k.s, l.d2 FROM cand c
         |JOIN codes k ON k.vec_id = c.b_id JOIN lut l ON l.a_id = c.a_id AND l.s = k.s AND l.c = k.code),
@@ -2979,7 +2979,7 @@ object OracleSql {
 
     "vec_pq_rerank" ->
       (pqChain +
-        """, lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc0 WHERE vec_id < 8),
+        """, lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc WHERE vec_id < 8),
         |adcp AS (SELECT l.a_id, k.vec_id AS b_id, k.s, l.d2
         |FROM codes k JOIN lut l ON l.s = k.s AND l.c = k.code),
         |adc AS (SELECT a_id, b_id,
@@ -3361,19 +3361,34 @@ object OracleSql {
       |FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id)"""
       .stripMargin.replace("\n", " ")
 
-  /** The PQ index-build CTE chain shared by vec_pq_adc_topk / vec_pq_error,
-    * mirroring Similarity.pqIndex: 4×16-dim subspaces, 16-entry sampled
-    * codebooks (vec_id < 16), argmin squared-L2 with asc-code tiebreak.
+  /** The PQ index-build CTE chain shared by vec_pq_adc_topk / vec_pq_error
+    * / vec_pq_rerank / ann_ivf_pq_topk / dedup_pq_codes, mirroring
+    * Similarity.pqIndex: 4×16-dim subspaces, 16-entry codebooks TRAINED
+    * with one Lloyd round from the first-16-sampled init — corpus argmin
+    * assignment against cb0, per-(s, code, dim) 2^20 fixed-point mean
+    * (round 6 dp), dead codes keeping their init entry — then the final
+    * argmin encode against the trained codebook, asc-code tiebreak.
     */
   private def pqChain: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
       |ss AS (SELECT unnest([0, 1, 2, 3]) AS s),
       |sub AS (SELECT vec_id, s, list_transform(range(1, 17), i -> emb[CAST(s * 16 + i AS INT)]) AS sv FROM e, ss),
-      |cb AS (SELECT s, CAST(vec_id AS INT) AS c, sv AS cbv FROM sub WHERE vec_id < 16),
+      |cb0 AS (SELECT s, CAST(vec_id AS INT) AS c, sv AS cbv FROM sub WHERE vec_id < 16),
       |enc0 AS (SELECT vec_id, s, c, list_dot_product(dv, dv) AS d2 FROM (
+      |SELECT v.vec_id, v.s, cb0.c, list_transform(range(1, 17), i -> v.sv[CAST(i AS INT)] - cb0.cbv[CAST(i AS INT)]) AS dv
+      |FROM sub v JOIN cb0 ON cb0.s = v.s)),
+      |codes0 AS (SELECT vec_id, s, c AS code FROM (
+      |SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn0 FROM enc0) WHERE rn0 = 1),
+      |tm AS (SELECT k.s, k.code AS c, t.i AS dim,
+      |round(CAST(SUM(CAST(round(v.sv[CAST(t.i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS cc
+      |FROM codes0 k JOIN sub v ON v.vec_id = k.vec_id AND v.s = k.s, range(1, 17) t(i)
+      |GROUP BY k.s, k.code, t.i),
+      |cbt AS (SELECT s, c, list(cc ORDER BY dim) AS cbv FROM tm GROUP BY s, c),
+      |cb AS (SELECT cb0.s, cb0.c, COALESCE(cbt.cbv, cb0.cbv) AS cbv FROM cb0 LEFT JOIN cbt ON cbt.s = cb0.s AND cbt.c = cb0.c),
+      |enc AS (SELECT vec_id, s, c, list_dot_product(dv, dv) AS d2 FROM (
       |SELECT v.vec_id, v.s, cb.c, list_transform(range(1, 17), i -> v.sv[CAST(i AS INT)] - cb.cbv[CAST(i AS INT)]) AS dv
       |FROM sub v JOIN cb ON cb.s = v.s)),
       |codes AS (SELECT vec_id, s, c AS code, d2 AS qerr FROM (
-      |SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn0 FROM enc0) WHERE rn0 = 1)"""
+      |SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn1 FROM enc) WHERE rn1 = 1)"""
       .stripMargin.replace("\n", " ")
 }

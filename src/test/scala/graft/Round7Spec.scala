@@ -273,7 +273,7 @@ class Round7Spec extends SparkSpec {
 
   // ── batch 4: PQ/ADC, label propagation, compaction, sniffing, URL dedup ──
 
-  test("J21/J22 PQ: codebook members self-encode with zero error, codes stay in range") {
+  test("J21/J22 PQ: trained codes stay in range; the Lloyd round strictly reduces mean qerr") {
     val e = Tables.embeddings(spark, sf)
     val (_, codes) = graft.ops.Similarity.pqIndex(e)
     val c = codes.collect()
@@ -282,11 +282,19 @@ class Round7Spec extends SparkSpec {
     }, "every code indexes the 16-entry codebook")
     assert(codes.groupBy(col("vec_id")).count().collect().forall(_.getLong(1) == 4),
       "exactly 4 subspace codes per vector")
-    // a codebook member's nearest code is itself, at exactly zero residual
-    val self = c.filter(_.getLong(0) < 16)
-    assert(self.nonEmpty && self.forall(r => r.getInt(2) == r.getLong(0).toInt
-      && r.getDouble(3) == 0.0),
-      "sampled codebook vectors must quantize to themselves with qerr 0")
+    // VERDICT r7 #3 'done' criterion: per subspace, the trained codebook's
+    // mean squared residual is STRICTLY below the first-16-sampled
+    // bootstrap's (one Lloyd M-step weakly decreases within-cluster SS;
+    // on real spread the drop is strict in every subspace)
+    def meanBySubspace(codes: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+      codes.groupBy(col("s")).agg(avg(col("qerr")).as("mq"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val trained = meanBySubspace(codes)
+    val sampled = meanBySubspace(graft.ops.Similarity.pqIndexSampled(e)._2)
+    assert(trained.keySet == Set(0, 1, 2, 3) && sampled.keySet == Set(0, 1, 2, 3))
+    for (s <- 0 to 3)
+      assert(trained(s) < sampled(s),
+        s"subspace $s: trained mean qerr ${trained(s)} must drop strictly below sampled ${sampled(s)}")
   }
 
   test("J21 ADC: approximate distances agree with exact PQ reconstruction on top hits") {
