@@ -132,16 +132,30 @@ object Dedup {
     * Input and output are symmetric self-loop-free edge lists (a, b).
     * One groupBy(min) + one equi-join on the node key per round.
     */
+  /** One hash(a) exchange + edge dedup riding it: dropDuplicates(a, b)
+    * needs only ClusteredDistribution(a, b), which HashPartitioning(a)
+    * satisfies (equal (a, b) rows share a), so the dedup adds NO exchange
+    * of its own. Used at loop init and at each round's end — inside a
+    * round the star steps tolerate duplicate edges (min-aggregates are
+    * idempotent, the join fan-out is linear in the dup factor), so one
+    * dedup per round is enough and each step pays exactly ONE exchange:
+    * its entry repartition, which the step's groupBy(a) AND equi-join on
+    * a then both reuse (VERDICT r7 #6 — the un-pinned form planned ~3
+    * exchanges per step plus a full-width distinct).
+    */
+  private def byA(e: DataFrame): DataFrame =
+    e.repartition(col("a")).dropDuplicates("a", "b")
+
   private def largeStar(e: DataFrame): DataFrame = {
-    val m = e.groupBy(col("a")).agg(min(col("b")).as("mb"))
+    val pre = e.repartition(col("a"))
+    val m = pre.groupBy(col("a")).agg(min(col("b")).as("mb"))
       .select(col("a"), least(col("a"), col("mb")).as("m"))
-    val out = e.where(col("b") > col("a"))
+    val out = pre.where(col("b") > col("a"))
       .join(m, "a")
       .select(col("b").as("x"), col("m").as("y"))
       .where(col("x") =!= col("y"))
     out.select(col("x").as("a"), col("y").as("b"))
       .unionAll(out.select(col("y").as("a"), col("x").as("b")))
-      .distinct()
   }
 
   /** One small-star round: each node u takes its smaller-or-equal
@@ -150,7 +164,7 @@ object Dedup {
     * shape as largeStar.
     */
   private def smallStar(e: DataFrame): DataFrame = {
-    val canon = e.where(col("b") < col("a"))
+    val canon = e.repartition(col("a")).where(col("b") < col("a"))
     val m = canon.groupBy(col("a")).agg(min(col("b")).as("m"))
     val out = canon.join(m, "a")
       .select(col("b").as("x"), col("m").as("y"))
@@ -158,7 +172,6 @@ object Dedup {
       .where(col("x") =!= col("y"))
     out.select(col("x").as("a"), col("y").as("b"))
       .unionAll(out.select(col("y").as("a"), col("x").as("b")))
-      .distinct()
   }
 
   /** Alternating large-star/small-star to a fixed point. Round count is
@@ -168,10 +181,19 @@ object Dedup {
     * convergence the graph is a disjoint union of stars rooted at each
     * component's minimum node.
     *
-    * Fixpoint detection: one tiny aggregate per round — (edge count,
-    * bit_xor of xxhash64(a,b)) is an order-independent set signature; a
-    * collision between different edge sets is a ~2⁻⁶⁴ event, and a false
-    * "converged" would hash-fail the exact transitive-closure oracle.
+    * Fixpoint detection (VERDICT r7 #6): a DIRECT star-forest certificate
+    * after each round instead of comparing consecutive round signatures —
+    * the symmetric edge set is a min-rooted star forest iff no node with a
+    * smaller neighbor has two distinct neighbors (leaf rows have exactly
+    * {root}; root rows only larger neighbors), and a min-rooted star
+    * forest is exactly the fixpoint of smallStar∘largeStar (both steps
+    * are identities on it). The certificate is ONE aggregate over the
+    * round output riding its existing hash(a) layout, and it fires the
+    * round the graph becomes a star — the signature scheme needed one
+    * EXTRA full round just to observe that nothing changed. A false
+    * "converged" is impossible (the certificate is exact, not
+    * probabilistic), and the label extraction below assumes precisely the
+    * certified shape.
     *
     * @param pairs undirected edges, one row per pair (a_id, b_id)
     * @return (labels (doc_id, component), rounds run)
@@ -188,31 +210,33 @@ object Dedup {
     spark.conf.set(coalesceKey, "true")
     try {
       val p = pairs.select(col(pairs.columns(0)).as("a"), col(pairs.columns(1)).as("b"))
-      // localCheckpoint (eager) every round, NOT persist: one star round
+      // localCheckpoint every round, NOT persist: one star round
       // references its input several times (min-table join + two union
       // arms), so lineage nests ~6× per round — exponential plan growth
       // that stalls analysis after a handful of rounds. Truncating to the
       // materialized RDD keeps every round's plan constant-size; superseded
       // checkpoint blocks are released by the ContextCleaner once the
-      // previous round's DataFrame goes unreferenced.
-      var e = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
-        .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
-      // BIT_XOR not SUM: xor never overflows (ANSI mode makes an overflowing
-      // long sum throw) and is equally order-independent over a distinct set
-      def sig(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)),
-          coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      var prev = sig(e)
+      // previous round's DataFrame goes unreferenced. LAZY (eager=false,
+      // VERDICT r7 #6): the certificate aggregate right below is the
+      // round's only consumer, so materialization rides the certificate
+      // job — ONE job per round instead of checkpoint-then-check.
+      var e = byA(p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a") =!= col("b"))).localCheckpoint(false)
+      // exact star-forest certificate (see Scaladoc): any node holding a
+      // smaller neighbor AND a second distinct neighbor breaks the shape.
+      // Rides the byA hash(a) layout — no exchange of its own.
+      def isStarForest(df: DataFrame): Boolean =
+        df.groupBy(col("a")).agg(min(col("b")).as("mb"), max(col("b")).as("xb"))
+          .where(col("mb") < col("a") && col("mb") =!= col("xb"))
+          .isEmpty
       var rounds = 0
       var converged = false
       while (!converged && rounds < maxRounds) {
-        val next = smallStar(largeStar(e)).localCheckpoint(true)
-        val cur = sig(next)
+        // byA before checkpoint: rounds tolerate duplicate edges but the
+        // checkpointed working set must stay the distinct edge set
+        val next = byA(smallStar(largeStar(e))).localCheckpoint(false)
         e = next
-        converged = cur == prev
-        prev = cur
+        converged = isStarForest(next)
         rounds += 1
       }
       if (!converged)

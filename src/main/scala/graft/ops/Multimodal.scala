@@ -167,16 +167,19 @@ object Multimodal {
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("band", expr("shiftright(sig, k * 4) & 15"))
-    val cand = bands.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+    // Hamming cut BEFORE the pair distinct: bit_count is a narrow per-row
+    // op on the raw band-join output, so evaluating it first shrinks the
+    // distinct's shuffle to the surviving pairs (≤3-bit neighbors) instead
+    // of every band collision — same result set, one materially smaller
+    // exchange (the band join is where candidate volume peaks at scale).
+    bands.select(col("doc_id").as("a_id"), col("sig").as("sa"),
         col("k"), col("band"))
       .join(bands.select(col("doc_id").as("b_id"), col("sig").as("sb"),
         col("k"), col("band")), Seq("k", "band"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("sa"), col("sb")).distinct()
-    cand
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("int"))
       .where(col("hamming") <= 3)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+      .select(col("a_id"), col("b_id"), col("hamming")).distinct()
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
   }
 
