@@ -3,8 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Output protocol (VERDICT r1 #4: the round-1 single giant
   * line fell outside the driver's tail capture → `parsed: null`):
-  *   line 1: {"metric":"per_query","protocol":"warm2","queries":{...},
-  *            "cold":{...},"failures":{...}}
+  *   line 1: {"metric":"per_query","protocol":"warm-median3","queries":{...},
+  *            "cold":{...},"spread":{...},"failures":{...}}
+  *   `spread` (VERDICT r7 #7) = per query [min, max] of the warm runs —
+  *   the variance fence: when a cross-round comparison flags a query,
+  *   check its spread first; max/min ≳ 2 means the delta is one noisy
+  *   sample (this round's wk_q2 5.3 s driver artifact), not a regression.
   *   LAST  : compact {"metric":"total","value":N,"unit":"sec","sf":...}
   * plus the full JSON written to BENCH.json in the cwd. Query failures are
   * recorded by name with the error class (ADVICE r1: a crashing query must
@@ -59,7 +63,13 @@ object Bench {
         Seq.fill(warmRuns)(once()).flatten else Seq.empty
       val warm = if (warms.nonEmpty) Some(warms.sorted.apply(warms.size / 2))
         else None
-      (name, cold.getOrElse(0.0), warm.getOrElse(cold.getOrElse(0.0)))
+      // variance fence (VERDICT r7 #7): keep the warm spread per query so
+      // a single-sample outlier in a cross-round comparison self-diagnoses
+      // — read rule: trust `queries` (the median); if max/min > ~2 the
+      // query's round-over-round delta is noise until re-measured.
+      val spread =
+        if (warms.nonEmpty) (warms.min, warms.max) else (0.0, 0.0)
+      (name, cold.getOrElse(0.0), warm.getOrElse(cold.getOrElse(0.0)), spread)
     }
     // full JSON string escape: failure messages can carry newlines/tabs,
     // which would split the one-line record and break the driver's parse
@@ -72,14 +82,16 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val ok = results.filterNot { case (n, _, _) => failures.exists(_._1 == n) }
-    val qs = ok.map { case (k, _, w) => s"${jstr(k)}:$w" }.mkString("{", ",", "}")
-    val cs = ok.map { case (k, c, _) => s"${jstr(k)}:$c" }.mkString("{", ",", "}")
+    val ok = results.filterNot { case (n, _, _, _) => failures.exists(_._1 == n) }
+    val qs = ok.map { case (k, _, w, _) => s"${jstr(k)}:$w" }.mkString("{", ",", "}")
+    val cs = ok.map { case (k, c, _, _) => s"${jstr(k)}:$c" }.mkString("{", ",", "}")
+    val sp = ok.map { case (k, _, _, (lo, hi)) => s"${jstr(k)}:[$lo,$hi]" }
+      .mkString("{", ",", "}")
     val fs = failures.reverse.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._3).sum
     val perQuery =
-      s"""{"metric":"per_query","protocol":"warm-median3","queries":$qs,"cold":$cs,"failures":$fs}"""
+      s"""{"metric":"per_query","protocol":"warm-median3","queries":$qs,"cold":$cs,"spread":$sp,"failures":$fs}"""
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm-median3","n_queries":${ok.size},"n_failed":${failures.size},"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"),
