@@ -122,43 +122,56 @@ object Multimodal {
   }
 
   /** M59 mm_phash_hamming — banded-Hamming near-dup detection for binary
-    * media: a 16-bit block-level SimHash stands in for a perceptual hash
+    * media: a 60-bit block-level SimHash stands in for a perceptual hash
     * (the codec-free convention of this file — the SIGNATURE pipeline is
-    * real, only the decode is faked), computed from the md5 leading
-    * nibble of each 64-byte payload block (sign-sum per bit, the M22
-    * machinery at block rather than token granularity). Candidate pairs
-    * come ONLY from the 4×4-bit band join — two signatures within
-    * Hamming distance 3 must agree on at least one band (pigeonhole: 3
-    * flipped bits cannot touch all 4 bands), so banding is LOSSLESS at
-    * the threshold while pruning the cross join; the exact
-    * bit_count(xor) re-rank then keeps distance ≤ 3.
+    * real, only the decode is faked), computed from the md5 of each
+    * 64-byte payload block: hex positions 1..30 each contribute TWO
+    * sign-sum bits (nibble high bit / nibble low bit — the M22 machinery
+    * at block granularity, widened round 8). The width is the load-bearing
+    * scale decision: the previous 16-bit signature had a ~1% RANDOM
+    * collision rate at the near-dup threshold, so the pair graph grew
+    * quadratically with the corpus (the sf1 slope study measured
+    * mm_phash_clusters at 131 s — pure collision noise); at 60 bits a
+    * random pair lands within Hamming 10 with p ≈ 7e-8 and the pair list
+    * tracks the true near-dup count. Candidate pairs come from the
+    * 4×15-bit band join; banding is lossless for Hamming ≤ 3 (pigeonhole)
+    * and probabilistic recall above (standard LSH trade — at larger
+    * corpora you add bands, not bits per band); the exact bit_count(xor)
+    * re-rank keeps distance ≤ 10 (set where the fixture's TRUE near-dups
+    * sit: 5–9 bits apart across all SFs, while random text stays ≥ ~20).
     * Empty payloads carry no blocks and drop out before signing (the M48
     * guard). At 100 TB: per-band keyed shuffles, never all-pairs — the
     * media twin of the MinHash band join.
     */
-  /** The 16-bit block-SimHash signature stage of [[phashHamming]],
+  /** The 60-bit block-SimHash signature stage of [[phashHamming]],
     * factored out (ADVICE r6 #4) so specs can validate it INDEPENDENTLY
     * of the band join: Round7Spec recomputes signatures for a synthetic
     * corpus with driver-side MessageDigest md5 (no Spark SQL functions),
     * and Round6Spec's banding-lossless cross-check explicitly validates
     * only the banding step on top of this shared builder.
-    * Input needs (doc_id, text, n_chars); emits (doc_id, sig LONG).
+    * Input needs (doc_id, text, n_chars); emits (doc_id, sig LONG —
+    * bits 0..59, so the value is always non-negative).
     */
   private[graft] def phashSignatures(docs: DataFrame): DataFrame = {
     val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     val blocks = docs
       .where(col("n_chars") > 0)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0L, (n_chars + 63) div 64 - 1),
           |  i -> md5(cast(substring(text, cast(i as int) * 64 + 1, 64) as binary)))"""
           .stripMargin)).as("h"))
-    val bitSums = (1 to 16).map { j =>
-      sum(when(substring(col("h"), j, 1).isin(hi: _*), 1).otherwise(-1)).as(s"b$j")
+    val bitSums = (1 to 30).flatMap { j =>
+      Seq(
+        sum(when(substring(col("h"), j, 1).isin(hi: _*), 1).otherwise(-1)).as(s"h$j"),
+        sum(when(substring(col("h"), j, 1).isin(odd: _*), 1).otherwise(-1)).as(s"l$j"))
     }
     blocks.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), (1 to 16).map { j =>
-        when(col(s"b$j") > 0, math.pow(2, j - 1).toLong).otherwise(0L)
+      .select(col("doc_id"), (1 to 30).flatMap { j =>
+        Seq(
+          when(col(s"h$j") > 0, 1L << ((j - 1) * 2)).otherwise(0L),
+          when(col(s"l$j") > 0, 1L << ((j - 1) * 2 + 1)).otherwise(0L))
       }.reduce(_ + _).cast("long").as("sig"))
   }
 
@@ -166,7 +179,7 @@ object Multimodal {
     val sig = phashSignatures(Tables.documents(spark, sfDir))
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(expr("sequence(0, 3)")).as("k"))
-      .withColumn("band", expr("shiftright(sig, k * 4) & 15"))
+      .withColumn("band", expr("shiftright(sig, k * 15) & 32767"))
     // Hamming cut BEFORE the pair distinct: bit_count is a narrow per-row
     // op on the raw band-join output, so evaluating it first shrinks the
     // distinct's shuffle to the surviving pairs (≤3-bit neighbors) instead
@@ -178,7 +191,7 @@ object Multimodal {
         col("k"), col("band")), Seq("k", "band"))
       .where(col("a_id") < col("b_id"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("int"))
-      .where(col("hamming") <= 3)
+      .where(col("hamming") <= 10)
       .select(col("a_id"), col("b_id"), col("hamming")).distinct()
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
   }

@@ -2489,7 +2489,7 @@ object OracleSql {
     "mm_phash_hamming" ->
       ("WITH " + phashPairChain +
         """ SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 10
         |ORDER BY hamming, a_id, b_id""".stripMargin.replace("\n", " ")),
 
     // the bloom is a no-false-negative PREFILTER confirmed by an exact
@@ -3182,7 +3182,7 @@ object OracleSql {
     // componentChain pattern over media signatures)
     "mm_phash_clusters" ->
       ("WITH RECURSIVE " + phashPairChain +
-        """, pairs AS (SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+        """, pairs AS (SELECT a_id, b_id FROM cand WHERE bit_count(xor(sa, sb)) <= 10),
         |edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
         |reach AS (SELECT a AS node, a AS label FROM edges
         |UNION SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node),
@@ -3348,15 +3348,24 @@ object OracleSql {
   /** The banded block-pHash pair chain (blk → bits → sig → bands → cand)
     * shared by mm_phash_hamming and mm_phash_clusters; emitted WITHOUT
     * the leading WITH so the clusters query can prepend WITH RECURSIVE.
+    * 60-bit signature (round 8, mirroring Multimodal.phashSignatures):
+    * hex positions 1..30 × (nibble-high, nibble-odd) sign-sums; the bit
+    * weights are cast to BIGINT TERM-WISE before summing — a double SUM
+    * of powers up to 2^59 would round past the 53-bit mantissa.
     */
   private def phashPairChain: String =
     """blk AS (SELECT doc_id, unnest(list_transform(range(0, (n_chars + 63) // 64),
       |i -> md5(substring(text, CAST(i AS INT) * 64 + 1, 64)))) AS h
       |FROM documents WHERE n_chars > 0),
-      |bits AS (SELECT doc_id, j, SUM(CASE WHEN substring(h, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS bs
-      |FROM blk, range(1, 17) t(j) GROUP BY doc_id, j),
-      |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bs > 0 THEN power(2, j - 1) ELSE 0 END) AS BIGINT) AS sig FROM bits GROUP BY doc_id),
-      |bands AS (SELECT doc_id, sig, k, (sig // CAST(power(2, k * 4) AS BIGINT)) % 16 AS band FROM sig, range(0, 4) t(k)),
+      |bits AS (SELECT doc_id, j,
+      |SUM(CASE WHEN substring(h, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS hs,
+      |SUM(CASE WHEN substring(h, CAST(j AS INT), 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS ls
+      |FROM blk, range(1, 31) t(j) GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, CAST(SUM(
+      |CAST(CASE WHEN hs > 0 THEN power(2, (j - 1) * 2) ELSE 0 END AS BIGINT) +
+      |CAST(CASE WHEN ls > 0 THEN power(2, (j - 1) * 2 + 1) ELSE 0 END AS BIGINT)) AS BIGINT) AS sig
+      |FROM bits GROUP BY doc_id),
+      |bands AS (SELECT doc_id, sig, k, (sig // CAST(power(2, k * 15) AS BIGINT)) % 32768 AS band FROM sig, range(0, 4) t(k)),
       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, x.sig AS sa, y.sig AS sb
       |FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id)"""
       .stripMargin.replace("\n", " ")

@@ -87,10 +87,15 @@ class Round7Spec extends SparkSpec {
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def expectedSig(text: String): Long = {
-      val sums = new Array[Int](16)
-      for (block <- text.grouped(64); h = md5hex(block); j <- 0 until 16)
-        sums(j) += (if ("89abcdef".contains(h.charAt(j))) 1 else -1)
-      (0 until 16).map(j => if (sums(j) > 0) 1L << j else 0L).sum
+      // 60-bit geometry (round 8): hex positions 0..29, two sign-sums each
+      // (nibble-high and nibble-odd)
+      val sums = new Array[Int](60)
+      for (block <- text.grouped(64); h = md5hex(block); j <- 0 until 30) {
+        val d = Integer.parseInt(h.charAt(j).toString, 16)
+        sums(2 * j) += (if (d >= 8) 1 else -1)
+        sums(2 * j + 1) += (if (d % 2 == 1) 1 else -1)
+      }
+      (0 until 60).map(j => if (sums(j) > 0) 1L << j else 0L).sum
     }
     val texts = Seq(
       1L -> ("the quick brown fox jumps over the lazy dog " * 5),

@@ -1,20 +1,23 @@
 #!/usr/bin/env python3
-"""Scaling-slope report (VERDICT r4 #6): compare per-query warm-median3
-times across two scale factors (10x data: sf0.01 -> sf0.1) and across the
-single-file vs 8-shard sf0.1 fixture (tools/reshard.py), and emit the
+"""Scaling-slope report (VERDICT r4 #6, extended r8 per VERDICT r7 #5):
+compare per-query warm-median3 times across scale factors — sf0.01 ->
+sf0.1 (driver fixtures, 10x) and, when bench/BENCH_sf1.json exists
+(tools/make_sf1.py), the second decade sf0.1 -> sf1 — plus the
+single-file vs 8-shard sf0.1 fixture (tools/reshard.py). Emits the
 markdown table recorded in BASELINE.md.
 
 A query is FLAGGED super-linear when its time grows >4x on 10x data AND
-its sf0.1 time exceeds 0.3 s (below that, JVM/plan constants dominate and
-a ratio is noise). For each flag we also show the sharded-fixture time:
-if the sharded run collapses the ratio, the "super-linearity" is a
-single-input-split artifact (one parquet file = one scan task) rather
-than an algorithmic blow-up.
+its larger-SF time exceeds 0.3 s (below that, JVM/plan constants dominate
+and a ratio is noise). For a first-decade flag we also show the
+sharded-fixture time: if the sharded run collapses the ratio, the
+"super-linearity" is a single-input-split artifact (one parquet file =
+one scan task) rather than an algorithmic blow-up. The sf1 fixture is
+multi-file by construction, so a second-decade flag has no such excuse.
 
 Driver-side python tooling — NOT part of the Spark library.
 Usage: python3 tools/slope.py [benchDir]
 """
-import json, sys
+import json, os, sys
 
 D = sys.argv[1] if len(sys.argv) > 1 else "bench"
 
@@ -28,19 +31,39 @@ def load(p):
 q001, t001 = load(f"{D}/BENCH_sf0.01.json")
 q01, t01 = load(f"{D}/BENCH_sf0.1.json")
 q8, t8 = load(f"{D}/BENCH_sf0.1x8.json")
-
-rows = [(k, q001.get(k), q01[k], q8.get(k)) for k in sorted(q01)]
-slopes = [(k, a, b, c, b / a) for k, a, b, c in rows if a]
+has_sf1 = os.path.exists(f"{D}/BENCH_sf1.json")
+q1, t1 = load(f"{D}/BENCH_sf1.json") if has_sf1 else ({}, None)
 
 print(f"aggregate: sf0.01 {t001:.1f} s, sf0.1 {t01:.1f} s (slope "
-      f"{t01/t001:.2f}x on 10x data), sf0.1x8 {t8:.1f} s")
+      f"{t01/t001:.2f}x on 10x data), sf0.1x8 {t8:.1f} s"
+      + (f", sf1 {t1:.1f} s (second-decade slope {t1/t01:.2f}x)" if has_sf1 else ""))
 print()
-print("| query | sf0.01 | sf0.1 | slope (10x data) | sf0.1 x8 shards | flag |")
-print("|---|---|---|---|---|---|")
-for k, a, b, c, s in sorted(slopes, key=lambda r: -r[4]):
-    if s <= 2.0:
+if has_sf1:
+    print("| query | sf0.01 | sf0.1 | slope d1 | sf0.1 x8 | sf1 | slope d2 | flag |")
+    print("|---|---|---|---|---|---|---|---|")
+else:
+    print("| query | sf0.01 | sf0.1 | slope (10x data) | sf0.1 x8 shards | flag |")
+    print("|---|---|---|---|---|---|")
+
+rows = [(k, q001.get(k), q01[k], q8.get(k), q1.get(k)) for k in sorted(q01)]
+slopes = [(k, a, b, c, d, b / a, (d / b if d else None))
+          for k, a, b, c, d in rows if a]
+
+def fmt(v, unit=" s"):
+    return f"{v:.2f}{unit}" if v is not None else "—"
+
+n_shown = 0
+for k, a, b, c, d, s1, s2 in sorted(slopes, key=lambda r: -max(r[5], r[6] or 0)):
+    if s1 <= 2.0 and (s2 is None or s2 <= 2.0):
         continue
-    flag = "FLAG" if (s > 4 and b > 0.3) else ""
-    print(f"| `{k}` | {a:.2f} s | {b:.2f} s | {s:.1f}x | {c:.2f} s | {flag} |")
-n_hidden = sum(1 for *_, s in slopes if s <= 2.0)
-print(f"\n({n_hidden} further queries have slope <= 2.0x and are omitted.)")
+    f1 = s1 > 4 and b > 0.3
+    f2 = s2 is not None and s2 > 4 and d > 0.3
+    flag = "FLAG d1" if f1 else ("FLAG d2" if f2 else "")
+    if has_sf1:
+        print(f"| `{k}` | {fmt(a)} | {fmt(b)} | {s1:.1f}x | {fmt(c)} | {fmt(d)} | "
+              f"{fmt(s2, 'x') if s2 else '—'} | {flag} |")
+    else:
+        print(f"| `{k}` | {fmt(a)} | {fmt(b)} | {s1:.1f}x | {fmt(c)} | {flag} |")
+    n_shown += 1
+n_hidden = len(slopes) - n_shown
+print(f"\n({n_hidden} further queries have every decade slope <= 2.0x and are omitted.)")
