@@ -32,6 +32,16 @@ object Bench {
       // lets local runs measure without per-stage re-planning overhead.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Split-size knob SIZED TO THE FIXTURE SCALE (round 8, the brief's
+      // maxPartitionBytes discipline): the 128 MB default bin-packs every
+      // multi-file fixture table into ONE scan task, which serializes the
+      // CPU-heavy text pipelines (the sf1 slope study measured regex
+      // normalization at 11.8x/decade purely from scan width). 4 MB gives
+      // fixture scans their file/row-group-level parallelism; a real
+      // cluster at 100 TB keeps the 128 MB default — the knob scales with
+      // bytes-per-core, not with the engine.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "4m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -262,14 +262,14 @@ object DataQuality {
     * keep_frac's division is the only float op (round 6, E17 protocol).
     */
   def observeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.NormalizeText.register(spark)
     import org.apache.spark.sql.Observation
     val ingest = Observation("ingest")
     val kept = Observation("kept")
     val pass = Tables.documents(spark, sfDir)
       .observe(ingest, count(lit(1)).as("n_seen"),
         sum(col("n_chars")).as("chars_seen"))
-      .withColumn("norm", trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("norm", expr("graft_norm_text(text)"))
       .withColumn("n_tok", size(split(col("norm"), " ")))
       .where(col("n_tok") >= 10)
       .observe(kept, count(lit(1)).as("n_kept"),

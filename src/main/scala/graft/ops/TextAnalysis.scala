@@ -28,16 +28,17 @@ object TextAnalysis {
     * collapse whitespace, trim; emits the normalized prefix, token count,
     * and whether normalization changed the text. Per-row, no shuffle.
     */
-  def normalize(spark: SparkSession, sfDir: String): DataFrame =
+  def normalize(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.NormalizeText.register(spark)
     Tables.documents(spark, sfDir)
-      .withColumn("norm", trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("norm", expr("graft_norm_text(text)"))
       .select(
         col("doc_id"),
         substring(col("norm"), 1, 60).as("norm_head"),
         size(split(col("norm"), " ")).as("n_tokens_norm"),
         (col("norm") =!= col("text")).as("changed"))
       .orderBy(col("doc_id"))
+  }
 
   /** pipeline_corpus_curation — the end-to-end curation flow a training
     * corpus actually goes through, composed from this library's operators
@@ -48,13 +49,13 @@ object TextAnalysis {
     * everything else is per-row.
     */
   def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.NormalizeText.register(spark)
     import org.apache.spark.sql.expressions.Window
     val wDedup = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val wQuota = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     Tables.documents(spark, sfDir)
-      .withColumn("norm", trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("norm", expr("graft_norm_text(text)"))
       .withColumn("n_tok", size(split(col("norm"), " ")))
       .where(col("n_tok") >= 10)
       .withColumn("fp", md5(col("norm").cast("binary")))
@@ -78,6 +79,7 @@ object TextAnalysis {
     * stage by stage (same convention as pipeline_corpus_curation).
     */
   def trainingEmit(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.NormalizeText.register(spark)
     import org.apache.spark.sql.expressions.Window
     // The normalized+deduped corpus is consumed THREE times below (eval
     // shingles, train rows, train shingles). localCheckpoint materializes
@@ -87,8 +89,7 @@ object TextAnalysis {
     // the contamination join) reuse one partitioning instead of
     // re-exchanging per stage (VERDICT r4 #3: was 9 exchanges).
     val base = Tables.documents(spark, sfDir)
-      .withColumn("norm", trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("norm", expr("graft_norm_text(text)"))
       .withColumn("n_tok", size(split(col("norm"), " ")))
       .where(col("n_tok") >= 10)
       .withColumn("fp", md5(col("norm").cast("binary")))

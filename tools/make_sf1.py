@@ -14,7 +14,10 @@ Replication model (replica r in 0..9; r=0 is the original bytes):
     c_custkey, l_orderkey with o_orderkey, ...) so each replica is a
     self-consistent disjoint sub-universe — referential integrity holds
     corpus-wide.
-  * documents.text gets a per-replica word suffix (every token w -> w_q<r>)
+  * documents.text gets a per-replica word suffix (every token w -> wq<r>;
+    ALPHANUMERIC on purpose — a punctuation salt would inject regex-class
+    matches the pristine driver text lacks and corrupt the slope of every
+    normalization query with data-dependent per-char cost)
     and n_chars is recomputed: verbatim text copies would make every doc a
     10-way exact duplicate and blow the near-dup pair graph up
     quadratically — organic sf1 corpora are mostly UNIQUE text, and the
@@ -43,6 +46,7 @@ import pyarrow.compute as pc
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "target/fixtures/sf1"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+SLICES = int(sys.argv[4]) if len(sys.argv) > 4 else 4  # part files per replica
 
 FIXED = ["region", "nation"]
 # table -> {column: stride-domain}; strides computed from the source data
@@ -83,7 +87,7 @@ for t, keys in KEYED.items():
             if f.name in keys:
                 col = pc.add(col, r * stride[keys[f.name]]).cast(f.type)
             elif t == "documents" and f.name == "text" and r > 0:
-                suf = f"_q{r}"
+                suf = f"q{r}"
                 col = pc.binary_join_element_wise(
                     pc.replace_substring(col, " ", suf + " "), "", suf)
             elif t == "embeddings" and f.name == "embedding" and r > 0:
@@ -97,6 +101,16 @@ for t, keys in KEYED.items():
             cols["n_chars"] = pc.utf8_length(cols["text"]).cast(
                 tbl.schema.field("n_chars").type)
         out = pa.table([cols[f.name] for f in tbl.schema], schema=tbl.schema)
-        pq.write_table(out, f"{outdir}/part-{r:05d}.parquet")
-    print(f"{t}: {tbl.num_rows} rows x {R} replicas -> {outdir}")
+        # SLICES part files per replica: enough physical splits that a
+        # maxPartitionBytes-sized scan fans out to real parallelism (a
+        # single part per replica bin-packs into one task and serializes
+        # CPU-heavy text scans — the artifact the slope study exists to rule
+        # out, not to measure)
+        import math
+        per = math.ceil(out.num_rows / SLICES)
+        for sl in range(SLICES):
+            chunk = out.slice(sl * per, per)
+            if chunk.num_rows:
+                pq.write_table(chunk, f"{outdir}/part-{r:05d}-{sl}.parquet")
+    print(f"{t}: {tbl.num_rows} rows x {R} replicas x {SLICES} slices -> {outdir}")
 print(f"done -> {DST}")
