@@ -36,12 +36,14 @@ object Bench {
       // maxPartitionBytes discipline): the 128 MB default bin-packs every
       // multi-file fixture table into ONE scan task, which serializes the
       // CPU-heavy text pipelines (the sf1 slope study measured regex
-      // normalization at 11.8x/decade purely from scan width). 4 MB gives
-      // fixture scans their file/row-group-level parallelism; a real
-      // cluster at 100 TB keeps the 128 MB default — the knob scales with
+      // normalization at 11.8x/decade purely from scan width). 16 MB gives
+      // the multi-file fixtures their per-file parallelism WITHOUT taxing
+      // the single-file fixtures with row-group-sliver tasks (a 4 MB trial
+      // cost ~11% aggregate at sf0.1 single-file); a real cluster at
+      // 100 TB keeps the 128 MB default — the knob scales with
       // bytes-per-core, not with the engine.
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "4m"))
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "16m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -7,7 +7,7 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       // fixture-scale split size (see Bench.scala)
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "4m"))
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "16m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = args(1)

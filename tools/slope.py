@@ -6,13 +6,21 @@ sf0.1 (driver fixtures, 10x) and, when bench/BENCH_sf1.json exists
 single-file vs 8-shard sf0.1 fixture (tools/reshard.py). Emits the
 markdown table recorded in BASELINE.md.
 
-A query is FLAGGED super-linear when its time grows >4x on 10x data AND
-its larger-SF time exceeds 0.3 s (below that, JVM/plan constants dominate
-and a ratio is noise). For a first-decade flag we also show the
-sharded-fixture time: if the sharded run collapses the ratio, the
-"super-linearity" is a single-input-split artifact (one parquet file =
-one scan task) rather than an algorithmic blow-up. The sf1 fixture is
-multi-file by construction, so a second-decade flag has no such excuse.
+Flag rules, PER DECADE:
+  * d1 (sf0.01 -> sf0.1): FLAG when time grows >4x on 10x data AND the
+    sf0.1 time exceeds 0.3 s (below that, JVM/plan constants dominate).
+    At these sizes nearly every query is overhead-dominated, so >4x
+    almost always means an artifact — the 8-shard column diagnoses it:
+    if the sharded run collapses the ratio, it was a single-input-split
+    scan, not an algorithm.
+  * d2 (sf0.1 -> sf1): on FIXED local cores, 10x data through a
+    data-dominant query is ~10x time — that is LINEAR scaling (a cluster
+    holds time constant by adding executors), so the d1 rule would
+    mislabel healthy queries. Ratios in 4-10x are annotated `data-bound`
+    (the query has simply crossed from overhead-dominated to
+    data-dominated); FLAG d2 fires only above 10x per decade with sf1
+    time > 1 s — genuine super-linearity with no split excuse (the sf1
+    fixture is 40 files/table by construction).
 
 Driver-side python tooling — NOT part of the Spark library.
 Usage: python3 tools/slope.py [benchDir]
@@ -57,8 +65,9 @@ for k, a, b, c, d, s1, s2 in sorted(slopes, key=lambda r: -max(r[5], r[6] or 0))
     if s1 <= 2.0 and (s2 is None or s2 <= 2.0):
         continue
     f1 = s1 > 4 and b > 0.3
-    f2 = s2 is not None and s2 > 4 and d > 0.3
-    flag = "FLAG d1" if f1 else ("FLAG d2" if f2 else "")
+    f2 = s2 is not None and s2 > 10 and d > 1.0
+    db = s2 is not None and 4 < s2 <= 10 and d > 0.3
+    flag = "FLAG d1" if f1 else ("FLAG d2" if f2 else ("data-bound" if db else ""))
     if has_sf1:
         print(f"| `{k}` | {fmt(a)} | {fmt(b)} | {s1:.1f}x | {fmt(c)} | {fmt(d)} | "
               f"{fmt(s2, 'x') if s2 else '—'} | {flag} |")
