@@ -902,6 +902,59 @@ object Similarity {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** J27 search_hybrid_rrf — reciprocal-rank fusion of two retrieval
+    * channels over the same corpus (the standard hybrid-search merge:
+    * channels score on incomparable scales, so fusion uses RANKS only):
+    * channel 1 is the exact dot-product retriever, channel 2 the PQ-ADC
+    * retriever (a second model/index in deployment), each contributing
+    * its top-20 per query; a candidate's fused score is
+    * Σ 1/(60 + rank) over the channels that retrieved it (k=60, the
+    * published RRF constant), missing channels contributing nothing.
+    * Output: fused top-10 per query with both channel ranks (0 = not
+    * retrieved by that channel) — the agreement columns ARE the audit a
+    * hybrid deployment reads. The two-term score is one fixed IEEE tree
+    * (cos term + adc term), bit-identical cross-engine.
+    *
+    * 100 TB: each channel is its own bounded top-k (map-only scans as
+    * documented on the source queries); fusion then joins two
+    * |queries|×20 relations — broadcast-size regardless of corpus.
+    */
+  def searchHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val wCos = Window.partitionBy(col("a_id")).orderBy(desc("sim"), asc("b_id"))
+    val cos20 = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .join(broadcast(q))
+      .where(col("b_id") =!= col("a_id"))
+      .withColumn("sim", expr("graft_dot(a_emb, b_emb)"))
+      .withColumn("rn_cos", row_number().over(wCos))
+      .where(col("rn_cos") <= 20)
+      .select(col("a_id"), col("b_id"), col("rn_cos"))
+    val (packed, lut) = pqAdcArtifacts(e, qBound = 8)
+    val wAdc = Window.partitionBy(col("a_id")).orderBy(asc("adc"), asc("b_id"))
+    val adc20 = packed.withColumnRenamed("vec_id", "b_id").crossJoin(broadcast(lut))
+      .where(col("b_id") =!= col("a_id"))
+      .withColumn("adc", adcExpr)
+      .withColumn("rn_adc", row_number().over(wAdc))
+      .where(col("rn_adc") <= 20)
+      .select(col("a_id"), col("b_id"), col("rn_adc"))
+    val wF = Window.partitionBy(col("a_id")).orderBy(desc("rrf"), asc("b_id"))
+    cos20.join(adc20, Seq("a_id", "b_id"), "full_outer")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("rn_cos"), lit(0)).as("rnc"),
+        coalesce(col("rn_adc"), lit(0)).as("rna"),
+        (coalesce(lit(1.0) / (lit(60) + col("rn_cos")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rn_adc")), lit(0.0))).as("rrf"))
+      .withColumn("rn", row_number().over(wF))
+      .where(col("rn") <= 10)
+      .select(col("a_id"), col("b_id"),
+        col("rnc").cast("long").as("rn_cos"), col("rna").cast("long").as("rn_adc"),
+        (round(col("rrf"), 6) + lit(0.0)).as("rrf"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   /** M81 graph_modularity_labels — Newman modularity of the LABEL
     * partition over the symmetrized 5-NN graph: does the human labeling
     * align with embedding-space neighborhoods? Q = (4L·ΣL_c − Σd_c²) /

@@ -1109,4 +1109,37 @@ object TextAnalysis {
         expr("CAST(shard_tokens * 10000 div tt AS BIGINT)").as("share_bp"))
       .orderBy(col("shard"))
   }
+
+  /** M95 pipeline_shuffle_stripe — the full-permutation audit that
+    * completes M70's epoch-shuffle story: M70 witnesses each epoch's
+    * manifest HEAD; this query materializes the ENTIRE seeded
+    * permutation (md5 of 'epoch7|doc_id' — engine-identical, replayable
+    * from the seed alone) through the scale-safe rank and stripes it
+    * round-robin into 16 worker shards by shuffled position. The audit
+    * emits, per shard, the doc count (balanced to ±1 by construction —
+    * the point of shuffle-then-stripe), token mass, position range, and
+    * a permutation-sensitive checksum Σ rn·doc_id in exact LONG math —
+    * equal checksums across engines/runs prove the IDENTICAL
+    * permutation, not just the same membership.
+    *
+    * 100 TB: the global order runs through [[GlobalRank]]'s two-pass
+    * range-partitioned rank — never a single-partition window — and the
+    * striping is a per-row mod; re-running any epoch reproduces its
+    * exact batch order from (seed, doc_id) with no stored state.
+    */
+  def shuffleStripe(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        md5(concat(lit("epoch7|"), col("doc_id").cast("string"))).as("h"))
+    GlobalRank.withGlobalRowNumber(d, 32, col("h"), col("doc_id"))
+      .withColumn("shard", expr("CAST((rn - 1) % 16 AS BIGINT)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("rn")).as("first_pos"),
+        max(col("rn")).as("last_pos"),
+        sum(col("rn") * col("doc_id")).as("perm_checksum"))
+      .orderBy(col("shard"))
+  }
 }

@@ -3323,6 +3323,43 @@ object OracleSql {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 100)
         |WHERE len(w) > 0 GROUP BY 1, 2 ORDER BY doc_id, slot"""
         .stripMargin.replace("\n", " "),
+
+    // ── round-8 additions ──
+
+    // RRF fuses RANKS only; the two-term score is one fixed IEEE tree
+    "search_hybrid_rrf" ->
+      (pqChain +
+        """, q AS (SELECT vec_id AS a_id, emb AS qe FROM e WHERE vec_id < 8),
+        |cosr AS (SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn_cos FROM (
+        |SELECT q.a_id, e.vec_id AS b_id, list_dot_product(q.qe, e.emb) AS sim FROM e CROSS JOIN q WHERE e.vec_id <> q.a_id)),
+        |cos20 AS (SELECT a_id, b_id, rn_cos FROM cosr WHERE rn_cos <= 20),
+        |lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc WHERE vec_id < 8),
+        |adcp AS (SELECT l.a_id, k.vec_id AS b_id, k.s, l.d2 FROM codes k JOIN lut l ON l.s = k.s AND l.c = k.code),
+        |adcd AS (SELECT a_id, b_id,
+        |MAX(CASE WHEN s = 0 THEN d2 END) + MAX(CASE WHEN s = 1 THEN d2 END)
+        |+ MAX(CASE WHEN s = 2 THEN d2 END) + MAX(CASE WHEN s = 3 THEN d2 END) AS adc_d2
+        |FROM adcp WHERE a_id <> b_id GROUP BY a_id, b_id),
+        |adc20 AS (SELECT a_id, b_id, rn_adc FROM (
+        |SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY adc_d2, b_id) AS rn_adc FROM adcd) WHERE rn_adc <= 20),
+        |fused AS (SELECT COALESCE(c.a_id, d.a_id) AS a_id, COALESCE(c.b_id, d.b_id) AS b_id,
+        |COALESCE(c.rn_cos, 0) AS rnc, COALESCE(d.rn_adc, 0) AS rna,
+        |COALESCE(1.0 / (60 + c.rn_cos), 0.0) + COALESCE(1.0 / (60 + d.rn_adc), 0.0) AS rrf
+        |FROM cos20 c FULL OUTER JOIN adc20 d ON d.a_id = c.a_id AND d.b_id = c.b_id)
+        |SELECT a_id, b_id, CAST(rnc AS BIGINT) AS rn_cos, CAST(rna AS BIGINT) AS rn_adc,
+        |round(rrf, 6) + 0.0 AS rrf, rn FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY rrf DESC, b_id) AS rn FROM fused)
+        |WHERE rn <= 10 ORDER BY a_id, rn""".stripMargin.replace("\n", " ")),
+
+    // seeded md5 total order -> round-robin stripes; Σ rn·doc_id is the
+    // permutation-sensitive checksum (exact LONG both engines)
+    "pipeline_shuffle_stripe" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |md5('epoch7|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn FROM d)
+        |SELECT CAST((rn - 1) % 16 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |CAST(SUM(toks) AS BIGINT) AS n_tokens, MIN(rn) AS first_pos, MAX(rn) AS last_pos,
+        |CAST(SUM(rn * doc_id) AS BIGINT) AS perm_checksum
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " "),
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan

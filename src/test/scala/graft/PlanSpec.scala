@@ -228,6 +228,7 @@ class PlanSpec extends SparkSpec {
       // the ADC scan IS a broadcast cross of the bounded query set
       "vec_pq_adc_topk", "vec_pq_error", "vec_pq_rerank",
       "ann_ivf_pq_topk", "dedup_pq_codes",
+      "search_hybrid_rrf",        // 8 broadcast query vectors per channel (J3/ADC patterns)
       "graph_modularity_labels",  // broadcast 1-row moment aggregate
       "dq_freshness_lag",         // broadcast 1-row global-max aggregate
       "pipeline_shard_manifest",  // broadcast 1-row token total

@@ -119,4 +119,50 @@ class Round8Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(agg(plain) == agg(salted))
   }
+
+  test("J27 hybrid RRF: score recomputes from the channel ranks, monotone in fused rank") {
+    val rows = run("search_hybrid_rrf").collect()
+    assert(rows.length == 80, "8 queries x fused top-10")
+    rows.foreach { r =>
+      val (rnCos, rnAdc, rrf) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(rnCos >= 0 && rnCos <= 20 && rnAdc >= 0 && rnAdc <= 20)
+      assert(rnCos > 0 || rnAdc > 0, "a fused candidate came from at least one channel")
+      val expect = (if (rnCos > 0) 1.0 / (60 + rnCos) else 0.0) +
+        (if (rnAdc > 0) 1.0 / (60 + rnAdc) else 0.0)
+      assert(math.abs(rrf - expect) < 1e-6 + 1e-9,
+        s"rrf $rrf must equal the two-term rank score $expect")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(5)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "fused score non-increasing in fused rank")
+    }
+  }
+
+  test("M95 shuffle stripe: balanced shards, exact striping, checksum matches driver-side md5 order") {
+    val rows = run("pipeline_shuffle_stripe").collect()
+    assert(rows.length == 16)
+    val n = rows.map(_.getLong(1)).sum
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"shuffle-then-stripe must balance to +-1: ${sizes.toSeq}")
+    // striping law: shard s holds exactly the positions ≡ s+1 (mod 16)
+    rows.foreach { r =>
+      val (shard, first) = (r.getLong(0), r.getLong(3))
+      assert(first == shard + 1, s"shard $shard must start at position ${shard + 1}")
+    }
+    // independent driver-side recompute of the FULL permutation: java
+    // MessageDigest md5 over the same seeded key, plain string sort — no
+    // Spark SQL involved — must yield the identical per-shard checksum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val perm = ids.map(id => (md5hex(s"epoch7|$id"), id)).sortBy(identity).zipWithIndex
+    val want = perm.map { case ((_, id), i) => ((i.toLong) % 16, (i + 1).toLong * id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(got == want, "permutation checksum must match the independent md5-order recompute")
+    assert(n == ids.length, "positions partition the corpus exactly")
+  }
 }
