@@ -454,7 +454,13 @@ object DataQuality {
     // row-value DISTINCT counts the tuple, so both engines are pinned to
     // the same canonical string — a NULL component becomes the sentinel
     // '<null>' and still counts as a key value (a duplicated
-    // NULL-component tuple is a duplicate, exactly what a MERGE would see)
+    // NULL-component tuple is a duplicate, exactly what a MERGE would see).
+    // PRECONDITION (ADVICE r8): components must be NUMERIC/temporal — the
+    // '|' separator and '<null>' sentinel are ambiguous for free-form
+    // strings (("a|b","c") vs ("a","b|c"), or a literal '<null>' value),
+    // which would deflate n_distinct_pk. Every composite PK audited here
+    // is integer-typed; to audit string-component keys, md5 each
+    // component before concatenating (mirrored in the oracle SQL)
     def canonicalKey(pk: Seq[String]) =
       pk.map(c => coalesce(col(c).cast("string"), lit("<null>")))
         .reduce((a, b) => concat(a, lit("|"), b))

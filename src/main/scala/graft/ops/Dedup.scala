@@ -579,8 +579,11 @@ object Dedup {
     val candidates = incoming
       .withColumn("bucket", pmod(xxhash64(col("fp")), lit(nBuckets)))
       // inner bucket join: a probe whose bucket has no standing filter is
-      // definitionally new (and a null fingerprint has a null bucket —
-      // never matches), so dropping it from the candidate set is exact
+      // definitionally new, so dropping it from the candidate set is exact.
+      // NULL fingerprints are excluded by BucketBloomProbe's s != null
+      // guard, NOT by the join — xxhash64(NULL) returns the seed hash
+      // (non-null), so a null fp would land in a real bucket and join;
+      // do not drop the probe guard on the strength of this join
       .join(filters.hint("shuffle_hash"), Seq("bucket"))
       .where(probeFn(col("bucket"), col("bf"), col("fp")))
       .select(col("doc_id"), col("fp"))

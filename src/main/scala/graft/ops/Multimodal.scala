@@ -182,9 +182,10 @@ object Multimodal {
       .withColumn("band", expr("shiftright(sig, k * 15) & 32767"))
     // Hamming cut BEFORE the pair distinct: bit_count is a narrow per-row
     // op on the raw band-join output, so evaluating it first shrinks the
-    // distinct's shuffle to the surviving pairs (≤3-bit neighbors) instead
-    // of every band collision — same result set, one materially smaller
-    // exchange (the band join is where candidate volume peaks at scale).
+    // distinct's shuffle to the surviving pairs (the ≤10-bit round-8
+    // threshold) instead of every band collision — same result set, one
+    // materially smaller exchange (the band join is where candidate
+    // volume peaks at scale).
     bands.select(col("doc_id").as("a_id"), col("sig").as("sa"),
         col("k"), col("band"))
       .join(bands.select(col("doc_id").as("b_id"), col("sig").as("sb"),

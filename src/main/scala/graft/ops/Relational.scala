@@ -190,7 +190,11 @@ object Relational {
   }
 
   /** A11 — ORC round-trip (the remaining lake format with a bundled Spark
-    * connector — Avro's is absent from this container, SURVEY §7.6):
+    * connector — Avro's is absent from this container, SURVEY §7.6;
+    * re-probed round 9: /opt/spark/jars still ships only avro-core
+    * 1.12.1, no spark-avro_2.13 connector, so `format("avro")` cannot
+    * resolve — the A-series Avro round-trip stays a one-query gap until
+    * the jar appears):
     * orders → ORC (snappy) → read back → aggregate. The oracle aggregates
     * the ORIGINAL parquet table, so values must survive the ORC writer/
     * reader byte-exactly — including the ms-precision timestamp max.
