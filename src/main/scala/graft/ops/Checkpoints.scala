@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.DataFrame
+
+/** Checkpoint policy for iterative loops (VERDICT r8 #4).
+  *
+  * The iterative operators (the large-star/small-star component loop,
+  * PageRank's power iterations, the kNN/Lloyd index builds) cut lineage
+  * every round — without a cut, each round's plan nests the previous
+  * round's ~6× and analysis stalls after a handful of rounds. The default
+  * cut is `localCheckpoint`: blocks live in executor memory/disk, fast,
+  * but NOT fault-tolerant — on a real cluster, losing an executor discards
+  * its blocks and Spark CANNOT recompute them (the lineage was truncated),
+  * killing the job. Fine on local[32]; at 100 TB a long component loop
+  * should survive executor churn.
+  *
+  * The knob: set `spark.graft.checkpointDir` (session conf) or the
+  * `SPARK_GRAFT_CHECKPOINT_DIR` env var to a cluster-visible path (HDFS/
+  * object store) and every loop cut becomes a RELIABLE `checkpoint()` to
+  * that directory — blocks are re-readable by any executor after loss,
+  * the standard production setting for iterative Spark jobs. Results are
+  * bit-identical through either path (Round9Spec asserts it): the cut
+  * changes WHERE materialized rows live, never their values.
+  *
+  * Laziness is preserved: a lazy local cut maps to a lazy reliable
+  * checkpoint (materialization still rides the first consumer's job).
+  * Reliable checkpoint files accumulate under the configured directory
+  * for the lifetime of the SparkContext (cleaned by
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` if enabled, or by
+  * deleting the directory after the job — the operational convention).
+  */
+object Checkpoints {
+
+  private val confKey = "spark.graft.checkpointDir"
+
+  /** The configured reliable-checkpoint directory, if any: session conf
+    * first (test/runtime override), env second (deployment).
+    */
+  private[graft] def reliableDir(df: DataFrame): Option[String] =
+    df.sparkSession.conf.getOption(confKey)
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+      .filter(_.nonEmpty)
+
+  // SparkContext.setCheckpointDir creates a fresh UUID subdir per call, so
+  // remember what we last set per context instead of re-setting every cut.
+  @volatile private var setFor: Option[(SparkContext, String)] = None
+
+  /** Lineage cut: `localCheckpoint(eager)` by default, reliable
+    * `checkpoint(eager)` into the configured directory when the knob is
+    * set. See object Scaladoc for the executor-loss semantics of each.
+    */
+  def cut(df: DataFrame, eager: Boolean): DataFrame =
+    reliableDir(df) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        synchronized {
+          if (!setFor.contains((sc, dir))) {
+            sc.setCheckpointDir(dir)
+            setFor = Some((sc, dir))
+          }
+        }
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
+  /** Call-site sugar: `df.lineageCut(eager)` ≡ `Checkpoints.cut(df, eager)`. */
+  implicit class CutOps(private val df: DataFrame) extends AnyVal {
+    def lineageCut(eager: Boolean): DataFrame = cut(df, eager)
+  }
+}

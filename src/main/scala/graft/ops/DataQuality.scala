@@ -296,8 +296,10 @@ object DataQuality {
     * |cumA·nB − cumB·nA| as a LONG before the lone rounded division
     * D = max/(nA·nB). Evaluating at value-block boundaries (inclusive
     * cums on the collapsed relation) is exactly the tie-correct KS
-    * definition. Two range partitionings (one per sample's counter)
-    * re-join on the value key — both keyed, both linear.
+    * definition. Both counters ride ONE range partitioning
+    * ([[GlobalRank.withGlobalRunningSums]], VERDICT r8 #7 — they share
+    * the same value order, so a second ranking pipeline plus a value-key
+    * rejoin bought nothing): one range shuffle, one checkpoint, no rejoin.
     */
   def dqKsTest(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.lineitem(spark, sfDir)
@@ -307,12 +309,12 @@ object DataQuality {
     val g = base.groupBy(col("v"))
       .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
       .localCheckpoint(true)
-    val cumA = GlobalRank.withGlobalRunningSum(g, 32, col("ca"), col("v"))
-      .select(col("v"), (col("cum_before") + col("ca")).as("cum_a"))
-    val cumB = GlobalRank.withGlobalRunningSum(g, 32, col("cb"), col("v"))
-      .select(col("v").as("v2"), (col("cum_before") + col("cb")).as("cum_b"))
+    val cums = GlobalRank.withGlobalRunningSums(g, 32,
+        Seq(col("ca") -> "cbf_a", col("cb") -> "cbf_b"), col("v"))
+      .select(col("v"), (col("cbf_a") + col("ca")).as("cum_a"),
+        (col("cbf_b") + col("cb")).as("cum_b"))
     val tot = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    cumA.join(cumB, col("v") === col("v2"))
+    cums
       .crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),
         abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("dev"))

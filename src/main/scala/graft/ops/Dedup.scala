@@ -210,7 +210,7 @@ object Dedup {
     spark.conf.set(coalesceKey, "true")
     try {
       val p = pairs.select(col(pairs.columns(0)).as("a"), col(pairs.columns(1)).as("b"))
-      // localCheckpoint every round, NOT persist: one star round
+      // lineage cut every round, NOT persist: one star round
       // references its input several times (min-table join + two union
       // arms), so lineage nests ~6× per round — exponential plan growth
       // that stalls analysis after a handful of rounds. Truncating to the
@@ -220,8 +220,12 @@ object Dedup {
       // VERDICT r7 #6): the certificate aggregate right below is the
       // round's only consumer, so materialization rides the certificate
       // job — ONE job per round instead of checkpoint-then-check.
+      // localCheckpoint by default; spark.graft.checkpointDir switches to
+      // reliable checkpoint() for executor-loss durability (VERDICT r8 #4
+      // — see [[Checkpoints]]).
+      import Checkpoints.CutOps
       var e = byA(p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
-        .where(col("a") =!= col("b"))).localCheckpoint(false)
+        .where(col("a") =!= col("b"))).lineageCut(false)
       // exact star-forest certificate (see Scaladoc): any node holding a
       // smaller neighbor AND a second distinct neighbor breaks the shape.
       // Rides the byA hash(a) layout — no exchange of its own.
@@ -234,7 +238,7 @@ object Dedup {
       while (!converged && rounds < maxRounds) {
         // byA before checkpoint: rounds tolerate duplicate edges but the
         // checkpointed working set must stay the distinct edge set
-        val next = byA(smallStar(largeStar(e))).localCheckpoint(false)
+        val next = byA(smallStar(largeStar(e))).lineageCut(false)
         e = next
         converged = isStarForest(next)
         rounds += 1
@@ -248,7 +252,7 @@ object Dedup {
       val out = e.groupBy(col("a")).agg(min(col("b")).as("mb"))
         .select(col("a").as("doc_id"), least(col("a"), col("mb")).as("component"))
         .orderBy(col("doc_id"))
-        .localCheckpoint(true)
+        .lineageCut(true)
       (out, rounds)
     } finally savedCoalesce match {
       case Some(v) => spark.conf.set(coalesceKey, v)

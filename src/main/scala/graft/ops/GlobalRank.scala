@@ -81,23 +81,51 @@ object GlobalRank {
     * must be a unique key of `df`. `value` must be integral (LONG path —
     * exact, associative, engine-order-independent).
     */
-  def withGlobalRunningSum(df: DataFrame, parts: Int, value: Column, order: Column*): DataFrame = {
-    val local = checkpointEagerly(df
-      .repartitionByRange(parts, order: _*)
-      .withColumn("part", spark_partition_id())
-      .withColumn("gv", value.cast("long"))
-      .withColumn("lcum", coalesce(sum(col("gv")).over(
-        Window.partitionBy(col("part")).orderBy(order: _*)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
-    val offsets = local.groupBy(col("part")).agg(sum(col("gv")).as("ptot"))
-      .withColumn("offset",
-        coalesce(sum(col("ptot")).over(
-          Window.orderBy(col("part")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("part"), col("offset"))
-    local.join(broadcast(offsets), "part")
-      .withColumn("cum_before", col("offset") + col("lcum"))
-      .drop("part", "gv", "lcum", "offset")
+  def withGlobalRunningSum(df: DataFrame, parts: Int, value: Column, order: Column*): DataFrame =
+    withGlobalRunningSums(df, parts, Seq(value -> "cum_before"), order: _*)
+
+  /** The MULTI-COUNTER form of [[withGlobalRunningSum]] (VERDICT r8 #7):
+    * N exclusive global running sums that all ride the SAME total order
+    * share ONE range partitioning, one eager checkpoint, and one broadcast
+    * offsets join — instead of one full ranking pipeline per counter plus
+    * a key rejoin to line the counters back up. `values` maps each
+    * integral value column to the output column name its running sum gets.
+    * The per-partition offsets relation stays one tiny row per partition
+    * (now P × N cells); everything else is unchanged from the
+    * single-counter contract: `order` must be a unique key, values must be
+    * integral (exact LONG path), and the eager checkpoint pins one
+    * RangePartitioner sample for every consumer.
+    */
+  def withGlobalRunningSums(df: DataFrame, parts: Int,
+      values: Seq[(Column, String)], order: Column*): DataFrame = {
+    val w = Window.partitionBy(col("part")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = checkpointEagerly(
+      values.zipWithIndex.foldLeft(
+        df.repartitionByRange(parts, order: _*)
+          .withColumn("part", spark_partition_id())) {
+        case (d, ((v, _), i)) =>
+          d.withColumn(s"__gv_$i", v.cast("long"))
+            .withColumn(s"__lcum_$i",
+              coalesce(sum(col(s"__gv_$i")).over(w), lit(0L)))
+      })
+    val ptots = values.indices.map(i => sum(col(s"__gv_$i")).as(s"__ptot_$i"))
+    val wOff = Window.orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = values.indices.foldLeft(
+        local.groupBy(col("part")).agg(ptots.head, ptots.drop(1): _*)) {
+        (d, i) =>
+          d.withColumn(s"__off_$i",
+            coalesce(sum(col(s"__ptot_$i")).over(wOff), lit(0L)))
+      }
+      .select(col("part") +: values.indices.map(i => col(s"__off_$i")): _*)
+    val named = values.zipWithIndex.foldLeft(
+        local.join(broadcast(offsets), "part")) {
+        case (d, ((_, name), i)) =>
+          d.withColumn(name, col(s"__off_$i") + col(s"__lcum_$i"))
+      }
+    named.drop("part" +:
+      values.indices.flatMap(i => Seq(s"__gv_$i", s"__lcum_$i", s"__off_$i")): _*)
   }
 
   /** Closed-form ntile(k) over the (rn, n_total) columns produced by

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 specs (VERDICT r8): the fused multi-counter prefix sum (#7),
+  * and the reliable-checkpoint durability knob for iterative loops (#4).
+  */
+class Round9Spec extends SparkSpec {
+  private val s = SparkSpec.spark
+
+  test("withGlobalRunningSums: two fused counters equal two independent single-counter runs") {
+    val df = spark.range(500).select(
+      (col("id") * 7919 % 1000).as("k"),
+      (col("id") % 13).as("x"),
+      (col("id") % 7).as("y"))
+      .groupBy("k").agg(sum("x").as("x"), sum("y").as("y"))
+    val fused = ops.GlobalRank.withGlobalRunningSums(df, 8,
+        Seq(col("x") -> "cum_x", col("y") -> "cum_y"), col("k"))
+      .select("k", "cum_x", "cum_y")
+    val singleX = ops.GlobalRank.withGlobalRunningSum(df, 8, col("x"), col("k"))
+      .select(col("k"), col("cum_before").as("cum_x"))
+    val singleY = ops.GlobalRank.withGlobalRunningSum(df, 8, col("y"), col("k"))
+      .select(col("k").as("k2"), col("cum_before").as("cum_y"))
+    val joined = singleX.join(singleY, col("k") === col("k2"))
+      .select("k", "cum_x", "cum_y")
+    assert(fused.orderBy("k").collect().toSeq ===
+      joined.orderBy("k").collect().toSeq)
+    // and against the ground truth window (small data, single partition OK)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val truth = df.select(col("k"),
+        coalesce(sum("x").over(w), lit(0L)).as("cum_x"),
+        coalesce(sum("y").over(w), lit(0L)).as("cum_y"))
+    assert(fused.orderBy("k").collect().toSeq ===
+      truth.orderBy("k").collect().toSeq)
+  }
+
+  test("dq_ks_test: fused-prefix-sum rewrite keeps the exact KS statistic shape") {
+    val r = run("dq_ks_test").collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nA, nB, dNum) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nA > 0 && nB > 0)
+    assert(dNum >= 0 && dNum <= nA * nB)
+    assert(math.abs(row.getDouble(3) - dNum.toDouble / (nA.toDouble * nB.toDouble)) < 1e-6)
+  }
+
+  /** VERDICT r8 #4: with spark.graft.checkpointDir set, every loop cut
+    * becomes a reliable checkpoint() — results must be bit-identical and
+    * the directory must actually receive checkpoint data (proof the knob
+    * engaged, not a silently-ignored conf).
+    */
+  private def withReliableCheckpoints[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try f(dir)
+    finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      // best-effort cleanup of the rdd checkpoint files
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  private def checkpointFiles(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally s.close()
+    }
+  }
+
+  test("checkpoint knob: star components are hash-identical through reliable checkpoint(), and files land in the dir") {
+    val local = run("dedup_connected_components_v2").collect().toSeq
+    val (reliable, nFiles) = withReliableCheckpoints { dir =>
+      (run("dedup_connected_components_v2").collect().toSeq, checkpointFiles(dir))
+    }
+    assert(reliable === local)
+    assert(nFiles > 0, "reliable checkpoint dir stayed empty — knob did not engage")
+  }
+
+  test("checkpoint knob: PageRank over the kNN graph is identical through reliable checkpoint()") {
+    val local = run("graph_pagerank_knn").collect().toSeq
+    val reliable = withReliableCheckpoints { _ =>
+      run("graph_pagerank_knn").collect().toSeq
+    }
+    assert(reliable === local)
+  }
+}
