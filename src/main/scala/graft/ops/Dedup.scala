@@ -398,10 +398,7 @@ object Dedup {
     * unchanged — clustering cost depends on the edge list, not the corpus.
     */
   def semanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.DotProduct.register(spark)
-    val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    val mutual = Similarity.knnBucketed(e, 2)
+    val mutual = Similarity.knnEdgesStored(spark, sfDir, 2)
       .groupBy(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v"))
       .agg(count(lit(1)).as("m"))
@@ -846,9 +843,10 @@ object Dedup {
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val (_, codes) = Similarity.pqIndex(e)
-    val packed = codes.groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)").as("cds"))
+    // the blocking key is the STANDING pq_packed artifact — the SemDeDup
+    // trick is precisely that the code word persisted for search doubles
+    // as the dedup key, so the query reads the index instead of training
+    val packed = graft.ops.IndexStore.read(spark, sfDir, "pq_packed")
     val blocks = packed
       .select(col("vec_id"), expr(
         "element_at(cds, 1) * 4096 + element_at(cds, 2) * 256 " +

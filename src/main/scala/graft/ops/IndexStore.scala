@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing vector-search index artifacts (VERDICT r8 #1/#2).
+  *
+  * Through round 8 every serving query of the IVF/PQ/kNN families re-ran
+  * its index build inside the query (~8 s of the 94.5 s bench total across
+  * the family) — correct, but a deployment never does that: an index is a
+  * STANDING artifact, built once per corpus version and scanned by every
+  * query until the corpus changes. This store is that lifecycle: the six
+  * artifacts below are built in one pass and persisted as parquet under
+  * the warehouse; the serving queries READ them and pay only serve-side
+  * cost. `index_build_vecsearch` is the registry entry that owns the build
+  * cost (it force-rebuilds and emits the artifact manifest), so the bench
+  * accounts the build exactly once.
+  *
+  * Artifacts (all deterministic — the fixed-point centroid protocol and
+  * parquet's bit-exact double round-trip make the stored rows identical to
+  * what the inline builds produced, so every serving query's hash is
+  * unchanged):
+  *
+  *   - `ivf_centroids`  (cell, cvec)         — the 10-entry coarse quantizer
+  *   - `ivf_assigned`   (vec_id, cell, d)    — the inverted lists (argmax
+  *     cell per vector, with its centroid dot for the index audit)
+  *   - `pq_codebook`    (s, c, cb)           — 4×16 trained PQ codebooks
+  *   - `pq_codes`       (vec_id, s, code, qerr) — per-subvector codes +
+  *     quantization error (the audit column)
+  *   - `pq_packed`      (vec_id, cds)        — the 4-code word per vector,
+  *     the 4-byte serving representation ADC scans read
+  *   - `knn_candidates` (a_id, b_id, dot)    — the cell-pruned kNN candidate
+  *     relation over the bounded graph slice (vec_id < 500, nprobe = 2),
+  *     shared by the six graph/cluster consumers that each rebuilt it
+  *
+  * Staleness: the store directory is keyed by an md5 fingerprint of the
+  * embeddings fixture (file paths + sizes + mtimes, plus a format
+  * version) — regenerated fixtures get a fresh key and a fresh build;
+  * `_GRAFT_INDEX_OK` (written last) marks a complete build, so a crashed
+  * half-build is re-run, never read.
+  *
+  * 100 TB: the same lifecycle with the warehouse on the object store — the
+  * build is the one corpus-sized job (every stage documented on its
+  * builder), `ivf_assigned`/`pq_packed` are written bucketed by cell /
+  * vec_id, and serving queries broadcast the ≤64-row codebook/centroid
+  * relations against map-only scans of the packed artifacts. The local
+  * fingerprint key becomes the lake table's snapshot/version id.
+  */
+object IndexStore {
+
+  /** Bump when artifact schemas/semantics change — stale dirs then miss. */
+  private val FormatVersion = 1
+
+  val ArtifactNames: Seq[String] = Seq(
+    "ivf_centroids", "ivf_assigned", "pq_codebook",
+    "pq_codes", "pq_packed", "knn_candidates")
+
+  /** The bounded slice the kNN candidate artifact covers (the M42-family
+    * contract bound; see Similarity.knnBucketed).
+    */
+  private val KnnBound = 500
+  private val KnnNprobe = 2
+
+  private def rootDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      new java.io.File("spark-warehouse/graft_index").getAbsolutePath)
+
+  /** Corpus-version fingerprint of the embeddings fixture. */
+  private[graft] def corpusKey(sfDir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.toList.sortBy(_.toString) finally s.close()
+      } else List(p)
+    val desc = files.map { f =>
+      s"$f:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"v$FormatVersion|$desc".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  def indexDir(sfDir: String): String = s"$rootDir/${corpusKey(sfDir)}"
+
+  private def marker(dir: String) =
+    java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")
+
+  /** Read one artifact, building the store first if this corpus version
+    * has no complete build yet (build-on-first-use keeps every query a
+    * pure function of (session, sfDir)).
+    */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/$name")
+
+  /** The store directory for this corpus version, built if absent. */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = indexDir(sfDir)
+    if (!java.nio.file.Files.exists(marker(dir))) build(spark, sfDir, dir)
+    dir
+  }
+
+  /** Force a fresh build (the `index_build_vecsearch` path — the bench
+    * measures build cost here, once, instead of inside every serving
+    * query).
+    */
+  def rebuild(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = indexDir(sfDir)
+    java.nio.file.Files.deleteIfExists(marker(dir))
+    build(spark, sfDir, dir)
+    dir
+  }
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  private def build(spark: SparkSession, sfDir: String, dir: String): Unit = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    // IVF: quantizer, then inverted lists computed against the STORED
+    // centroids (read back, so the persisted assignment provably derives
+    // from the persisted quantizer — the same read path queries use)
+    write(Similarity.centroidsBuild(e), s"$dir/ivf_centroids")
+    val cent = spark.read.parquet(s"$dir/ivf_centroids")
+    write(Similarity.ivfAssignBuild(e, cent), s"$dir/ivf_assigned")
+    // PQ: trained codebooks + per-subvector codes + packed code words
+    val (codebook, codes) = Similarity.pqIndex(e)
+    write(codebook, s"$dir/pq_codebook")
+    write(codes.select(col("vec_id"), col("s"), col("code"), col("qerr")),
+      s"$dir/pq_codes")
+    val storedCodes = spark.read.parquet(s"$dir/pq_codes")
+    write(storedCodes.groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)")
+          .as("cds")),
+      s"$dir/pq_packed")
+    // kNN candidate relation over the bounded graph slice
+    val eb = e.where(col("vec_id") < KnnBound)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    write(Similarity.knnCandidates(eb, KnnNprobe), s"$dir/knn_candidates")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(marker(dir),
+      corpusKey(sfDir).getBytes("UTF-8"))
+  }
+
+  /** The `index_build_vecsearch` query: force-rebuild the store for this
+    * corpus and emit the artifact manifest (name + row count, read back
+    * from the written parquet — the honest "what did the build produce").
+    * Row counts are pure functions of the corpus (n vectors, 10 labels,
+    * 64 codebook entries, 4 codes/vector, the deterministic candidate
+    * count), so the DuckDB oracle checks them without replicating the
+    * write path.
+    */
+  def indexBuildVecsearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = rebuild(spark, sfDir)
+    import spark.implicits._
+    ArtifactNames.map { n =>
+      (n, spark.read.parquet(s"$dir/$n").count())
+    }.toDF("artifact", "n_rows").orderBy(col("artifact"))
+  }
+}

@@ -3360,6 +3360,26 @@ object OracleSql {
         |CAST(SUM(toks) AS BIGINT) AS n_tokens, MIN(rn) AS first_pos, MAX(rn) AS last_pos,
         |CAST(SUM(rn * doc_id) AS BIGINT) AS perm_checksum
         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " "),
+
+    // J28 index_build_vecsearch — the standing-index build manifest: each
+    // artifact's row count is a pure function of the corpus (n vectors,
+    // one centroid per label, 4×16 codebook entries, 4 codes per vector,
+    // one packed word per vector, the deterministic cell-pruned kNN
+    // candidate count from the shared knnIvfChain), so the oracle checks
+    // the build without replicating the parquet write path.
+    "index_build_vecsearch" ->
+      ("WITH " + knnIvfChain +
+        """, nv AS (SELECT COUNT(*) AS n FROM embeddings),
+        |nl AS (SELECT COUNT(DISTINCT label) AS n FROM embeddings),
+        |ncand AS (SELECT COUNT(*) AS n FROM cand)
+        |SELECT artifact, n_rows FROM (
+        |SELECT 'ivf_assigned' AS artifact, (SELECT n FROM nv) AS n_rows
+        |UNION ALL SELECT 'ivf_centroids', (SELECT n FROM nl)
+        |UNION ALL SELECT 'knn_candidates', (SELECT n FROM ncand)
+        |UNION ALL SELECT 'pq_codebook', 64
+        |UNION ALL SELECT 'pq_codes', 4 * (SELECT n FROM nv)
+        |UNION ALL SELECT 'pq_packed', (SELECT n FROM nv))
+        |ORDER BY artifact""".stripMargin.replace("\n", " ")),
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan

@@ -90,4 +90,42 @@ class Round9Spec extends SparkSpec {
     }
     assert(reliable === local)
   }
+
+  /** VERDICT r8 #1: the standing-index manifest counts must equal what the
+    * inline builders produce — the store is a lifecycle change, never a
+    * content change.
+    */
+  test("index store: manifest counts equal the inline builders' counts") {
+    val m = run("index_build_vecsearch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === ops.IndexStore.ArtifactNames.toSet)
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    assert(m("ivf_assigned") === n)
+    assert(m("pq_packed") === n)
+    assert(m("pq_codes") === 4 * n)
+    assert(m("pq_codebook") === 64L)
+    assert(m("ivf_centroids") === e.select("label").distinct().count())
+    graft.functions.DotProduct.register(spark)
+    val eb = e.where(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    assert(m("knn_candidates") === ops.Similarity.knnCandidates(eb, 2).count())
+  }
+
+  test("index store: stored kNN edges are row-identical to the inline builder (store = build, serve = read)") {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sf).where(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val inline = ops.Similarity.knnBucketed(e, 5)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val stored = ops.Similarity.knnEdgesStored(spark, sf, 5)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(stored === inline)
+  }
+
+  test("index store: corpus fingerprint is call-stable and fixture-distinct") {
+    assert(ops.IndexStore.corpusKey(sf) === ops.IndexStore.corpusKey(sf))
+    assert(ops.IndexStore.corpusKey(sf) !==
+      ops.IndexStore.corpusKey("/root/testdata/sf0.01"))
+  }
 }
