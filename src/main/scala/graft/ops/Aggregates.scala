@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -456,7 +457,7 @@ object Aggregates {
         .as("hour"))
     val x = spine.join(hourly, Seq("hour"), "left")
       .select(hour(col("hour")).as("hod"), coalesce(col("n"), lit(0L)).as("x"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val g = x.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
       sum(col("x") * col("x")).as("q"))
     val perH = x.groupBy(col("hod"))

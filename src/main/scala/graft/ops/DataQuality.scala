@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -308,7 +309,7 @@ object DataQuality {
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ia"))
     val g = base.groupBy(col("v"))
       .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val cums = GlobalRank.withGlobalRunningSums(g, 32,
         Seq(col("ca") -> "cbf_a", col("cb") -> "cbf_b"), col("v"))
       .select(col("v"), (col("cbf_a") + col("ca")).as("cum_a"),
@@ -570,7 +571,7 @@ object DataQuality {
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val fences = daily.groupBy(col("event_type"))
       .agg(round(expr("percentile(x, 0.25)"), 6).as("q1"),
         round(expr("percentile(x, 0.75)"), 6).as("q3"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,7 +84,7 @@ object Dedup {
     // runs of the min-hash aggregate without materialization. One row of
     // four 16-byte digests per doc, the natural "build signatures once,
     // then bucket" pipeline break.
-    val sig = signatures(sh).localCheckpoint(true)
+    val sig = signatures(sh).lineageCut(true)
     // band key stays binary end-to-end: concat of two fixed-width 16-byte
     // digests is injective on (s_i, s_j), so bucket collisions — and hence
     // the candidate-pair set — are identical to the hex formulation while
@@ -223,7 +224,6 @@ object Dedup {
       // localCheckpoint by default; spark.graft.checkpointDir switches to
       // reliable checkpoint() for executor-loss durability (VERDICT r8 #4
       // — see [[Checkpoints]]).
-      import Checkpoints.CutOps
       var e = byA(p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
         .where(col("a") =!= col("b"))).lineageCut(false)
       // exact star-forest certificate (see Scaladoc): any node holding a
@@ -646,7 +646,7 @@ object Dedup {
     */
   def bandTuningSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir, 200).cache()
-    val sig = signatures(sh).localCheckpoint(true)
+    val sig = signatures(sh).lineageCut(true)
     def slice(cfg: String, k: Int, key: org.apache.spark.sql.Column) =
       sig.select(lit(cfg).as("cfg"), lit(k).as("bk"), col("doc_id"), key.as("b"))
     val bands = Seq(
@@ -670,7 +670,7 @@ object Dedup {
       .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .where(col("ni").cast("double") / (col("na") + col("nb") - col("ni")) >= 0.8)
-      .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      .select(col("a_id"), col("b_id")).lineageCut(true)
     val cfgs = bands.select(col("cfg")).distinct()
     val perCfg = cand.groupBy(col("cfg")).agg(count(lit(1)).as("n_cand"))
     val hitPerCfg = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
@@ -741,7 +741,7 @@ object Dedup {
     */
   def lshRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir, 200).cache()
-    val sig = signatures(sh).localCheckpoint(true)
+    val sig = signatures(sh).lineageCut(true)
     val band = sig.select(col("doc_id"), unhex(md5(concat(col("s0"), col("s1")))).as("b"))
       .unionAll(sig.select(col("doc_id"), unhex(md5(concat(col("s2"), col("s3")))).as("b")))
     val cand = band.as("x").join(band.as("y"),

@@ -35,7 +35,12 @@ object GlobalRank {
 
   private def checkpointEagerly(df: DataFrame): DataFrame = {
     if (capturePlans) lastRankedPlan = df.queryExecution.executedPlan.toString
-    df.localCheckpoint(true)
+    // localCheckpoint by default; the spark.graft.checkpointDir knob
+    // switches to reliable checkpoint() (see [[Checkpoints]]) — the
+    // ranked relation is the durability-critical pin here (two consumers
+    // of one RangePartitioner sample), so at cluster scale it should
+    // survive executor loss like every other lineage cut.
+    Checkpoints.cut(df, eager = true)
   }
 
   /** Appends `rn` (global row_number over `order`) and `n_total` to `df`

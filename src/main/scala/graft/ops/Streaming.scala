@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -183,7 +184,7 @@ object Streaming {
     val d = Tables.events(spark, sfDir)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut(true)
     val dau = d.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val ret = d.as("a")
       .join(d.as("b"),
@@ -830,7 +831,7 @@ object Streaming {
     val wk = Tables.events(spark, sfDir)
       .select(col("user_id"), expr("ts_us div 604800000000").as("wk"))
       .distinct()
-      .localCheckpoint(true)
+      .lineageCut(true)
     val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
     val cells = wk.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))

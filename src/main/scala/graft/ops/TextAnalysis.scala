@@ -2,6 +2,7 @@ package graft.ops
 
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,7 +98,7 @@ object TextAnalysis {
         row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .where(col("dup_rank") === 1)
       .repartition(col("doc_id"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     def shinglesOf(df: org.apache.spark.sql.DataFrame) = df
       .select(col("doc_id"), split(col("norm"), " ").as("t"))
       .select(col("doc_id"), explode(array_distinct(expr(

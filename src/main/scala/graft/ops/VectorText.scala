@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -263,7 +264,7 @@ object VectorText {
       .withColumn("wt",
         col("tf") * expr("ln(CAST(n_docs AS DOUBLE) / df)"))
       .select(col("w"), col("doc_id"), col("wt"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val norm = wtd.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
     val dots = wtd.select(col("w"), col("doc_id").as("a_id"), col("wt").as("wa"))
@@ -395,7 +396,7 @@ object VectorText {
     val grows = cells.groupBy(col("d"))
       .agg(expr("transform(array_sort(collect_list(struct(j, g))), s -> CAST(s.g AS DOUBLE))")
         .as("grow"))
-      .localCheckpoint(true) // 64 rows feed every iteration
+      .lineageCut(true) // 64 rows feed every iteration
     val nRow = e.agg(count(lit(1)).as("n"))
     def matVec(vv: DataFrame): DataFrame = grows.crossJoin(broadcast(vv))
       .select(col("d"), expr(
@@ -410,7 +411,7 @@ object VectorText {
         .select(expr(
           "transform(lw, x -> round(x / sqrt(aggregate(lw, CAST(0.0 AS DOUBLE), (acc, y) -> acc + y * y)), 9))")
           .as("v"))
-        .localCheckpoint(true)
+        .lineageCut(true)
     }
     val lam = gather(matVec(v))
       .select(expr("sqrt(aggregate(lw, CAST(0.0 AS DOUBLE), (acc, y) -> acc + y * y))").as("lam"))
