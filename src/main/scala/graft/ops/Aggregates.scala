@@ -985,4 +985,66 @@ object Aggregates {
       .select(col("day").cast("string").as("day"), col("n_events"), col("cum_events"),
         round(col("dev").cast("double") / col("n_days"), 6).as("cusum"))
   }
+
+  /** E27 — EXACT heavy hitters via the two-pass Misra–Gries protocol
+    * (round 9). A plain `groupBy(item)` answers "which items exceed a 1/64
+    * share" by shuffling EVERY distinct key — corpus-sized for token
+    * vocabularies, URLs, or user agents at 100 TB. Pass 1 runs the
+    * mergeable [[graft.functions.FrequentItemsSketch]] as an ordinary
+    * partial+final aggregate: each map task keeps ≤256 counters and ships
+    * ONE sketch row, so item cardinality never touches the exchange. MG
+    * guarantees every item with count > n/257 survives any merge order
+    * (Agarwal et al., "Mergeable Summaries", PODS'12), so the ≤256
+    * candidates are a certified superset of the n/64 heavy hitters.
+    * Pass 2 broadcast-semi-joins the candidates back over the stream and
+    * recounts exactly — output is EXACT and partition-order-invariant
+    * (Round9Spec shuffles the input to pin this) even though the
+    * intermediate candidate SET may vary. Item stream: floor(value)
+    * occupancy buckets — geometrically decaying, so the 1/64 threshold
+    * cuts at a non-trivial rank at every SF.
+    */
+  def aggHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.FrequentItemsSketch.register(spark)
+    val items = Tables.events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .select(floor(col("value")).cast("string").as("item"))
+    val cand = items.agg(expr("graft_freq_items(item)").as("cands"))
+      .select(explode(col("cands")).as("item"))
+    val tot = items.agg(count(lit(1)).as("total"))
+    items.join(broadcast(cand), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .where(col("n") * lit(64) > col("total"))
+      .select(col("item"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("frac"))
+      .orderBy(desc("n"), asc("item"))
+  }
+
+  /** E28 — heavy hitters PER GROUP: the same two-pass protocol with the
+    * MG sketch sitting inside `groupBy(event_type)` like any other
+    * aggregate — the composability that motivates the sketch being a
+    * `TypedImperativeAggregate` rather than a bespoke job (one pass can
+    * carry it next to count/sum at no extra shuffle). Candidates and
+    * report threshold are per-group (n_g/64 within each event_type); the
+    * exact recount keys on (event_type, item) and the per-group totals
+    * ride a broadcast. Same superset certificate per group, same exact
+    * partition-order-invariant output.
+    */
+  def aggHeavyHittersGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.FrequentItemsSketch.register(spark)
+    val items = Tables.events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value")).cast("string").as("item"))
+    val cand = items.groupBy(col("event_type"))
+      .agg(expr("graft_freq_items(item)").as("cands"))
+      .select(col("event_type"), explode(col("cands")).as("item"))
+    val tot = items.groupBy(col("event_type")).agg(count(lit(1)).as("total"))
+    items.join(broadcast(cand), Seq("event_type", "item"), "left_semi")
+      .groupBy(col("event_type"), col("item")).agg(count(lit(1)).as("n"))
+      .join(broadcast(tot), "event_type")
+      .where(col("n") * lit(64) > col("total"))
+      .select(col("event_type"), col("item"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("frac"))
+      .orderBy(col("event_type"), desc("n"), asc("item"))
+  }
 }

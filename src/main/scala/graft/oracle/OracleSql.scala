@@ -3380,6 +3380,29 @@ object OracleSql {
         |UNION ALL SELECT 'pq_codes', 4 * (SELECT n FROM nv)
         |UNION ALL SELECT 'pq_packed', (SELECT n FROM nv))
         |ORDER BY artifact""".stripMargin.replace("\n", " ")),
+
+    // E27/E28 (round 9): the oracle recomputes the heavy hitters EXACTLY
+    // (group-count + HAVING over the full stream) — the engine's
+    // Misra–Gries candidate pass is an optimization whose recounted
+    // output must coincide with the exact answer (the MG superset
+    // guarantee makes the two literally equal, not approximately).
+    "agg_heavy_hitters" ->
+      """WITH t AS (SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
+        |FROM events WHERE value IS NOT NULL)
+        |SELECT item, COUNT(*) AS n,
+        |round(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM t), 6) AS frac
+        |FROM t GROUP BY item HAVING COUNT(*) * 64 > (SELECT COUNT(*) FROM t)
+        |ORDER BY n DESC, item""".stripMargin.replace("\n", " "),
+
+    "agg_heavy_hitters_grouped" ->
+      """WITH t AS (SELECT event_type, CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
+        |FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, item, COUNT(*) AS n FROM t GROUP BY event_type, item),
+        |tot AS (SELECT event_type, SUM(n) AS total FROM c GROUP BY event_type)
+        |SELECT c.event_type, c.item, c.n,
+        |round(CAST(c.n AS DOUBLE) / tot.total, 6) AS frac
+        |FROM c JOIN tot USING (event_type) WHERE c.n * 64 > tot.total
+        |ORDER BY c.event_type, n DESC, item""".stripMargin.replace("\n", " "),
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan

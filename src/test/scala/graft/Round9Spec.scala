@@ -128,4 +128,80 @@ class Round9Spec extends SparkSpec {
     assert(ops.IndexStore.corpusKey(sf) !==
       ops.IndexStore.corpusKey("/root/testdata/sf0.01"))
   }
+
+  // ---- E27/E28: two-pass Misra–Gries heavy hitters ----
+
+  test("agg_heavy_hitters: recounted MG output equals the exact groupBy answer") {
+    val items = Tables.events(spark, sf)
+      .where(col("value").isNotNull)
+      .select(floor(col("value")).cast("string").as("item"))
+    val n = items.count()
+    val truth = items.groupBy("item").agg(count(lit(1)).as("n"))
+      .where(col("n") * 64 > n)
+      .select("item", "n")
+      .orderBy(desc("n"), asc("item")).collect().toSeq
+    val got = run("agg_heavy_hitters").select("item", "n").collect().toSeq
+    assert(got === truth)
+    assert(got.nonEmpty) // the fixture's floor(value) stream has real heavy hitters
+  }
+
+  test("agg_heavy_hitters: output is partition-order-invariant (candidate set may move, recount may not)") {
+    // same two-pass protocol over three hostile physical layouts of the
+    // identical stream: few fat partitions, many thin ones, and the
+    // MG worst case — sorted so the tail floods the sketch after the
+    // heavy head has been seen
+    val base = Tables.events(spark, sf)
+      .where(col("value").isNotNull)
+      .select(floor(col("value")).cast("string").as("item"))
+    graft.functions.FrequentItemsSketch.register(spark)
+    def answer(items: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+      val cand = items.agg(expr("graft_freq_items(item)").as("cands"))
+        .select(explode(col("cands")).as("item"))
+      val tot = items.agg(count(lit(1)).as("total"))
+      items.join(broadcast(cand), Seq("item"), "left_semi")
+        .groupBy(col("item")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .where(col("n") * lit(64) > col("total"))
+        .select(col("item"), col("n"))
+        .orderBy(desc("n"), asc("item")).collect().toSeq
+    }
+    val a = answer(base.repartition(2))
+    val b = answer(base.repartition(17, col("item")))
+    val c = answer(base.sort(col("item").desc))
+    assert(a === b)
+    assert(a === c)
+  }
+
+  test("graft_freq_items: candidate superset certificate on an adversarial sorted stream") {
+    graft.functions.FrequentItemsSketch.register(spark)
+    // 3 heavy items (2000 each) drowned by 6000 distinct singletons, and
+    // the stream SORTED so every singleton arrives after the heavy head —
+    // maximal decrement pressure on the sketch. n = 12000, threshold
+    // n/64 = 187.5; MG with k=256 certifies anything above n/257 ≈ 46.7.
+    val stream = spark.range(12000).select(
+      when(col("id") < 6000, concat(lit("hot"), (col("id") % 3).cast("string")))
+        .otherwise(concat(lit("cold"), col("id").cast("string"))).as("item"))
+      .sort(col("id")) // heavies first, then the cold flood
+    val cands = stream.agg(expr("graft_freq_items(item)").as("c"))
+      .select(explode(col("c")).as("item"))
+      .collect().map(_.getString(0)).toSet
+    assert(Set("hot0", "hot1", "hot2").subsetOf(cands))
+    assert(cands.size <= 256)
+  }
+
+  test("agg_heavy_hitters_grouped: per-group recount equals per-group exact answer") {
+    val items = Tables.events(spark, sf)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value")).cast("string").as("item"))
+    val tot = items.groupBy("event_type").agg(count(lit(1)).as("total"))
+    val truth = items.groupBy("event_type", "item").agg(count(lit(1)).as("n"))
+      .join(tot, "event_type")
+      .where(col("n") * 64 > col("total"))
+      .select("event_type", "item", "n")
+      .orderBy(col("event_type"), desc("n"), asc("item")).collect().toSeq
+    val got = run("agg_heavy_hitters_grouped")
+      .select("event_type", "item", "n").collect().toSeq
+    assert(got === truth)
+    assert(got.nonEmpty)
+  }
 }
