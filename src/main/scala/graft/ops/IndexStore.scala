@@ -66,10 +66,13 @@ object IndexStore {
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
       new java.io.File("spark-warehouse/graft_index").getAbsolutePath)
 
-  /** Corpus-version fingerprint of the embeddings fixture. */
-  private[graft] def corpusKey(sfDir: String): String = {
+  /** Corpus-version fingerprint of one fixture table (file paths + sizes
+    * + mtimes + format version + family tag, md5'd) — the staleness key
+    * both artifact families share.
+    */
+  private def fileKey(sfDir: String, table: String, family: String): String = {
     import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
+    val p = java.nio.file.Paths.get(sfDir, s"$table.parquet")
     val files: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(p)) {
         val s = java.nio.file.Files.list(p)
@@ -79,9 +82,13 @@ object IndexStore {
       s"$f:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
     }.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"v$FormatVersion|$desc".getBytes("UTF-8"))
+      .digest(s"$family|v$FormatVersion|$desc".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
   }
+
+  /** Corpus-version fingerprint of the embeddings fixture. */
+  private[graft] def corpusKey(sfDir: String): String =
+    fileKey(sfDir, "embeddings", "vecsearch")
 
   def indexDir(sfDir: String): String = s"$rootDir/${corpusKey(sfDir)}"
 
@@ -156,6 +163,74 @@ object IndexStore {
     val dir = rebuild(spark, sfDir)
     import spark.implicits._
     ArtifactNames.map { n =>
+      (n, spark.read.parquet(s"$dir/$n").count())
+    }.toDF("artifact", "n_rows").orderBy(col("artifact"))
+  }
+
+  // ---- media family (round 9): block-SimHash signatures + near-dup pairs
+
+  /** The media near-dup index: the same standing-artifact lifecycle for
+    * the block-SimHash family, keyed by the DOCUMENTS fixture (the media
+    * corpus) rather than embeddings. Two artifacts:
+    *
+    *   - `media_sigs`  (doc_id, sig)            — the 60-bit block-SimHash
+    *     signature per non-empty payload ([[Multimodal.phashSignatures]])
+    *   - `media_pairs` (a_id, b_id, hamming)    — the 4×15-band candidate
+    *     join cut at Hamming ≤ 10 and distinct'd — the pair relation BOTH
+    *     `mm_phash_hamming` (report) and `mm_phash_clusters` (star-loop
+    *     clustering) previously rebuilt per query
+    *
+    * Signatures and pairs are integer-typed (LONG/INT), so the parquet
+    * round-trip is bit-exact and serving hashes are unchanged. At 100 TB
+    * the signature pass is the one corpus-sized job (per-band keyed
+    * shuffles, never all-pairs); re-signing only changed payloads is the
+    * natural incremental extension (fingerprint key → lake snapshot id).
+    */
+  val MediaArtifactNames: Seq[String] = Seq("media_pairs", "media_sigs")
+
+  private[graft] def mediaKey(sfDir: String): String =
+    fileKey(sfDir, "documents", "mediasig")
+
+  def mediaDir(sfDir: String): String = s"$rootDir/media_${mediaKey(sfDir)}"
+
+  def readMedia(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"${ensureMedia(spark, sfDir)}/$name")
+
+  def ensureMedia(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = mediaDir(sfDir)
+    if (!java.nio.file.Files.exists(marker(dir))) buildMedia(spark, sfDir, dir)
+    dir
+  }
+
+  def rebuildMedia(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = mediaDir(sfDir)
+    java.nio.file.Files.deleteIfExists(marker(dir))
+    buildMedia(spark, sfDir, dir)
+    dir
+  }
+
+  private def buildMedia(spark: SparkSession, sfDir: String, dir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    write(Multimodal.phashSignatures(docs), s"$dir/media_sigs")
+    // pairs computed against the STORED signatures — the persisted pair
+    // relation provably derives from the persisted signature artifact
+    val storedSigs = spark.read.parquet(s"$dir/media_sigs")
+    write(Multimodal.phashPairs(storedSigs), s"$dir/media_pairs")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(marker(dir), mediaKey(sfDir).getBytes("UTF-8"))
+  }
+
+  /** The `index_build_mediasig` query: force-rebuild the media index and
+    * emit the artifact manifest. Row counts are pure corpus functions
+    * (signatures = non-empty payloads; pairs = the deterministic banded
+    * ≤10-bit candidate count), so the DuckDB oracle checks the build by
+    * replicating the ALGORITHM (the shared phash CTE chain), not the
+    * parquet write path.
+    */
+  def indexBuildMediasig(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = rebuildMedia(spark, sfDir)
+    import spark.implicits._
+    MediaArtifactNames.map { n =>
       (n, spark.read.parquet(s"$dir/$n").count())
     }.toDF("artifact", "n_rows").orderBy(col("artifact"))
   }

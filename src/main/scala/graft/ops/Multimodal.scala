@@ -175,17 +175,20 @@ object Multimodal {
       }.reduce(_ + _).cast("long").as("sig"))
   }
 
-  def phashHamming(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = phashSignatures(Tables.documents(spark, sfDir))
+  /** The band-join pair stage on top of a (doc_id, sig) relation,
+    * factored out (round 9) so [[graft.ops.IndexStore]] can persist the
+    * pair relation once: 4×15-bit bands, Hamming cut at ≤ 10, distinct.
+    * Hamming cut BEFORE the pair distinct: bit_count is a narrow per-row
+    * op on the raw band-join output, so evaluating it first shrinks the
+    * distinct's shuffle to the surviving pairs (the ≤10-bit round-8
+    * threshold) instead of every band collision — same result set, one
+    * materially smaller exchange (the band join is where candidate
+    * volume peaks at scale).
+    */
+  private[graft] def phashPairs(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("band", expr("shiftright(sig, k * 15) & 32767"))
-    // Hamming cut BEFORE the pair distinct: bit_count is a narrow per-row
-    // op on the raw band-join output, so evaluating it first shrinks the
-    // distinct's shuffle to the surviving pairs (the ≤10-bit round-8
-    // threshold) instead of every band collision — same result set, one
-    // materially smaller exchange (the band join is where candidate
-    // volume peaks at scale).
     bands.select(col("doc_id").as("a_id"), col("sig").as("sa"),
         col("k"), col("band"))
       .join(bands.select(col("doc_id").as("b_id"), col("sig").as("sb"),
@@ -194,8 +197,14 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("int"))
       .where(col("hamming") <= 10)
       .select(col("a_id"), col("b_id"), col("hamming")).distinct()
-      .orderBy(col("hamming"), col("a_id"), col("b_id"))
   }
+
+  def phashHamming(spark: SparkSession, sfDir: String): DataFrame =
+    // serve-side: the signature pass and band join live in the standing
+    // media index (round 9, IndexStore media family, build-on-first-use);
+    // the report is a read + order of the persisted pair relation
+    IndexStore.readMedia(spark, sfDir, "media_pairs")
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
 
   /** A18 mm_magic_sniff — content-type sniffing over an opaque media
     * column: classify every blob by its magic bytes (JPEG FFD8FFE0, PNG
@@ -291,7 +300,8 @@ object Multimodal {
     * same pair list.
     */
   def phashClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = phashHamming(spark, sfDir).select(col("a_id"), col("b_id"))
+    val pairs = IndexStore.readMedia(spark, sfDir, "media_pairs")
+      .select(col("a_id"), col("b_id"))
     val (labels, _) = graft.ops.Dedup.starComponents(pairs)
     labels.groupBy(col("component")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))

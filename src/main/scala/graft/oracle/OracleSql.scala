@@ -3394,6 +3394,20 @@ object OracleSql {
         |FROM t GROUP BY item HAVING COUNT(*) * 64 > (SELECT COUNT(*) FROM t)
         |ORDER BY n DESC, item""".stripMargin.replace("\n", " "),
 
+    // M96 (round 9): the media-index build manifest — row counts are pure
+    // corpus functions (signatures = non-empty payloads, pairs = the
+    // deterministic banded ≤10-bit candidate count from the shared phash
+    // CTE chain), so the oracle checks the build by replicating the
+    // algorithm, not the parquet write path.
+    "index_build_mediasig" ->
+      ("WITH " + phashPairChain +
+        """, ns AS (SELECT COUNT(*) AS n FROM documents WHERE n_chars > 0),
+        |np AS (SELECT COUNT(*) AS n FROM cand WHERE bit_count(xor(sa, sb)) <= 10)
+        |SELECT artifact, n_rows FROM (
+        |SELECT 'media_pairs' AS artifact, (SELECT n FROM np) AS n_rows
+        |UNION ALL SELECT 'media_sigs', (SELECT n FROM ns))
+        |ORDER BY artifact""".stripMargin.replace("\n", " ")),
+
     "agg_heavy_hitters_grouped" ->
       """WITH t AS (SELECT event_type, CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
         |FROM events WHERE value IS NOT NULL),

@@ -129,6 +129,31 @@ class Round9Spec extends SparkSpec {
       ops.IndexStore.corpusKey("/root/testdata/sf0.01"))
   }
 
+  test("media index store: stored pair relation is row-identical to the inline signature+band build") {
+    val docs = Tables.documents(spark, sf)
+    val inline = ops.Multimodal.phashPairs(ops.Multimodal.phashSignatures(docs))
+      .orderBy("a_id", "b_id").collect().toSeq
+    val stored = ops.IndexStore.readMedia(spark, sf, "media_pairs")
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(stored === inline)
+    assert(stored.nonEmpty) // the fixture has true near-dups at ≤10 bits
+    // and the signature artifact matches the inline signature pass
+    val sigInline = ops.Multimodal.phashSignatures(docs)
+      .orderBy("doc_id").collect().toSeq
+    val sigStored = ops.IndexStore.readMedia(spark, sf, "media_sigs")
+      .orderBy("doc_id").collect().toSeq
+    assert(sigStored === sigInline)
+  }
+
+  test("media index store: fingerprint is documents-keyed and family-distinct from vecsearch") {
+    assert(ops.IndexStore.mediaKey(sf) === ops.IndexStore.mediaKey(sf))
+    assert(ops.IndexStore.mediaKey(sf) !==
+      ops.IndexStore.mediaKey("/root/testdata/sf0.01"))
+    // same fixture, different family → different key (a vecsearch build
+    // can never be misread as a media build)
+    assert(ops.IndexStore.mediaKey(sf) !== ops.IndexStore.corpusKey(sf))
+  }
+
   // ---- E27/E28: two-pass Misra–Gries heavy hitters ----
 
   test("agg_heavy_hitters: recounted MG output equals the exact groupBy answer") {
