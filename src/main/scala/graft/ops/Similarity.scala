@@ -1018,4 +1018,91 @@ object Similarity {
           (lit(4L) * col("l_edges") * col("l_edges")).cast("double"), 6)
           + lit(0.0)).as("modularity"))
   }
+
+  /** M98 graph_kcore_peel (round 9) — bounded k-core peeling on the
+    * symmetrized 5-NN graph: three rounds of "drop every vertex with
+    * degree < 6, keep only edges between survivors", reporting the
+    * (n_alive, n_edges) trace per round. The k-core is the standard
+    * dense-cluster certificate on a similarity graph (a vertex in the
+    * 6-core after peeling has ≥6 neighbors that THEMSELVES survive — a
+    * much stronger near-dup-cluster signal than raw degree, which
+    * counts edges into peeled-away noise). The round count is FIXED at
+    * 3 — the contract is the bounded peel trace, exactly what the
+    * unrolled oracle recomputes — rather than peel-to-fixpoint, whose
+    * round count is data-dependent and would make the oracle a
+    * recursive aggregate DuckDB cannot express; the trace shows
+    * convergence directly (equal consecutive rows = fixpoint reached).
+    * Each round is one keyed degree aggregate + two semi-joins on the
+    * survivor set — linear in |E| per round at any scale — with the
+    * edge relation lineage-cut between rounds through the
+    * checkpoint-durability knob like every iterative loop. Edges come
+    * from the standing kNN index ([[knnEdgesStored]]), not a rebuild.
+    */
+  def graphKcorePeel(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 6
+    var edges = knnEdgesStored(spark, sfDir, 5)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .lineageCut(true)
+    var trace: DataFrame = null
+    for (peelRound <- 1 to 3) {
+      val adj = edges.select(col("u").as("x"))
+        .unionAll(edges.select(col("v").as("x")))
+      val alive = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("x"))
+      edges = edges
+        .join(alive.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+        .lineageCut(true)
+      // per-round audit row: 1-row survivor count × 1-row edge count
+      val row = alive.agg(count(lit(1)).as("n_alive"))
+        .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(peelRound).as("peel_round"), col("n_alive"), col("n_edges"))
+      trace = if (trace == null) row else trace.unionAll(row)
+    }
+    trace.orderBy(col("peel_round"))
+  }
+
+  /** J29 ann_graph_expand_topk (round 9) — graph-traversal ANN serving,
+    * the fourth serving mode next to exact (J3), sign-LSH (M15), and
+    * IVF/PQ-ADC (J17+): candidates come from a bounded 2-hop neighbor
+    * expansion of the query vertex over the STANDING kNN graph
+    * ([[knnEdgesStored]] — the degree-≤5 directed relation the index
+    * build persisted), then an exact codegen'd-dot re-rank picks top-5.
+    * This is the layer-0 idiom of graph-based ANN (HNSW/NSW family,
+    * public literature): ≤ 5 + 25 candidates per query regardless of
+    * corpus size, so serving cost is O(queries · k²) — no cells, no
+    * codebooks, no corpus scan — at the price of recall bounded by graph
+    * connectivity (the recall-vs-cost trade the other modes price
+    * differently). Fixed 2 hops keeps the oracle an unrolled pair of
+    * joins (data-dependent walk depth would need recursion); broadcast
+    * query side, keyed candidate joins — never corpus².
+    */
+  def annGraphExpandTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val edges = knnEdgesStored(spark, sfDir, 5)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val h1 = broadcast(q.select(col("q_id")))
+      .join(edges, col("q_id") === col("a_id"))
+      .select(col("q_id"), col("b_id").as("cand"))
+    val h2 = h1.join(
+        edges.select(col("a_id").as("c2"), col("b_id").as("cand2")),
+        col("cand") === col("c2"))
+      .select(col("q_id"), col("cand2").as("cand"))
+    val cands = h1.unionAll(h2).where(col("cand") =!= col("q_id")).distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim_raw"), asc("cand"))
+    cands
+      .join(e.select(col("vec_id").as("cand"), col("embedding").as("c_emb")), "cand")
+      .join(broadcast(q), "q_id")
+      .withColumn("sim_raw", expr("graft_dot(q_emb, c_emb)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("cand").as("b_id"),
+        (round(col("sim_raw"), 4) + lit(0.0)).as("sim"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
 }

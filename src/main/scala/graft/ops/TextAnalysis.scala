@@ -260,6 +260,39 @@ object TextAnalysis {
       .orderBy(col("split"))
   }
 
+  /** M97 pipeline_eval_holdout (round 9) — fixed-SIZE eval carve, the
+    * complement of M-split's fixed-RATE split (splitTrainEval): exactly
+    * 100 documents form the held-out eval set, chosen as the bottom-100
+    * by md5 of CONTENT (tie-break doc_id) so the holdout is stable under
+    * re-crawls that renumber documents but keep their text. The global
+    * bottom-k plans as TakeOrderedAndProject — each map task ships only
+    * its local bottom-100, so there is no corpus-wide sort and no
+    * single-partition window even at 100 TB — and the ≤100-row cut set
+    * broadcasts back over the corpus for the exact per-source attrition
+    * report (docs/chars held out per source). The report is what a
+    * training run audits before trusting the holdout: a source with
+    * eval_char_share ≈ 0 is unrepresented in eval.
+    */
+  def evalHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("hv"))
+    val eval = docs.orderBy(col("hv"), col("doc_id")).limit(100)
+      .select(col("doc_id"), lit(1L).as("ev"))
+    docs.join(broadcast(eval), Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("ev"), lit(0L))).as("n_eval"),
+        (count(lit(1)) - sum(coalesce(col("ev"), lit(0L)))).as("n_train"),
+        sum(when(col("ev").isNotNull, col("n_chars")).otherwise(lit(0L)))
+          .as("eval_chars"),
+        (round(sum(when(col("ev").isNotNull, col("n_chars")).otherwise(lit(0L)))
+            .cast("double") / sum(col("n_chars")), 6) + lit(0.0))
+          .as("eval_char_share"))
+      .orderBy(col("source"))
+  }
+
   /** M39 text_zipf_slope — corpus statistics check: the log-log slope of
     * the token rank-frequency curve per language (Zipf's law predicts
     * ≈ −1; a strongly different slope flags synthetic/duplicated text).

@@ -3381,6 +3381,62 @@ object OracleSql {
         |UNION ALL SELECT 'pq_packed', (SELECT n FROM nv))
         |ORDER BY artifact""".stripMargin.replace("\n", " ")),
 
+    // J29 (round 9): graph-traversal ANN — the 2-hop expansion unrolls to
+    // two joins over the kNN edge relation; exact-dot re-rank on the
+    // deduped candidate set, J3's rounding protocol.
+    "ann_graph_expand_topk" ->
+      ("WITH " + knnIvfChain + """, knn AS (SELECT a_id, b_id FROM rk WHERE rn <= 5),
+        |h1 AS (SELECT a_id AS q_id, b_id AS cand FROM knn WHERE a_id < 10),
+        |h2 AS (SELECT h1.q_id, k2.b_id AS cand FROM h1 JOIN knn k2 ON k2.a_id = h1.cand),
+        |c AS (SELECT DISTINCT q_id, cand FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) WHERE cand <> q_id),
+        |s AS (SELECT c.q_id, c.cand,
+        |list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])) AS sim_raw
+        |FROM c JOIN embeddings qe ON qe.vec_id = c.q_id JOIN embeddings ce ON ce.vec_id = c.cand),
+        |r AS (SELECT q_id, cand, sim_raw,
+        |ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_raw DESC, cand) AS rn FROM s)
+        |SELECT q_id, cand AS b_id, round(sim_raw, 4) + 0.0 AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin.replace("\n", " ")),
+
+    // M98 (round 9): bounded k-core peel — the Spark side's three fixed
+    // rounds unroll to three CTE stages (deg → survivors → induced
+    // edges), so the oracle recomputes the identical trace without any
+    // recursive aggregate. e0 is MATERIALIZED: the peel stages reference
+    // it (transitively) many times, and DuckDB's CTE inlining would
+    // otherwise re-evaluate the corpus-sized kNN chain per reference —
+    // OOM at sf1; materialized, the chain runs once into a ~2k-row edge
+    // list and the whole query is sub-second at any fixture size.
+    "graph_kcore_peel" ->
+      ("WITH " + knnIvfChain + """, knn AS (SELECT a_id, b_id FROM rk WHERE rn <= 5),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+        |d1 AS (SELECT x, COUNT(*) AS deg FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
+        |a1 AS (SELECT x FROM d1 WHERE deg >= 6),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT x FROM a1) AND v IN (SELECT x FROM a1)),
+        |d2 AS (SELECT x, COUNT(*) AS deg FROM (SELECT u AS x FROM e1 UNION ALL SELECT v FROM e1) GROUP BY x),
+        |a2 AS (SELECT x FROM d2 WHERE deg >= 6),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT x FROM a2) AND v IN (SELECT x FROM a2)),
+        |d3 AS (SELECT x, COUNT(*) AS deg FROM (SELECT u AS x FROM e2 UNION ALL SELECT v FROM e2) GROUP BY x),
+        |a3 AS (SELECT x FROM d3 WHERE deg >= 6),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT x FROM a3) AND v IN (SELECT x FROM a3))
+        |SELECT peel_round, n_alive, n_edges FROM (
+        |SELECT 1 AS peel_round, (SELECT COUNT(*) FROM a1) AS n_alive, (SELECT COUNT(*) FROM e1) AS n_edges
+        |UNION ALL SELECT 2, (SELECT COUNT(*) FROM a2), (SELECT COUNT(*) FROM e2)
+        |UNION ALL SELECT 3, (SELECT COUNT(*) FROM a3), (SELECT COUNT(*) FROM e3))
+        |ORDER BY peel_round""".stripMargin.replace("\n", " ")),
+
+    // M97 (round 9): fixed-size holdout — the oracle carves the same
+    // bottom-100-by-content-md5 set (tie-break doc_id) and recomputes the
+    // per-source attrition exactly.
+    "pipeline_eval_holdout" ->
+      """WITH h AS (SELECT doc_id, source, n_chars, md5(text) AS hv FROM documents),
+        |e AS (SELECT doc_id FROM h ORDER BY hv, doc_id LIMIT 100)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(COUNT(e.doc_id) AS BIGINT) AS n_eval,
+        |CAST(COUNT(*) - COUNT(e.doc_id) AS BIGINT) AS n_train,
+        |CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS BIGINT) AS eval_chars,
+        |round(CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN n_chars ELSE 0 END) AS DOUBLE) / SUM(n_chars), 6) + 0.0 AS eval_char_share
+        |FROM h LEFT JOIN e USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+
     // E27/E28 (round 9): the oracle recomputes the heavy hitters EXACTLY
     // (group-count + HAVING over the full stream) — the engine's
     // Misra–Gries candidate pass is an optimization whose recounted

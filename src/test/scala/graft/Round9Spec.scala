@@ -154,6 +154,73 @@ class Round9Spec extends SparkSpec {
     assert(ops.IndexStore.mediaKey(sf) !== ops.IndexStore.corpusKey(sf))
   }
 
+  test("pipeline_eval_holdout: exactly 100 held out, counts reconcile, bottom-k plans as TakeOrdered") {
+    val df = run("pipeline_eval_holdout")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(2)).sum === 100L) // Σ n_eval over sources
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3)) // n_docs = n_eval + n_train
+    }
+    // the fixed-size carve must be a partial per-mapper bottom-k, never a
+    // global sort: TakeOrderedAndProject in the plan
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("pipeline_eval_holdout: held-out CONTENT is invariant under document renumbering") {
+    // same corpus with every doc_id shifted — the content-hash carve must
+    // select the same text multiset (the re-crawl stability the md5(text)
+    // key exists for; doc_id only tie-breaks duplicate texts)
+    def holdoutTexts(docs: org.apache.spark.sql.DataFrame): Seq[String] = {
+      docs.select(col("doc_id"), md5(col("text").cast("binary")).as("hv"))
+        .orderBy(col("hv"), col("doc_id")).limit(100)
+        .select(col("hv")).collect().map(_.getString(0)).toSeq.sorted
+    }
+    val docs = Tables.documents(spark, sf)
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    assert(holdoutTexts(docs) === holdoutTexts(shifted))
+  }
+
+  test("graph_kcore_peel: 3-row trace, monotone attrition, round-1 matches an inline recomputation") {
+    val rows = run("graph_kcore_peel").collect()
+    assert(rows.length === 3)
+    val alive = rows.map(_.getLong(1))
+    val edges = rows.map(_.getLong(2))
+    assert(alive.sliding(2).forall(p => p(0) >= p(1)), "n_alive must be non-increasing")
+    assert(edges.sliding(2).forall(p => p(0) >= p(1)), "n_edges must be non-increasing")
+    assert(edges.forall(_ > 0)) // k=6 peels the periphery, not the whole fixture graph
+    // round 1 recomputed inline from the same stored edge relation
+    val e0 = ops.Similarity.knnEdgesStored(spark, sf, 5)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+    val adj = e0.select(col("u").as("x")).unionAll(e0.select(col("v").as("x")))
+    val a1 = adj.groupBy("x").agg(count(lit(1)).as("deg")).where(col("deg") >= 6)
+    assert(a1.count() === alive(0))
+    val nVertices = adj.select("x").distinct().count()
+    assert(alive(0) < nVertices, "round 1 must actually peel something")
+  }
+
+  test("ann_graph_expand_topk: full top-5 per query, every hit inside the 2-hop frontier") {
+    val rows = run("ann_graph_expand_topk").collect()
+    assert(rows.length === 50) // 10 queries × top-5 (h1 alone guarantees ≥5 candidates)
+    assert(rows.map(_.getLong(0)).distinct.length === 10)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to 5))
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sliding(2).forall(p => p(0) >= p(1)), "sim must be non-increasing in rank")
+    }
+    // membership: recompute the 2-hop frontier from the same stored graph
+    val edges = ops.Similarity.knnEdgesStored(spark, sf, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (q, b) = (r.getLong(0), r.getLong(1))
+      val h1 = adj.getOrElse(q, Set.empty)
+      val frontier = h1 ++ h1.flatMap(c => adj.getOrElse(c, Set.empty))
+      assert(frontier.contains(b), s"query $q returned $b outside its 2-hop frontier")
+    }
+  }
+
   // ---- E27/E28: two-pass Misra–Gries heavy hitters ----
 
   test("agg_heavy_hitters: recounted MG output equals the exact groupBy answer") {
