@@ -183,8 +183,18 @@ object FrequentItemsSketch {
     * threshold the E27/E28 queries certify against. */
   val DefaultK = 256
 
-  /** Registers `graft_freq_items(item)` (k=256). */
+  /** Registers `graft_freq_items(item)` (k=256). Arity is validated here
+    * — wrong argument counts must fail at analysis with a clear message
+    * (the ADVICE r3 protocol checkInputDataTypes applies to types), not
+    * crash with IndexOutOfBounds or silently drop extra arguments.
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_freq_items", exprs => FrequentItemsSketch(exprs(0), DefaultK), "built-in")
+      "graft_freq_items",
+      exprs => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"graft_freq_items requires exactly 1 argument (the STRING item), got ${exprs.length}")
+        FrequentItemsSketch(exprs.head, DefaultK)
+      },
+      "built-in")
 }

@@ -996,8 +996,9 @@ object Aggregates {
     * guarantees every item with count > n/257 survives any merge order
     * (Agarwal et al., "Mergeable Summaries", PODS'12), so the ≤256
     * candidates are a certified superset of the n/64 heavy hitters.
-    * Pass 2 broadcast-semi-joins the candidates back over the stream and
-    * recounts exactly — output is EXACT and partition-order-invariant
+    * Pass 2 joins the ≤256 broadcast candidates (each carrying the
+    * stream total from the same pass-1 aggregate) back over the stream
+    * and recounts exactly — output is EXACT and partition-order-invariant
     * (Round9Spec shuffles the input to pin this) even though the
     * intermediate candidate SET may vary. Item stream: floor(value)
     * occupancy buckets — geometrically decaying, so the 1/64 threshold
@@ -1008,12 +1009,15 @@ object Aggregates {
     val items = Tables.events(spark, sfDir)
       .where(col("value").isNotNull)
       .select(floor(col("value")).cast("string").as("item"))
-    val cand = items.agg(expr("graft_freq_items(item)").as("cands"))
-      .select(explode(col("cands")).as("item"))
-    val tot = items.agg(count(lit(1)).as("total"))
-    items.join(broadcast(cand), Seq("item"), "left_semi")
-      .groupBy(col("item")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(tot))
+    // ONE aggregate carries both the sketch and the stream total (the
+    // two ride the same partial+final pass), exploded so each candidate
+    // row carries the total — pass 2 is then a single broadcast join
+    // that provides the candidate cut AND the report denominator
+    val candTot = items
+      .agg(expr("graft_freq_items(item)").as("cands"), count(lit(1)).as("total"))
+      .select(col("total"), explode(col("cands")).as("item"))
+    items.join(broadcast(candTot), Seq("item"))
+      .groupBy(col("item"), col("total")).agg(count(lit(1)).as("n"))
       .where(col("n") * lit(64) > col("total"))
       .select(col("item"), col("n"),
         round(col("n").cast("double") / col("total"), 6).as("frac"))
@@ -1035,13 +1039,14 @@ object Aggregates {
     val items = Tables.events(spark, sfDir)
       .where(col("value").isNotNull)
       .select(col("event_type"), floor(col("value")).cast("string").as("item"))
-    val cand = items.groupBy(col("event_type"))
-      .agg(expr("graft_freq_items(item)").as("cands"))
-      .select(col("event_type"), explode(col("cands")).as("item"))
-    val tot = items.groupBy(col("event_type")).agg(count(lit(1)).as("total"))
-    items.join(broadcast(cand), Seq("event_type", "item"), "left_semi")
-      .groupBy(col("event_type"), col("item")).agg(count(lit(1)).as("n"))
-      .join(broadcast(tot), "event_type")
+    // as in E27: sketch + per-group total in ONE grouped pass, exploded
+    // so each (group, candidate) row carries its group's denominator
+    val candTot = items.groupBy(col("event_type"))
+      .agg(expr("graft_freq_items(item)").as("cands"), count(lit(1)).as("total"))
+      .select(col("event_type"), col("total"), explode(col("cands")).as("item"))
+    items.join(broadcast(candTot), Seq("event_type", "item"))
+      .groupBy(col("event_type"), col("item"), col("total"))
+      .agg(count(lit(1)).as("n"))
       .where(col("n") * lit(64) > col("total"))
       .select(col("event_type"), col("item"), col("n"),
         round(col("n").cast("double") / col("total"), 6).as("frac"))

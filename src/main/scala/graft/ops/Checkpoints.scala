@@ -49,6 +49,18 @@ object Checkpoints {
   /** Lineage cut: `localCheckpoint(eager)` by default, reliable
     * `checkpoint(eager)` into the configured directory when the knob is
     * set. See object Scaladoc for the executor-loss semantics of each.
+    *
+    * The reliable path persists BEFORE checkpointing: Spark's reliable
+    * checkpoint writes its files in a SECOND job that re-runs the full
+    * lineage unless the rows are already cached (documented
+    * ReliableRDDCheckpointData behavior), which would double every loop
+    * round's compute — the opposite of what the knob promises. With the
+    * persist, the checkpoint job reads cached blocks; the cache is
+    * dropped again once the eager materialization is done (the
+    * checkpoint files are now the stable source, keeping the cache from
+    * accumulating a copy per loop round). Lazy cuts keep the persist
+    * until their first consumer materializes both it and the checkpoint
+    * in one job.
     */
   def cut(df: DataFrame, eager: Boolean): DataFrame =
     reliableDir(df) match {
@@ -60,7 +72,10 @@ object Checkpoints {
             setFor = Some((sc, dir))
           }
         }
-        df.checkpoint(eager)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint(eager)
+        if (eager) df.unpersist(blocking = false)
+        out
       case None => df.localCheckpoint(eager)
     }
 

@@ -115,15 +115,54 @@ object IndexStore {
     */
   def rebuild(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = indexDir(sfDir)
-    java.nio.file.Files.deleteIfExists(marker(dir))
-    build(spark, sfDir, dir)
+    build(spark, sfDir, dir, force = true)
     dir
   }
 
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
-  private def build(spark: SparkSession, sfDir: String, dir: String): Unit = {
+  /** Crash/concurrency-safe publish: build into a process-unique temp
+    * sibling (marker written last, inside the temp), then atomically
+    * rename into place. `synchronized` only excludes threads of THIS
+    * JVM; a bench/Verify pair sharing the store dir would otherwise
+    * interleave overwrite-mode writes and could leave a torn directory
+    * that carries the completion marker. With the rename, a directory
+    * bearing the marker is always one complete build: if another
+    * process won the race (destination already complete), this build's
+    * temp is discarded and the winner's artifacts are served.
+    */
+  private def publish(dir: String, force: Boolean)(doBuild: String => Unit): Unit = {
+    val tmp = dir + ".build-" +
+      java.lang.ProcessHandle.current().pid() + "-" + java.lang.System.nanoTime()
+    doBuild(tmp)
+    val dst = java.nio.file.Paths.get(dir)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try { s.iterator().forEachRemaining(rm) } finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    // force (rebuild): always replace. Otherwise keep a complete winner;
+    // replace only a torn (marker-less) leftover.
+    if (force) rm(dst)
+    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        if (!force && java.nio.file.Files.exists(marker(dir)))
+          rm(java.nio.file.Paths.get(tmp))
+        else {
+          rm(dst)
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
+  }
+
+  private def build(spark: SparkSession, sfDir: String, finalDir: String,
+      force: Boolean = false): Unit = publish(finalDir, force) { dir =>
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     // IVF: quantizer, then inverted lists computed against the STORED
@@ -204,12 +243,12 @@ object IndexStore {
 
   def rebuildMedia(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = mediaDir(sfDir)
-    java.nio.file.Files.deleteIfExists(marker(dir))
-    buildMedia(spark, sfDir, dir)
+    buildMedia(spark, sfDir, dir, force = true)
     dir
   }
 
-  private def buildMedia(spark: SparkSession, sfDir: String, dir: String): Unit = {
+  private def buildMedia(spark: SparkSession, sfDir: String, finalDir: String,
+      force: Boolean = false): Unit = publish(finalDir, force) { dir =>
     val docs = Tables.documents(spark, sfDir)
     write(Multimodal.phashSignatures(docs), s"$dir/media_sigs")
     // pairs computed against the STORED signatures — the persisted pair

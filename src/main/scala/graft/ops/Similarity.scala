@@ -1049,9 +1049,13 @@ object Similarity {
     for (peelRound <- 1 to 3) {
       val adj = edges.select(col("u").as("x"))
         .unionAll(edges.select(col("v").as("x")))
+      // pin the survivor set: it has three consumers (both semi-join
+      // sides + the n_alive audit count) and would otherwise re-run the
+      // 2|E| degree aggregate per consumer — the M42 multi-consumer idiom
       val alive = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select(col("x"))
+        .lineageCut(true)
       edges = edges
         .join(alive.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("x", "v"), Seq("v"), "left_semi")

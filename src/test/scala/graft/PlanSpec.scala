@@ -237,7 +237,6 @@ class PlanSpec extends SparkSpec {
       "ts_forecast_baseline_mae", // hour spine × broadcast ~5-row type list
       "dq_ab_ttest",              // two broadcast 1-row arm aggregates
       "pipeline_license_filter",  // broadcast 1-row token total
-      "agg_heavy_hitters",        // broadcast 1-row stream-total aggregate
       "graph_kcore_peel")         // per-round 1-row count × count joins
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
