@@ -43,11 +43,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * sorted ascending so the intermediate relation itself is stable for a
   * fixed merge tree.
   *
-  * Cost: O(1) per hit; a full-table miss pays O(k) but removes at least one
-  * entry, so total update cost is O(n + k·misses) with misses bounded by
-  * n/1 — in practice the skewed head hits and the tail pays, k is small
-  * (256), and the buffer never exceeds k entries (≤ k·(avg key len + 8)
-  * bytes serialized).
+  * Cost (ADVICE r9 #4, corrected): O(1) per hit; a full-table miss pays
+  * O(k) and evicts only counters that have decayed to 1, so an adversarial
+  * stream (heavy head first, then a long distinct tail against a table of
+  * counters all > 1) makes EVERY tail item pay O(k) while evicting nothing
+  * — worst case O(n·k), not O(n + k·misses). With k = 256 that bound is
+  * 256 decrements per row, which codegen'd partial aggregation absorbs at
+  * fixture scale (the sf1 slope study shows the query data-bound, not
+  * sketch-bound); if a tail-flooded 100 TB corpus ever surfaced it, the
+  * standard fix is batching the decrement SpaceSaving-style (subtract the
+  * minimum counter once per buffered batch of misses) — noted, not needed.
+  * The buffer never exceeds k entries (≤ k·(avg key len + 8) bytes
+  * serialized).
   */
 case class FrequentItemsSketch(
     child: Expression,

