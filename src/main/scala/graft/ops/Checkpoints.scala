@@ -59,6 +59,36 @@ object Checkpoints {
   private val lazyPersisted =
     new java.util.concurrent.ConcurrentHashMap[SparkContext, DataFrame]()
 
+  /** Drop (and unpersist) the tracked lazy cut for `sc`. Entries keyed by
+    * STOPPED contexts are purged on every cut and every release (ADVICE
+    * r10 #5: a stopped context's entry would otherwise pin the context and
+    * its last lazy DataFrame for the JVM's life — visible in long test
+    * JVMs and notebook servers that cycle sessions). Callable directly at
+    * loop end; cut() also invokes the purge, so a cycled session's entry
+    * disappears as soon as any successor session cuts.
+    */
+  def release(sc: SparkContext): Unit = {
+    val prev = lazyPersisted.remove(sc)
+    if (prev != null && !sc.isStopped) prev.unpersist(blocking = false)
+    purgeStopped()
+  }
+
+  private def purgeStopped(): Unit = {
+    val it = lazyPersisted.keySet.iterator()
+    while (it.hasNext) if (it.next().isStopped) it.remove()
+    // the remembered checkpoint-dir context is one more stopped-context pin
+    synchronized {
+      setFor match {
+        case Some((sc, _)) if sc.isStopped => setFor = None
+        case _ => ()
+      }
+    }
+  }
+
+  /** Test seam: whether `sc` currently has a tracked lazy cut. */
+  private[graft] def isTracked(sc: SparkContext): Boolean =
+    lazyPersisted.containsKey(sc)
+
   /** Lineage cut: `localCheckpoint(eager)` by default, reliable
     * `checkpoint(eager)` into the configured directory when the knob is
     * set. See object Scaladoc for the executor-loss semantics of each.
@@ -79,6 +109,7 @@ object Checkpoints {
     reliableDir(df) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
+        purgeStopped()
         synchronized {
           if (!setFor.contains((sc, dir))) {
             sc.setCheckpointDir(dir)

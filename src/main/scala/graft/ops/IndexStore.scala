@@ -33,6 +33,11 @@ import org.apache.spark.sql.functions._
   *   - `knn_candidates` (a_id, b_id, dot)    — the cell-pruned kNN candidate
   *     relation over the bounded graph slice (vec_id < 500, nprobe = 2),
   *     shared by the six graph/cluster consumers that each rebuilt it
+  *   - `knn_candidates_full` (a_id, b_id, dot) — the FULL-corpus candidate
+  *     relation (no vec_id bound): √n-scaled sub-cells along each label
+  *     cell's centroid-dot ranking, ±1-bucket probing — Θ(n·√n) build
+  *     work, the input of the full-corpus graph analytics
+  *     (graph_kcore_full); see Similarity.knnCandidatesFull
   *
   * Staleness: the store directory is keyed by an md5 fingerprint of the
   * embeddings fixture (file paths + sizes + mtimes, plus a format
@@ -50,7 +55,9 @@ import org.apache.spark.sql.functions._
 object IndexStore {
 
   /** Bump when artifact schemas/semantics change — stale dirs then miss.
-    * v2 (round 10): + the full-corpus `knn_candidates_full` artifact.
+    * v2: + the full-corpus `knn_candidates_full` artifact (declared round
+    * 10; builder landed round 11 — the params change re-keyed the store,
+    * so any artifact-less v2 leftover is abandoned, never read).
     */
   private val FormatVersion = 2
 
@@ -69,10 +76,12 @@ object IndexStore {
   /** Parameters baked into the artifacts, folded into the staleness
     * fingerprint (ADVICE r9 #3) so changing any of them invalidates the
     * store automatically instead of relying on a FormatVersion bump:
-    * kNN slice bound + nprobe, the 4×16 PQ shape, and the media family's
-    * band layout + Hamming cut.
+    * kNN slice bound + nprobe, the 4×16 PQ shape, the full-corpus
+    * candidate relation's sub-quantization rule (m = ⌈√n/10⌉ equal-depth
+    * sub-buckets per cell, probe width ±1), and the media family's band
+    * layout + Hamming cut.
     */
-  private def vecsearchParams: String = s"b$KnnBound|p$KnnNprobe|pq4x16"
+  private def vecsearchParams: String = s"b$KnnBound|p$KnnNprobe|pq4x16|fullsqrt10w1"
   private def mediaParams: String = "bands4x15|ham10"
 
   private def rootDir: String =
@@ -169,8 +178,9 @@ object IndexStore {
     * requires the marker).
     *
     * Package-visible as the test seam for the cross-process race spec
-    * (VERDICT r9 #3): Round10Spec drives both FileSystemException
-    * branches (complete-winner-keeps, torn-leftover-replaced) directly.
+    * (VERDICT r9 #3): Round10Spec drives the complete-winner-keeps,
+    * torn-leftover-replaced, force-swap, and bounded-give-up-restore
+    * branches directly with filesystem fixtures.
     */
   private[graft] def publish(dir: String, force: Boolean)(doBuild: String => Unit): Unit = {
     val pidTag =
@@ -207,7 +217,17 @@ object IndexStore {
           done = true
         } catch {
           case e: java.nio.file.FileSystemException =>
-            rm(trash) // our aside copy (if any) is stale either way
+            // ADVICE r10 #4: only discard the aside copy when dst is a
+            // complete store again (a racer republished); otherwise put
+            // the previous live store BACK, so a persistent failure (and
+            // the eventual give-up throw below) never leaves readers
+            // facing a missing directory where a complete store had been
+            if (java.nio.file.Files.exists(marker(dir))) rm(trash)
+            else if (java.nio.file.Files.exists(trash)) {
+              try java.nio.file.Files.move(trash, dst,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.nio.file.FileSystemException => () }
+            }
             if (attempt >= 5) { rm(tmp); throw e }
           // else: a racer republished dst first — loop re-checks the
           // marker (non-force keeps the winner; force swaps it out again)
@@ -240,6 +260,12 @@ object IndexStore {
     val eb = e.where(col("vec_id") < KnnBound)
       .select(col("vec_id"), col("embedding"), col("label"))
     write(Similarity.knnCandidates(eb, KnnNprobe), s"$dir/knn_candidates")
+    // FULL-corpus candidate relation (VERDICT r9 #1): √n-scaled sub-cells
+    // over the STORED inverted lists, so the persisted pairs provably
+    // derive from the persisted quantizer — the graph family's input
+    val storedAssigned = spark.read.parquet(s"$dir/ivf_assigned")
+    write(Similarity.knnCandidatesFull(e, storedAssigned),
+      s"$dir/knn_candidates_full")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(marker(dir),
       corpusKey(sfDir).getBytes("UTF-8"))
@@ -326,6 +352,102 @@ object IndexStore {
     import spark.implicits._
     MediaArtifactNames.map { n =>
       (n, spark.read.parquet(s"$dir/$n").count())
+    }.toDF("artifact", "n_rows").orderBy(col("artifact"))
+  }
+
+  // ---- incremental media maintenance (round 11, VERDICT r9 #2)
+
+  /** The incremental update's artifact set: the merged serving relations
+    * plus the delta relations the update actually computed (persisted so
+    * the manifest — and the oracle — can check the incremental work
+    * itself, not just the merged result).
+    */
+  val MediaUpdateArtifactNames: Seq[String] =
+    Seq("media_pairs", "media_pairs_delta", "media_sigs", "media_sigs_delta")
+
+  /** The simulated corpus split for the incremental lifecycle: the BASE
+    * corpus version is every document with `doc_id % 10 != 0`; the DELTA
+    * (new/changed payloads in the next corpus version) is the remaining
+    * 10%. A static fixture can't mutate, so the split plays the role of
+    * two snapshot ids; at 100 TB the delta set is the lake table's
+    * changed-file manifest between snapshots.
+    */
+  private val DeltaPred = "doc_id % 10 = 0"
+
+  private[graft] def mediaBaseKey(sfDir: String): String =
+    fileKey(sfDir, "documents", "mediabase", mediaParams)
+  private[graft] def mediaUpdKey(sfDir: String): String =
+    // keyed by (base fingerprint, delta predicate): a changed base store
+    // or a different delta definition each invalidate the updated store
+    fileKey(sfDir, "documents", s"mediaupd|${mediaBaseKey(sfDir)}|$DeltaPred",
+      mediaParams)
+
+  def mediaBaseDir(sfDir: String): String =
+    s"$rootDir/mediabase_${mediaBaseKey(sfDir)}"
+  def mediaUpdDir(sfDir: String): String =
+    s"$rootDir/mediaupd_${mediaUpdKey(sfDir)}"
+
+  /** The standing BASE-version media store (signatures + pairs over the
+    * base corpus slice), built once per corpus version — the state an
+    * incremental update starts from.
+    */
+  def ensureMediaBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = mediaBaseDir(sfDir)
+    if (!java.nio.file.Files.exists(marker(dir))) {
+      publish(dir, force = false) { tmp =>
+        val base = Tables.documents(spark, sfDir).where(s"NOT ($DeltaPred)")
+        write(Multimodal.phashSignatures(base), s"$tmp/media_sigs")
+        val storedSigs = spark.read.parquet(s"$tmp/media_sigs")
+        write(Multimodal.phashPairs(storedSigs), s"$tmp/media_pairs")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        java.nio.file.Files.write(marker(tmp),
+          mediaBaseKey(sfDir).getBytes("UTF-8"))
+      }
+    }
+    dir
+  }
+
+  /** The `index_update_mediasig` query (VERDICT r9 #2): DELTA-build the
+    * media index instead of rebuilding from scratch. Only the changed
+    * payloads are re-signed (one pass over the 10% delta slice, not the
+    * corpus); the new pair relation is the banded join of the DELTA
+    * signatures against the merged signature set (every pair touching a
+    * changed document — band collision and the Hamming cut depend only on
+    * the two signatures, and a signature depends only on its own payload,
+    * so base×base pairs are provably unchanged and are reused verbatim).
+    * The merged artifacts are row-identical to a full rebuild
+    * (Round11Spec asserts set equality artifact by artifact); the oracle
+    * checks all four manifest counts against the full-corpus phash chain.
+    *
+    * 100 TB: this is the economics that make a standing index viable —
+    * update cost tracks |delta|·(corpus band density), not |corpus|;
+    * the base store is read, never recomputed.
+    */
+  def indexUpdateMediasig(spark: SparkSession, sfDir: String): DataFrame = {
+    val baseDir = ensureMediaBase(spark, sfDir)
+    val updDir = mediaUpdDir(sfDir)
+    // force: the query owns the delta-build cost (the bench measures it
+    // here, once, like the other index_build_* entries)
+    publish(updDir, force = true) { tmp =>
+      val delta = Tables.documents(spark, sfDir).where(DeltaPred)
+      write(Multimodal.phashSignatures(delta), s"$tmp/media_sigs_delta")
+      val deltaSigs = spark.read.parquet(s"$tmp/media_sigs_delta")
+      val baseSigs = spark.read.parquet(s"$baseDir/media_sigs")
+      write(baseSigs.unionAll(deltaSigs), s"$tmp/media_sigs")
+      val mergedSigs = spark.read.parquet(s"$tmp/media_sigs")
+      write(Multimodal.phashPairsDelta(deltaSigs, mergedSigs),
+        s"$tmp/media_pairs_delta")
+      val deltaPairs = spark.read.parquet(s"$tmp/media_pairs_delta")
+      // disjoint union: base pairs touch no delta doc, delta pairs ≥ 1
+      write(spark.read.parquet(s"$baseDir/media_pairs").unionAll(deltaPairs),
+        s"$tmp/media_pairs")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.write(marker(tmp),
+        mediaUpdKey(sfDir).getBytes("UTF-8"))
+    }
+    import spark.implicits._
+    MediaUpdateArtifactNames.map { n =>
+      (n, spark.read.parquet(s"$updDir/$n").count())
     }.toDF("artifact", "n_rows").orderBy(col("artifact"))
   }
 }

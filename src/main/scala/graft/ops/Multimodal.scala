@@ -199,6 +199,30 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming")).distinct()
   }
 
+  /** The DELTA band-join stage (round 11, incremental index maintenance):
+    * pairs between a (small) delta signature set and the full merged set —
+    * every candidate touching at least one delta document. Same 4×15
+    * bands, same ≤10 Hamming cut as [[phashPairs]]; output canonicalized
+    * (least, greatest) and distinct'd, so delta×delta pairs (found from
+    * both sides) collapse to the canonical row the full build would emit.
+    * Cost tracks |delta| × band density, never corpus² — the property
+    * that makes the standing index updatable in place.
+    */
+  private[graft] def phashPairsDelta(deltaSig: DataFrame, allSig: DataFrame): DataFrame = {
+    def banded(df: DataFrame, idc: String, sc: String) =
+      df.select(col("doc_id").as(idc), col("sig").as(sc),
+          explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("band", expr(s"shiftright($sc, k * 15) & 32767"))
+    banded(deltaSig, "d_id", "sd")
+      .join(banded(allSig, "o_id", "so"), Seq("k", "band"))
+      .where(col("d_id") =!= col("o_id"))
+      .withColumn("hamming", expr("bit_count(sd ^ so)").cast("int"))
+      .where(col("hamming") <= 10)
+      .select(least(col("d_id"), col("o_id")).as("a_id"),
+        greatest(col("d_id"), col("o_id")).as("b_id"), col("hamming"))
+      .distinct()
+  }
+
   def phashHamming(spark: SparkSession, sfDir: String): DataFrame =
     // serve-side: the signature pass and band join live in the standing
     // media index (round 9, IndexStore media family, build-on-first-use);

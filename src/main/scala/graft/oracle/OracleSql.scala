@@ -65,6 +65,64 @@ object OracleSql {
       |rk AS (SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM cand)"""
       .stripMargin.replace("\n", " ")
 
+  /** FULL-corpus kNN candidate CTE chain (round 11), mirroring
+    * Similarity.knnCandidatesFull exactly: per-label centroids over the
+    * WHOLE corpus (same 2^20 fixed-point protocol), argmax-cell inverted
+    * lists with the winning dot `d`, m = ⌈√n/10⌉ equal-depth sub-buckets
+    * per cell along the (d desc, vec_id) ranking (exact integer bucket
+    * arithmetic), candidates = |Δbucket| ≤ 1 pairs within a cell. Yields
+    * `fcand(a_id, b_id)` and the dot-ranked `frk(a_id, b_id, rn)`.
+    * `fasg`/`frt`/`frk` are MATERIALIZED (the M98 lesson): consumers
+    * reference them many times and DuckDB's CTE inlining would otherwise
+    * re-evaluate the corpus-sized chain per reference. F-prefixed names so
+    * the chain composes with the bounded knnIvfChain in one WITH clause.
+    */
+  private val knnFullChain: String =
+    """ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |fcc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+      |fcent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM fcc GROUP BY label),
+      |fdots AS (SELECT ef.vec_id, c.cell, list_dot_product(ef.emb, c.cvec) AS d FROM ef CROSS JOIN fcent c),
+      |fasg AS MATERIALIZED (SELECT vec_id, cell, d FROM (SELECT vec_id, cell, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM fdots) WHERE crn = 1),
+      |fm AS (SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)) / 10.0) AS BIGINT)) AS m FROM fasg),
+      |frt AS MATERIALIZED (SELECT vec_id, cell, ((ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) - 1) * (SELECT m FROM fm)) // (COUNT(*) OVER (PARTITION BY cell)) AS bucket FROM fasg),
+      |fcand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM frt a JOIN frt b ON b.cell = a.cell AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1 AND b.vec_id <> a.vec_id),
+      |frk AS MATERIALIZED (SELECT c.a_id, c.b_id, ROW_NUMBER() OVER (PARTITION BY c.a_id ORDER BY list_dot_product(ae.emb, be.emb) DESC, c.b_id) AS rn FROM fcand c JOIN ef ae ON ae.vec_id = c.a_id JOIN ef be ON be.vec_id = c.b_id)"""
+      .stripMargin.replace("\n", " ")
+
+  /** graph_kcore_full: the unrolled fixpoint peel (see the map entry's
+    * comment for the soundness argument). Generated — 15 structurally
+    * identical (degree-agg → survivor-filter → induced-edges) stages.
+    * R/K must equal Similarity.KcoreFullMaxRounds/KcoreFullK (asserted by
+    * Round11Spec).
+    */
+  private val kcoreFullSql: String = {
+    val R = 25
+    val K = 4
+    val rounds = (1 to R).map { r =>
+      val prev = s"e${r - 1}"
+      s"a$r AS MATERIALIZED (SELECT x FROM (SELECT x, COUNT(*) AS deg FROM " +
+        s"(SELECT u AS x FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY x) WHERE deg >= $K), " +
+        s"e$r AS MATERIALIZED (SELECT u, v FROM $prev WHERE u IN (SELECT x FROM a$r) AND v IN (SELECT x FROM a$r))"
+    }.mkString(", ")
+    val cntRows = (s"SELECT 0 AS r, CAST(0 AS BIGINT) AS n_alive, (SELECT COUNT(*) FROM e0) AS n_edges" +:
+      (1 to R).map { r =>
+        s"SELECT $r, (SELECT COUNT(*) FROM a$r), (SELECT COUNT(*) FROM e$r)"
+      }).mkString(" UNION ALL ")
+    "WITH " + knnFullChain +
+      ", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= 8), " +
+      // MUTUAL edges only (reciprocated in both top-8 lists), canonical u<v
+      "e0 AS MATERIALIZED (SELECT a.a_id AS u, a.b_id AS v FROM knn a " +
+      "JOIN knn b ON b.a_id = a.b_id AND b.b_id = a.a_id WHERE a.a_id < a.b_id), " +
+      rounds +
+      s", cnts AS ($cntRows)" +
+      ", pick AS (SELECT r, n_alive, n_edges, lag(n_edges) OVER (ORDER BY r) AS prev_e FROM cnts)" +
+      ", fix AS (SELECT MIN(r) AS nr FROM pick WHERE r >= 1 AND n_edges = prev_e) " +
+      s"SELECT CAST($K AS INT) AS k_core, CAST(coalesce((SELECT nr FROM fix), $R) AS INT) AS n_rounds, " +
+      "CAST(CASE WHEN (SELECT nr FROM fix) IS NULL THEN 0 ELSE 1 END AS INT) AS converged, " +
+      "CAST(n_alive AS BIGINT) AS n_alive, CAST(n_edges AS BIGINT) AS n_edges " +
+      s"FROM pick WHERE r = coalesce((SELECT nr FROM fix), $R)"
+  }
+
   /** Shared LSH pipeline CTE chain (shingles → signatures → bands →
     * candidates → shingle counts → intersections) for doc_id < 200; used
     * by dedup_minhash_pairs and dedup_connected_components.
@@ -3365,21 +3423,37 @@ object OracleSql {
     // artifact's row count is a pure function of the corpus (n vectors,
     // one centroid per label, 4×16 codebook entries, 4 codes per vector,
     // one packed word per vector, the deterministic cell-pruned kNN
-    // candidate count from the shared knnIvfChain), so the oracle checks
-    // the build without replicating the parquet write path.
+    // candidate counts from the shared bounded + full chains), so the
+    // oracle checks the build without replicating the parquet write path.
+    // The full-corpus count needs NO dots: the pair set is pure
+    // (cell, bucket) membership, and bucketing is exact integer
+    // arithmetic over the d-ranking.
     "index_build_vecsearch" ->
-      ("WITH " + knnIvfChain +
+      ("WITH " + knnIvfChain + ", " + knnFullChain +
         """, nv AS (SELECT COUNT(*) AS n FROM embeddings),
         |nl AS (SELECT COUNT(DISTINCT label) AS n FROM embeddings),
-        |ncand AS (SELECT COUNT(*) AS n FROM cand)
+        |ncand AS (SELECT COUNT(*) AS n FROM cand),
+        |ncandfull AS (SELECT COUNT(*) AS n FROM fcand)
         |SELECT artifact, n_rows FROM (
         |SELECT 'ivf_assigned' AS artifact, (SELECT n FROM nv) AS n_rows
         |UNION ALL SELECT 'ivf_centroids', (SELECT n FROM nl)
         |UNION ALL SELECT 'knn_candidates', (SELECT n FROM ncand)
+        |UNION ALL SELECT 'knn_candidates_full', (SELECT n FROM ncandfull)
         |UNION ALL SELECT 'pq_codebook', 64
         |UNION ALL SELECT 'pq_codes', 4 * (SELECT n FROM nv)
         |UNION ALL SELECT 'pq_packed', (SELECT n FROM nv))
         |ORDER BY artifact""".stripMargin.replace("\n", " ")),
+
+    // M99 (round 11) graph_kcore_full — fixpoint k-core on the
+    // full-corpus kNN graph: the engine loops until no edge is removed;
+    // the oracle unrolls the same peel to the shared round budget and
+    // picks the FIRST fixpoint round. Sound because (a) survivor sets
+    // shrink monotonically, so equal edge counts ⇔ equal edge sets, and
+    // (b) peeling is idempotent past the fixpoint, so the extra unrolled
+    // rounds are no-ops. Every stage is MATERIALIZED (the M98 lesson) —
+    // 15 inlined rounds would otherwise re-evaluate the corpus chain
+    // exponentially.
+    "graph_kcore_full" -> kcoreFullSql,
 
     // J29 (round 9): graph-traversal ANN — the 2-hop expansion unrolls to
     // two joins over the kNN edge relation; exact-dot re-rank on the
@@ -3462,6 +3536,27 @@ object OracleSql {
         |SELECT artifact, n_rows FROM (
         |SELECT 'media_pairs' AS artifact, (SELECT n FROM np) AS n_rows
         |UNION ALL SELECT 'media_sigs', (SELECT n FROM ns))
+        |ORDER BY artifact""".stripMargin.replace("\n", " ")),
+
+    // M100 (round 11): the INCREMENTAL media-index manifest — the engine
+    // delta-builds (re-sign the 10% slice, band-join delta×merged, reuse
+    // base pairs), but every merged count must equal the FULL-corpus
+    // chain's (that is the row-identity contract), and the delta counts
+    // are the full chain filtered to pairs/sigs touching the delta slice.
+    // The oracle never replicates the incremental bookkeeping — it checks
+    // the result against the from-scratch definition.
+    "index_update_mediasig" ->
+      ("WITH " + phashPairChain +
+        """, ns AS (SELECT COUNT(*) AS n FROM documents WHERE n_chars > 0),
+        |nsd AS (SELECT COUNT(*) AS n FROM documents WHERE n_chars > 0 AND doc_id % 10 = 0),
+        |np AS (SELECT COUNT(*) AS n FROM cand WHERE bit_count(xor(sa, sb)) <= 10),
+        |npd AS (SELECT COUNT(*) AS n FROM cand WHERE bit_count(xor(sa, sb)) <= 10
+        |AND (a_id % 10 = 0 OR b_id % 10 = 0))
+        |SELECT artifact, n_rows FROM (
+        |SELECT 'media_pairs' AS artifact, (SELECT n FROM np) AS n_rows
+        |UNION ALL SELECT 'media_pairs_delta', (SELECT n FROM npd)
+        |UNION ALL SELECT 'media_sigs', (SELECT n FROM ns)
+        |UNION ALL SELECT 'media_sigs_delta', (SELECT n FROM nsd))
         |ORDER BY artifact""".stripMargin.replace("\n", " ")),
 
     "agg_heavy_hitters_grouped" ->

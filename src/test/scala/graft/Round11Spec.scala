@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 specs (VERDICT r10): the full-corpus kNN candidate artifact
+  * (#1), its fixpoint k-core consumer, the engine/oracle constant sync the
+  * generated unrolled oracle depends on, and the Checkpoints lazy-cut
+  * release seam (ADVICE r10 #5).
+  */
+class Round11Spec extends SparkSpec {
+
+  private def store(name: String) =
+    ops.IndexStore.read(spark, sf, name)
+
+  test("knn_candidates_full: non-empty, no self-pairs, and symmetric (±1-bucket probing implies (a,b) ⇔ (b,a))") {
+    val c = store("knn_candidates_full").select("a_id", "b_id").cache()
+    try {
+      assert(c.count() > 0)
+      assert(c.where(col("a_id") === col("b_id")).count() === 0)
+      val asym = c.join(
+        c.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
+        Seq("a_id", "b_id"), "left_anti").count()
+      assert(asym === 0L, "candidate relation must be symmetric")
+    } finally c.unpersist()
+  }
+
+  test("knn_candidates_full: rebuild from the stored inverted lists reproduces the artifact exactly") {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val assigned = store("ivf_assigned")
+    val recomputed = ops.Similarity.knnCandidatesFull(e, assigned)
+    val stored = store("knn_candidates_full")
+    assert(stored.count() === recomputed.count())
+    // exact set equality, dots included (bit-exact double round-trip)
+    assert(stored.except(recomputed).count() === 0L)
+    assert(recomputed.except(stored).count() === 0L)
+  }
+
+  test("graph_kcore_full: converges to a non-empty core with every survivor at mutual degree >= k") {
+    val r = run("graph_kcore_full").collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (k, rounds, conv, nAlive, nEdges) =
+      (row.getInt(0), row.getInt(1), row.getInt(2), row.getLong(3), row.getLong(4))
+    assert(k === ops.Similarity.KcoreFullK)
+    assert(conv === 1, "fixpoint must be reached inside the round budget at sf0.001")
+    assert(rounds >= 1 && rounds <= ops.Similarity.KcoreFullMaxRounds)
+    assert(nAlive > 0 && nEdges > 0, "the mutual-8NN graph must have a non-trivial k-core")
+    // a k-core certificate: every surviving vertex has degree >= k, so
+    // 2·|E| >= k·|V| must hold on the fixpoint subgraph
+    assert(2 * nEdges >= k.toLong * nAlive)
+  }
+
+  test("oracle constant sync: the generated unrolled k-core SQL uses the engine's K and round budget") {
+    val sql = SparkEntry.oracleSql("graph_kcore_full")
+    val k = ops.Similarity.KcoreFullK
+    val r = ops.Similarity.KcoreFullMaxRounds
+    assert(sql.contains(s"deg >= $k"))
+    assert(sql.contains(s"FROM e$r")) // the last unrolled stage exists
+    assert(!sql.contains(s"FROM e${r + 1}"))
+  }
+
+  test("index manifest: the build emits every declared artifact (no name without a builder — the r10 lesson)") {
+    val m = run("index_build_vecsearch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === ops.IndexStore.ArtifactNames.toSet)
+    assert(m.values.forall(_ > 0))
+  }
+
+  test("index_update_mediasig: the incrementally-updated store is row-identical to a full rebuild") {
+    run("index_update_mediasig").collect() // force the delta build
+    val updDir = ops.IndexStore.mediaUpdDir(sf)
+    val fullDir = ops.IndexStore.ensureMedia(spark, sf)
+    for (a <- Seq("media_sigs", "media_pairs")) {
+      val upd = spark.read.parquet(s"$updDir/$a")
+      val full = spark.read.parquet(s"$fullDir/$a")
+      assert(upd.count() === full.count(), s"$a count")
+      assert(upd.except(full).count() === 0L, s"$a: incremental rows not in full rebuild")
+      assert(full.except(upd).count() === 0L, s"$a: full-rebuild rows missing from incremental")
+    }
+  }
+
+  test("Checkpoints.release: drops the tracked lazy cut for a context (ADVICE r10 #5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_rel").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      import ops.Checkpoints.CutOps
+      val sc = spark.sparkContext
+      val df = spark.range(100).toDF("id").lineageCut(false)
+      assert(ops.Checkpoints.isTracked(sc), "a lazy reliable cut must be enrolled")
+      assert(df.count() === 100L) // materialize through the cut
+      ops.Checkpoints.release(sc)
+      assert(!ops.Checkpoints.isTracked(sc))
+      // and an eager cut leaves nothing tracked either
+      spark.range(10).toDF("id").lineageCut(true)
+      assert(!ops.Checkpoints.isTracked(sc))
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+}
