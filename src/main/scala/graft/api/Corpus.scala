@@ -29,7 +29,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Corpus(val spark: SparkSession, val dir: String) {
 
-  /** Escape hatch: run any of the 217 contract queries by registry key. */
+  /** Escape hatch: run any contract query by registry key ([[queryNames]]
+    * lists all of them — 315 as of round 11; the count tracks
+    * `graft.Queries.all`, never this doc).
+    */
   def query(name: String): DataFrame = Queries.all(name)(spark, dir)
 
   /** All registry keys, for discovery. */
@@ -63,6 +66,20 @@ final class Corpus(val spark: SparkSession, val dir: String) {
 
   /** Deterministic hash-based train/eval split with per-split stats. */
   def splitTrainEval(): DataFrame = TextAnalysis.splitTrainEval(spark, dir)
+
+  /** Fixed-SIZE eval holdout (exactly 100 docs by content-hash bottom-k)
+    * with per-source attrition — the shape eval sets are actually carved.
+    */
+  def evalHoldout(): DataFrame = TextAnalysis.evalHoldout(spark, dir)
+
+  /** Exact heavy hitters (items > 1/64 of the event stream) via the
+    * mergeable Misra–Gries candidate pass + exact recount.
+    */
+  def heavyHitters(): DataFrame = Aggregates.aggHeavyHitters(spark, dir)
+
+  /** Per-group exact heavy hitters (same MG + recount, keyed). */
+  def heavyHittersGrouped(): DataFrame =
+    Aggregates.aggHeavyHittersGrouped(spark, dir)
 
   /** Sequence packing: documents onto a global token tape in 512-token
     * training windows (two-pass distributed prefix sum, no global sort).
@@ -178,6 +195,26 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     /** Contrastive hard negatives: top-3 cross-label neighbors per
       * vector from the cell-pruned IVF candidate stage. */
     def hardNegatives(): DataFrame = Similarity.vecHardNegatives(spark, dir)
+    /** IVF + product-quantization ANN: cell-pruned ADC scan over the
+      * 4-byte packed codes, top-3 per query. */
+    def ivfPqTopk(): DataFrame = Similarity.annIvfPqTopk(spark, dir)
+    /** Two-stage serving: PQ-ADC shortlist re-ranked by exact dots. */
+    def pqRerank(): DataFrame = Similarity.vecPqRerank(spark, dir)
+    /** Graph-traversal ANN: bounded 2-hop expansion over the standing
+      * kNN graph + exact re-rank (the HNSW layer-0 idiom). */
+    def graphExpandTopk(): DataFrame = Similarity.annGraphExpandTopk(spark, dir)
+    /** Hybrid retrieval: reciprocal-rank fusion of BM25 and dense ANN. */
+    def hybridRrf(): DataFrame = Similarity.searchHybridRrf(spark, dir)
+    /** Recall-vs-dimension curve of prefix-truncated embeddings. */
+    def matryoshkaEval(): DataFrame = Similarity.vecMatryoshkaEval(spark, dir)
+    /** Fixpoint k-core of the full-corpus mutual-8NN graph, with a
+      * convergence certificate (round 11). */
+    def kcoreFull(): DataFrame = Similarity.graphKcoreFull(spark, dir)
+    /** Force-rebuild the standing vector-search index (IVF quantizer +
+      * inverted lists, PQ codebooks/codes/packed words, bounded + full
+      * kNN candidate relations) and emit its artifact manifest. Serving
+      * methods read this store, building on first use if absent. */
+    def indexBuild(): DataFrame = IndexStore.indexBuildVecsearch(spark, dir)
   }
 
   /** Data-quality checks. */
@@ -210,6 +247,18 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def chunkDedup(): DataFrame = Multimodal.chunkDedup(spark, dir)
     /** Object-per-item blob ingestion via the binaryFile source. */
     def ingestBinary(): DataFrame = Relational.sourceBinaryfileIngest(spark, dir)
+    /** Near-dup payload pairs from the standing media index (block-
+      * SimHash signatures, banded Hamming ≤ 10). */
+    def phashPairs(): DataFrame = Multimodal.phashHamming(spark, dir)
+    /** Near-dup payload clusters (star CC over the pair relation). */
+    def phashClusters(): DataFrame = Multimodal.phashClusters(spark, dir)
+    /** Force-rebuild the standing media near-dup index and emit its
+      * artifact manifest. */
+    def indexBuild(): DataFrame = IndexStore.indexBuildMediasig(spark, dir)
+    /** INCREMENTAL media-index maintenance: re-sign only the delta
+      * slice, merge pair relations — row-identical to a full rebuild at
+      * delta-sized cost (round 11). */
+    def indexUpdate(): DataFrame = IndexStore.indexUpdateMediasig(spark, dir)
   }
 }
 

@@ -21,7 +21,13 @@ class CorpusApiSpec extends SparkSpec {
       c.tokenBudgetMix()      -> "pipeline_token_budget_mix",
       c.dedup.shingleContainment() -> "dedup_shingle_containment",
       c.vectors.pagerankHubs() -> "graph_pagerank_knn",
-      c.media.ingestBinary()  -> "source_binaryfile_ingest")
+      c.media.ingestBinary()  -> "source_binaryfile_ingest",
+      // round-9..11 families surfaced in the facade refresh (VERDICT r10 #5)
+      c.heavyHitters()        -> "agg_heavy_hitters",
+      c.evalHoldout()         -> "pipeline_eval_holdout",
+      c.vectors.graphExpandTopk() -> "ann_graph_expand_topk",
+      c.vectors.kcoreFull()   -> "graph_kcore_full",
+      c.media.indexUpdate()   -> "index_update_mediasig")
     pairs.foreach { case (facade, key) =>
       val reg = run(key)
       assert(facade.schema == reg.schema, s"$key schema drift")
