@@ -378,9 +378,13 @@ object Workload {
     l1
       .join(others, col("k") === col("k2") && col("sk") =!= col("sk2"), "left_semi")
       .join(othersLate, col("k") === col("k3") && col("sk") =!= col("sk3"), "left_anti")
-      .groupBy(col("sk"))
-      .agg(count(lit(1)).as("numwait"))
+      // group by s_NAME (the official Q21 shape), not the supplier key:
+      // the two coincide only while names are unique — the sf1 replica
+      // fixture has 10 keys per name and caught the round-10-era key
+      // grouping emitting one name 10 times (round-11 sf1 subset find)
       .join(Tables.supplier(spark, sfDir), col("sk") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), asc("s_name"))
       .limit(10)
       .select(col("s_name"), col("numwait"))
