@@ -397,5 +397,16 @@ object Queries {
     // delta slice, band-join delta×merged, reuse base pairs verbatim;
     // merged store row-identical to a full rebuild (SURVEY §2 row M100)
     "index_update_mediasig"     -> (IndexStore.indexUpdateMediasig _),
+    // round-11: the full-corpus graph/serving family over the standing
+    // knn_candidates_full artifact (SURVEY §2 rows M101–M103): star
+    // components, PageRank without the 500-vector bound, and the kNN
+    // self-join (every vector's top-3 with sims)
+    "graph_cc_full"             -> (Similarity.graphCcFull _),
+    "graph_pagerank_full"       -> (Similarity.pageRankFull _),
+    "vec_knn_join_full"         -> (Similarity.vecKnnJoinFull _),
+    // round-11: recall@8 of the full-corpus candidate scheme vs exact
+    // ground truth — the new artifact ships with its measured recall
+    // (SURVEY §2 row M104)
+    "ann_recall_full"           -> (Similarity.annRecallFull _),
   )
 }

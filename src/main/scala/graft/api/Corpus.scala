@@ -30,7 +30,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Corpus(val spark: SparkSession, val dir: String) {
 
   /** Escape hatch: run any contract query by registry key ([[queryNames]]
-    * lists all of them — 315 as of round 11; the count tracks
+    * lists all of them — 319 as of round 11; the count tracks
     * `graft.Queries.all`, never this doc).
     */
   def query(name: String): DataFrame = Queries.all(name)(spark, dir)
@@ -210,6 +210,17 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     /** Fixpoint k-core of the full-corpus mutual-8NN graph, with a
       * convergence certificate (round 11). */
     def kcoreFull(): DataFrame = Similarity.graphKcoreFull(spark, dir)
+    /** kNN SELF-join: every corpus vector's top-3 neighbors with sims,
+      * one scan of the standing full-corpus candidate artifact. */
+    def knnJoinFull(): DataFrame = Similarity.vecKnnJoinFull(spark, dir)
+    /** Top-20 similarity clusters of the full-corpus mutual-8NN graph
+      * (O(log²)-round star components). */
+    def ccFull(): DataFrame = Similarity.graphCcFull(spark, dir)
+    /** PageRank hubs over the full-corpus directed 8-NN graph. */
+    def pagerankFull(): DataFrame = Similarity.pageRankFull(spark, dir)
+    /** Recall@8 of the full-corpus candidate scheme vs exact ground
+      * truth — the index ships with its measured quality. */
+    def recallFull(): DataFrame = Similarity.annRecallFull(spark, dir)
     /** Force-rebuild the standing vector-search index (IVF quantizer +
       * inverted lists, PQ codebooks/codes/packed words, bounded + full
       * kNN candidate relations) and emit its artifact manifest. Serving

@@ -86,7 +86,7 @@ object OracleSql {
       |fm AS (SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)) / 10.0) AS BIGINT)) AS m FROM fasg),
       |frt AS MATERIALIZED (SELECT vec_id, cell, ((ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) - 1) * (SELECT m FROM fm)) // (COUNT(*) OVER (PARTITION BY cell)) AS bucket FROM fasg),
       |fcand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM frt a JOIN frt b ON b.cell = a.cell AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1 AND b.vec_id <> a.vec_id),
-      |frk AS MATERIALIZED (SELECT c.a_id, c.b_id, ROW_NUMBER() OVER (PARTITION BY c.a_id ORDER BY list_dot_product(ae.emb, be.emb) DESC, c.b_id) AS rn FROM fcand c JOIN ef ae ON ae.vec_id = c.a_id JOIN ef be ON be.vec_id = c.b_id)"""
+      |frk AS MATERIALIZED (SELECT a_id, b_id, dot, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM (SELECT c.a_id, c.b_id, list_dot_product(ae.emb, be.emb) AS dot FROM fcand c JOIN ef ae ON ae.vec_id = c.a_id JOIN ef be ON be.vec_id = c.b_id))"""
       .stripMargin.replace("\n", " ")
 
   /** graph_kcore_full: the unrolled fixpoint peel (see the map entry's
@@ -3496,6 +3496,70 @@ object OracleSql {
         |UNION ALL SELECT 2, (SELECT COUNT(*) FROM a2), (SELECT COUNT(*) FROM e2)
         |UNION ALL SELECT 3, (SELECT COUNT(*) FROM a3), (SELECT COUNT(*) FROM e3))
         |ORDER BY peel_round""".stripMargin.replace("\n", " ")),
+
+    // M101 (round 11) graph_cc_full — the engine's star loop must equal
+    // the recursive min-label transitive closure over the same mutual
+    // edge set (the componentChain pattern on embedding-space edges);
+    // tractable because mutual-kNN components are cluster-sized.
+    "graph_cc_full" ->
+      ("WITH RECURSIVE " + knnFullChain +
+        """, knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= 8),
+        |me AS MATERIALIZED (SELECT a.a_id AS u, a.b_id AS v FROM knn a
+        |JOIN knn b ON b.a_id = a.b_id AND b.b_id = a.a_id WHERE a.a_id < a.b_id),
+        |ed AS (SELECT u AS a, v AS b FROM me UNION ALL SELECT v, u FROM me),
+        |reach AS (SELECT a AS node, a AS label FROM ed
+        |UNION SELECT e.b, r.label FROM reach r JOIN ed e ON e.a = r.node),
+        |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp
+        |GROUP BY component ORDER BY n_members DESC, component LIMIT 20"""
+          .stripMargin.replace("\n", " ")),
+
+    // M102 (round 11) graph_pagerank_full — M51's unrolled 3-iteration /
+    // 12-dp protocol with the general rank/outdeg transition (out-degree
+    // is data-dependent on the full graph, not the constant k).
+    "graph_pagerank_full" ->
+      ("WITH " + knnFullChain +
+        """, knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= 8),
+        |od AS MATERIALIZED (SELECT a_id, COUNT(*) AS od FROM knn GROUP BY a_id),
+        |nn AS (SELECT COUNT(*) AS n FROM ef),
+        |r0 AS (SELECT vec_id, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r FROM ef, nn),
+        |c1 AS (SELECT b_id, SUM(r / CAST(od AS DOUBLE)) AS c FROM knn JOIN r0 ON knn.a_id = r0.vec_id JOIN od ON od.a_id = knn.a_id GROUP BY b_id),
+        |r1 AS (SELECT ef.vec_id, round(CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE)
+        |+ CAST(0.85 AS DOUBLE) * COALESCE(c, CAST(0 AS DOUBLE)), 12) AS r
+        |FROM ef CROSS JOIN nn LEFT JOIN c1 ON ef.vec_id = c1.b_id),
+        |c2 AS (SELECT b_id, SUM(r / CAST(od AS DOUBLE)) AS c FROM knn JOIN r1 ON knn.a_id = r1.vec_id JOIN od ON od.a_id = knn.a_id GROUP BY b_id),
+        |r2 AS (SELECT ef.vec_id, round(CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE)
+        |+ CAST(0.85 AS DOUBLE) * COALESCE(c, CAST(0 AS DOUBLE)), 12) AS r
+        |FROM ef CROSS JOIN nn LEFT JOIN c2 ON ef.vec_id = c2.b_id),
+        |c3 AS (SELECT b_id, SUM(r / CAST(od AS DOUBLE)) AS c FROM knn JOIN r2 ON knn.a_id = r2.vec_id JOIN od ON od.a_id = knn.a_id GROUP BY b_id),
+        |r3 AS (SELECT ef.vec_id, round(CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE)
+        |+ CAST(0.85 AS DOUBLE) * COALESCE(c, CAST(0 AS DOUBLE)), 12) AS r
+        |FROM ef CROSS JOIN nn LEFT JOIN c3 ON ef.vec_id = c3.b_id)
+        |SELECT vec_id, round(r, 6) + 0.0 AS pagerank FROM r3
+        |ORDER BY pagerank DESC, vec_id LIMIT 20""".stripMargin.replace("\n", " ")),
+
+    // M103 (round 11) vec_knn_join_full — the kNN self-join read: the
+    // shared full chain's ranked relation, cut at 3, J3 rounding.
+    "vec_knn_join_full" ->
+      ("WITH " + knnFullChain +
+        """ SELECT a_id, b_id, round(dot, 4) + 0.0 AS sim, rn
+        |FROM frk WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin.replace("\n", " ")),
+
+    // M104 (round 11) ann_recall_full — exact ground truth on the 10-query
+    // sample vs the full chain's top-8 cut; the M37 recall protocol.
+    "ann_recall_full" ->
+      ("WITH " + knnFullChain +
+        """, q AS (SELECT vec_id AS a_id, emb AS a_emb FROM ef WHERE vec_id < 10),
+        |x AS (SELECT a_id, b_id FROM (SELECT q.a_id, ef.vec_id AS b_id,
+        |ROW_NUMBER() OVER (PARTITION BY q.a_id
+        |ORDER BY list_dot_product(q.a_emb, ef.emb) DESC, ef.vec_id) AS rn
+        |FROM q JOIN ef ON ef.vec_id <> q.a_id) WHERE rn <= 8),
+        |ap AS (SELECT a_id, b_id FROM frk WHERE rn <= 8 AND a_id < 10)
+        |SELECT x.a_id, COUNT(*) AS n_exact,
+        |CAST(COUNT(ap.b_id) AS BIGINT) AS n_hit,
+        |CAST(COUNT(ap.b_id) AS DOUBLE) / COUNT(*) AS recall
+        |FROM x LEFT JOIN ap ON ap.a_id = x.a_id AND ap.b_id = x.b_id
+        |GROUP BY x.a_id ORDER BY x.a_id""".stripMargin.replace("\n", " ")),
 
     // M97 (round 9): fixed-size holdout — the oracle carves the same
     // bottom-100-by-content-md5 set (tie-break doc_id) and recomputes the

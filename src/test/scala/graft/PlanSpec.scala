@@ -201,6 +201,7 @@ class PlanSpec extends SparkSpec {
       "dq_anomaly_mad",         // broadcast 1-row median + 1-row MAD
       "text_sparse_cosine_topk", // broadcast 1-row corpus count
       "ann_recall_at_k",        // 10 broadcast query vectors (J3 pattern)
+      "ann_recall_full",        // same 10-query exact-GT side vs the full artifact
       "graph_triangle_knn",     // 1-row vertex/edge/triangle count joins
       "text_keywords_per_doc",  // broadcast 1-row corpus count (J9 pattern)
       "dq_distribution_drift",  // broadcast 1-row grand-total aggregate

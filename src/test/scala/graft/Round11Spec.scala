@@ -67,6 +67,57 @@ class Round11Spec extends SparkSpec {
     assert(m.values.forall(_ > 0))
   }
 
+  test("graph_cc_full: star components carry the min-label invariant and partition the mutual-graph vertex set") {
+    val edges = ops.Similarity.mutualKnnFullEdges(spark, sf)
+      .select(col("u").as("a_id"), col("v").as("b_id")).cache()
+    try {
+      val (labels, _) = ops.Dedup.starComponents(edges)
+      val nVerts = edges.select(col("a_id").as("x"))
+        .unionAll(edges.select(col("b_id").as("x"))).distinct().count()
+      assert(labels.count() === nVerts, "every edged vertex gets exactly one label")
+      assert(labels.where(col("component") > col("doc_id")).count() === 0,
+        "component root is the minimum member id")
+      // the query's top-20 report must agree with the full label relation
+      val top = run("graph_cc_full").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val full = labels.groupBy("component").count()
+        .orderBy(desc("count"), asc("component")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(top.toSeq === full.toSeq)
+    } finally edges.unpersist()
+  }
+
+  test("graph_pagerank_full: 20 hubs, rank-descending, every hub above the teleport floor") {
+    val rows = run("graph_pagerank_full").collect()
+    assert(rows.length === 20)
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    val n = Tables.embeddings(spark, sf).count()
+    assert(ranks.forall(_ > 0.15 / n), "a top-20 hub must exceed the no-in-edge floor")
+  }
+
+  test("vec_knn_join_full: every corpus vector appears with rn 1..k and non-increasing sims") {
+    val df = run("vec_knn_join_full").cache()
+    try {
+      assert(df.where(col("rn") < 1 || col("rn") > 3).count() === 0)
+      assert(df.groupBy("a_id").count().where(col("count") > 3).count() === 0)
+      val bad = df.alias("x").join(df.alias("y"),
+        col("x.a_id") === col("y.a_id") && col("x.rn") + 1 === col("y.rn"))
+        .where(col("x.sim") < col("y.sim")).count()
+      assert(bad === 0L, "sims must be non-increasing in rn")
+    } finally df.unpersist()
+  }
+
+  test("ann_recall_full: the eval harness reports per-query recall in [0,1] over full exact ground truth") {
+    val rows = run("ann_recall_full").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 8L, "ground truth is exactly top-8")
+      val recall = r.getDouble(3)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("index_update_mediasig: the incrementally-updated store is row-identical to a full rebuild") {
     run("index_update_mediasig").collect() // force the delta build
     val updDir = ops.IndexStore.mediaUpdDir(sf)
