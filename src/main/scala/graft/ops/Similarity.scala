@@ -327,9 +327,11 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("dot"))
   }
 
-  /** The standing FULL-CORPUS candidate relation, read from [[IndexStore]]
-    * — consumers cut their own top-k, exactly like [[knnCandidatesStored]]
-    * for the bounded slice.
+  /** The standing FULL-CORPUS candidate shortlist (top-[[IndexStore.KnnFullTopK]]
+    * per vector, persisted pre-cut — 8n rows, the corpus-viable form),
+    * read from [[IndexStore]]. Consumers cut their own k ≤ 8; a rank cut
+    * of a rank cut is the inner cut, so serving through the shortlist is
+    * row-identical to serving through the raw candidate relation.
     */
   private[graft] def knnCandidatesFullStored(spark: SparkSession, sfDir: String): DataFrame =
     IndexStore.read(spark, sfDir, "knn_candidates_full")
@@ -376,6 +378,8 @@ object Similarity {
     * PageRank, the kNN self-join).
     */
   private[graft] def knnFullEdges(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    require(k <= IndexStore.KnnFullTopK,
+      s"the stored shortlist holds top-${IndexStore.KnnFullTopK} per vector")
     val wTop = Window.partitionBy(col("a_id")).orderBy(desc("dot"), asc("b_id"))
     knnCandidatesFullStored(spark, sfDir)
       .withColumn("rn", row_number().over(wTop))

@@ -3433,7 +3433,8 @@ object OracleSql {
         """, nv AS (SELECT COUNT(*) AS n FROM embeddings),
         |nl AS (SELECT COUNT(DISTINCT label) AS n FROM embeddings),
         |ncand AS (SELECT COUNT(*) AS n FROM cand),
-        |ncandfull AS (SELECT COUNT(*) AS n FROM fcand)
+        |ncandfull AS (SELECT CAST(SUM(LEAST(8, c)) AS BIGINT) AS n
+        |FROM (SELECT a_id, COUNT(*) AS c FROM fcand GROUP BY a_id))
         |SELECT artifact, n_rows FROM (
         |SELECT 'ivf_assigned' AS artifact, (SELECT n FROM nv) AS n_rows
         |UNION ALL SELECT 'ivf_centroids', (SELECT n FROM nl)

@@ -12,8 +12,11 @@ class Round11Spec extends SparkSpec {
   private def store(name: String) =
     ops.IndexStore.read(spark, sf, name)
 
-  test("knn_candidates_full: non-empty, no self-pairs, and symmetric (±1-bucket probing implies (a,b) ⇔ (b,a))") {
-    val c = store("knn_candidates_full").select("a_id", "b_id").cache()
+  test("knnCandidatesFull: builder output is non-empty, self-pair-free, and symmetric (±1-bucket probing implies (a,b) ⇔ (b,a))") {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val c = ops.Similarity.knnCandidatesFull(e, store("ivf_assigned"))
+      .select("a_id", "b_id").cache()
     try {
       assert(c.count() > 0)
       assert(c.where(col("a_id") === col("b_id")).count() === 0)
@@ -24,16 +27,26 @@ class Round11Spec extends SparkSpec {
     } finally c.unpersist()
   }
 
-  test("knn_candidates_full: rebuild from the stored inverted lists reproduces the artifact exactly") {
+  test("knn_candidates_full: the stored shortlist is exactly the top-8 cut of the recomputed candidates") {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sf)
     val assigned = store("ivf_assigned")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
     val recomputed = ops.Similarity.knnCandidatesFull(e, assigned)
-    val stored = store("knn_candidates_full")
-    assert(stored.count() === recomputed.count())
-    // exact set equality, dots included (bit-exact double round-trip)
-    assert(stored.except(recomputed).count() === 0L)
-    assert(recomputed.except(stored).count() === 0L)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") <= ops.IndexStore.KnnFullTopK)
+      .drop("rn")
+    val stored = store("knn_candidates_full").cache()
+    try {
+      assert(stored.count() === recomputed.count())
+      // exact set equality, dots included (bit-exact double round-trip)
+      assert(stored.except(recomputed).count() === 0L)
+      assert(recomputed.except(stored).count() === 0L)
+      // and the shortlist contract: at most K rows per vector
+      assert(stored.groupBy("a_id").count()
+        .where(col("count") > ops.IndexStore.KnnFullTopK).count() === 0L)
+    } finally stored.unpersist()
   }
 
   test("graph_kcore_full: converges to a non-empty core with every survivor at mutual degree >= k") {

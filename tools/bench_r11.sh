@@ -1,7 +1,7 @@
 #!/bin/bash
 set -x
 cd /root/repo
-cp /tmp/bench_r11_sf01.jsonl bench/BENCH_r11_sf0.1.json
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' > bench/BENCH_r11_sf0.1.json
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' > bench/BENCH_r11_sf0.01.json
 SPARK_GRAFT_SF_DIR=target/fixtures/sf0.1x8 sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' > bench/BENCH_r11_sf0.1x8.json
 SPARK_GRAFT_SF_DIR=target/fixtures/sf1 sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' > bench/BENCH_r11_sf1.json
