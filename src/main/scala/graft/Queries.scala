@@ -408,5 +408,20 @@ object Queries {
     // ground truth — the new artifact ships with its measured recall
     // (SURVEY §2 row M104)
     "ann_recall_full"           -> (Similarity.annRecallFull _),
+    // round-12: INCREMENTAL vector-index maintenance — reuse the base
+    // snapshot's quantizer/codebook/bucket boundaries, assign + encode
+    // only the delta slice, compute only the delta band of the kNN
+    // shortlist; merged store row-identical to a from-scratch build under
+    // the frozen routing (SURVEY §2 row M105)
+    "index_update_vecsearch"    -> (IndexStore.indexUpdateVecsearch _),
+    // round-12: two more bounded graph analytics migrated to the
+    // full-corpus artifact (SURVEY §2 rows M106, M107) — semi-supervised
+    // label propagation and Jaccard link prediction with the 500-vector
+    // bound removed; the bounded twins stay as explicit oracle twins
+    "graph_labelprop_full"      -> (Similarity.graphLabelPropFull _),
+    "graph_jaccard_full"        -> (Similarity.graphJaccardFull _),
+    // round-12: recall@10 of the ADC serving path vs exact L2 ground
+    // truth — completes the eval-harness family (SURVEY §2 row J30)
+    "pq_recall_at_k"            -> (Similarity.pqRecallAtK _),
   )
 }

@@ -69,7 +69,13 @@ object Checkpoints {
     */
   def release(sc: SparkContext): Unit = {
     val prev = lazyPersisted.remove(sc)
-    if (prev != null && !sc.isStopped) prev.unpersist(blocking = false)
+    // ADVICE r11 #3: the isStopped check races a concurrent stop() — an
+    // unpersist on a just-stopped context can throw, and a cleanup call
+    // must never fail its caller. Best-effort, like purgeStopped.
+    if (prev != null && !sc.isStopped) {
+      try prev.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     purgeStopped()
   }
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.ops.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,9 +37,11 @@ import org.apache.spark.sql.functions._
   *   - `knn_candidates_full` (a_id, b_id, dot) — the FULL-corpus top-8
   *     candidate shortlist per vector (no vec_id bound): √n-scaled
   *     sub-cells along each label cell's centroid-dot ranking, ±1-bucket
-  *     probing, rank-cut at [[KnnFullTopK]] before persist — Θ(n·√n)
-  *     build work, 8n stored rows, the input of the full-corpus graph
-  *     analytics family; see Similarity.knnCandidatesFull
+  *     probing in the argmax cell PLUS a dot-range-mapped ±1 window in
+  *     the second-nearest cell (round 12 — recall@8 0.14 → 0.35),
+  *     rank-cut at [[KnnFullTopK]] before persist — Θ(n·√n) build work,
+  *     8n stored rows, the input of the full-corpus graph analytics
+  *     family; see Similarity.knnCandidatesFull
   *
   * Staleness: the store directory is keyed by an md5 fingerprint of the
   * embeddings fixture (file paths + sizes + mtimes, plus a format
@@ -94,7 +97,10 @@ object IndexStore {
     * layout + Hamming cut.
     */
   private def vecsearchParams: String =
-    s"b$KnnBound|p$KnnNprobe|pq4x16|fullsqrt10w1k$KnnFullTopK"
+    // full-chain tag: √n/10 equal-depth sub-buckets, ±1 window, TWO probed
+    // cells (round 12 — "c2" re-keyed every store built with the
+    // own-cell-only round-11 scheme)
+    s"b$KnnBound|p$KnnNprobe|pq4x16|fullsqrt10w1c2k$KnnFullTopK"
   private def mediaParams: String = "bands4x15|ham10"
 
   private def rootDir: String =
@@ -157,6 +163,14 @@ object IndexStore {
 
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Pack per-subvector codes into the 4-code serving word per vector —
+    * shared by the full build and the incremental update's merged store.
+    */
+  private def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)")
+        .as("cds"))
 
   private def rm(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
@@ -239,7 +253,17 @@ object IndexStore {
             else if (java.nio.file.Files.exists(trash)) {
               try java.nio.file.Files.move(trash, dst,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              catch { case _: java.nio.file.FileSystemException => () }
+              catch {
+                case e2: java.nio.file.FileSystemException =>
+                  // ADVICE r11 #4: a swallowed restore failure on the
+                  // give-up path would leave readers facing a missing
+                  // directory with no trace — surface it so operators
+                  // learn the live store could not be put back, instead
+                  // of discovering the hole at serve time
+                  if (attempt >= 5) Console.err.println(
+                    s"graft IndexStore: could not restore live store $dir " +
+                      s"from $trash after failed publish: $e2")
+              }
             }
             if (attempt >= 5) { rm(tmp); throw e }
           // else: a racer republished dst first — loop re-checks the
@@ -265,10 +289,7 @@ object IndexStore {
     write(codes.select(col("vec_id"), col("s"), col("code"), col("qerr")),
       s"$dir/pq_codes")
     val storedCodes = spark.read.parquet(s"$dir/pq_codes")
-    write(storedCodes.groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)")
-          .as("cds")),
-      s"$dir/pq_packed")
+    write(packCodes(storedCodes), s"$dir/pq_packed")
     // kNN candidate relation over the bounded graph slice
     val eb = e.where(col("vec_id") < KnnBound)
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -281,7 +302,7 @@ object IndexStore {
     val storedAssigned = spark.read.parquet(s"$dir/ivf_assigned")
     val wFullTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
-    write(Similarity.knnCandidatesFull(e, storedAssigned)
+    write(Similarity.knnCandidatesFull(e, storedAssigned, cent)
         .withColumn("rn", row_number().over(wFullTop))
         .where(col("rn") <= KnnFullTopK)
         .drop("rn"),
@@ -392,7 +413,17 @@ object IndexStore {
     * two snapshot ids; at 100 TB the delta set is the lake table's
     * changed-file manifest between snapshots.
     */
-  private val DeltaPred = "doc_id % 10 = 0"
+  /** Package-visible (ADVICE r11 #1): the oracle interpolates this into
+    * the `index_update_mediasig` SQL (via [[deltaPredOn]]) so changing the
+    * delta definition can never silently diverge engine and oracle.
+    */
+  private[graft] val DeltaPred = "doc_id % 10 = 0"
+
+  /** [[DeltaPred]] rewritten onto another id column (the oracle's pair
+    * predicates test a_id/b_id membership in the delta slice).
+    */
+  private[graft] def deltaPredOn(column: String): String =
+    DeltaPred.replace("doc_id", column)
 
   private[graft] def mediaBaseKey(sfDir: String): String =
     fileKey(sfDir, "documents", "mediabase", mediaParams)
@@ -467,6 +498,197 @@ object IndexStore {
     }
     import spark.implicits._
     MediaUpdateArtifactNames.map { n =>
+      (n, spark.read.parquet(s"$updDir/$n").count())
+    }.toDF("artifact", "n_rows").orderBy(col("artifact"))
+  }
+
+  // ---- incremental VECSEARCH maintenance (round 12, VERDICT r11 #2)
+
+  /** The simulated corpus split for the vector-index lifecycle, mirroring
+    * [[DeltaPred]] on the embeddings fixture: BASE = `vec_id % 10 != 0`,
+    * DELTA = the remaining 10%. Package-visible so the oracle interpolates
+    * it (the ADVICE r11 #1 discipline — engine and oracle can never
+    * silently diverge on the delta definition).
+    */
+  private[graft] val VecDeltaPred = "vec_id % 10 = 0"
+
+  /** [[VecDeltaPred]] rewritten onto another id column (the oracle's pair
+    * predicates test a_id/b_id membership in the delta slice).
+    */
+  private[graft] def vecDeltaPredOn(column: String): String =
+    VecDeltaPred.replace("vec_id", column)
+
+  /** The BASE-snapshot vector store's artifacts: the standard six-family
+    * build on the base slice PLUS the two maintenance-facing routing
+    * relations a delta update joins against —
+    *
+    *   - `knn_routing` (vec_id, cell, d, bucket) — the base corpus's
+    *     equal-depth sub-bucket membership (the candidate join's
+    *     membership side, and the source of the boundary relation)
+    *   - `knn_probes2` (vec_id, cell, bucket) — each base vector's
+    *     second-cell probe center, dot-range-mapped at base-build time
+    *
+    * Persisting these is what makes the update incremental: bucket
+    * boundaries are FROZEN at the base snapshot (delta vectors map into
+    * them by dot range — the same mapping the second-cell probe already
+    * uses), so base vectors never re-rank and base×base candidate work is
+    * never repeated. The bounded `knn_candidates` demo slice is not part
+    * of the maintained family (it serves from the main per-corpus store).
+    */
+  val VecBaseArtifactNames: Seq[String] = Seq(
+    "ivf_assigned", "ivf_centroids", "knn_candidates_full", "knn_probes2",
+    "knn_routing", "pq_codebook", "pq_codes")
+
+  /** The incremental update's manifest: the merged serving relations plus
+    * the delta relations the update actually computed (persisted so the
+    * manifest — and the oracle — checks the incremental work itself).
+    */
+  val VecUpdateArtifactNames: Seq[String] = Seq(
+    "ivf_assigned", "ivf_assigned_delta", "ivf_centroids",
+    "knn_candidates_full", "knn_pairs_delta", "pq_codebook", "pq_codes",
+    "pq_codes_delta", "pq_packed")
+
+  private[graft] def vecBaseKey(sfDir: String): String =
+    fileKey(sfDir, "embeddings", "vecbase", vecsearchParams)
+  private[graft] def vecUpdKey(sfDir: String): String =
+    // keyed by (base fingerprint, delta predicate): a changed base store
+    // or a different delta definition each invalidate the updated store
+    fileKey(sfDir, "embeddings", s"vecupd|${vecBaseKey(sfDir)}|$VecDeltaPred",
+      vecsearchParams)
+
+  def vecBaseDir(sfDir: String): String =
+    s"$rootDir/vecbase_${vecBaseKey(sfDir)}"
+  def vecUpdDir(sfDir: String): String =
+    s"$rootDir/vecupd_${vecUpdKey(sfDir)}"
+
+  /** The standing BASE-snapshot vector store (quantizer, inverted lists,
+    * PQ codebook/codes, kNN shortlist, and the frozen routing relations),
+    * built once per corpus version — the state an incremental update
+    * starts from. Every trained component (centroids, codebook, bucket
+    * boundaries) derives from the BASE slice only, exactly as a deployed
+    * index is trained on the snapshot it was built at.
+    */
+  def ensureVecBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = vecBaseDir(sfDir)
+    if (!java.nio.file.Files.exists(marker(dir))) {
+      publish(dir, force = false) { tmp =>
+        graft.functions.DotProduct.register(spark)
+        val base = Tables.embeddings(spark, sfDir).where(s"NOT ($VecDeltaPred)")
+        write(Similarity.centroidsBuild(base), s"$tmp/ivf_centroids")
+        val cent = spark.read.parquet(s"$tmp/ivf_centroids")
+        write(Similarity.ivfAssignBuild(base, cent), s"$tmp/ivf_assigned")
+        val storedAssigned = spark.read.parquet(s"$tmp/ivf_assigned")
+        val (codebook, codes) = Similarity.pqIndex(base)
+        write(codebook, s"$tmp/pq_codebook")
+        write(codes.select(col("vec_id"), col("s"), col("code"), col("qerr")),
+          s"$tmp/pq_codes")
+        // the frozen routing relations (see VecBaseArtifactNames)
+        write(Similarity.knnRouting(storedAssigned), s"$tmp/knn_routing")
+        val routing = spark.read.parquet(s"$tmp/knn_routing")
+        write(Similarity.mapByBounds(Similarity.secondCells(base, cent),
+          Similarity.knnBounds(routing)), s"$tmp/knn_probes2")
+        // base shortlist — the standard full-corpus builder on the base
+        // slice (same routing protocol as the persisted relations above)
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
+        write(Similarity.knnCandidatesFull(base, storedAssigned, cent)
+            .withColumn("rn", row_number().over(wTop))
+            .where(col("rn") <= KnnFullTopK)
+            .drop("rn"),
+          s"$tmp/knn_candidates_full")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        java.nio.file.Files.write(marker(tmp),
+          vecBaseKey(sfDir).getBytes("UTF-8"))
+      }
+    }
+    dir
+  }
+
+  /** The `index_update_vecsearch` query (round 12, VERDICT r11 #2):
+    * DELTA-build the 7-artifact vector store instead of rebuilding from
+    * scratch — the `index_update_mediasig` lifecycle applied to the
+    * trained-quantizer family:
+    *
+    *   - quantizer + codebook: REUSED verbatim from the base snapshot
+    *     (production IVF-PQ never retrains on add; a quality-driven
+    *     retrain is a rebuild, not an update)
+    *   - inverted lists / PQ codes / packed words: only the delta slice is
+    *     assigned + encoded (one pass over the 10%, against the broadcast
+    *     base quantizers); merged = base ∪ delta by construction, because
+    *     assignment and encoding are per-vector pure functions of the
+    *     frozen quantizers
+    *   - kNN shortlist: the delta band — delta probes (own + second cell,
+    *     both dot-range-mapped into the FROZEN base bucket boundaries) ×
+    *     full membership, plus base probe centers × delta membership
+    *     (pairs an existing vector gains toward a new one). The two sides
+    *     are disjoint on a_id, so each directed pair is produced at most
+    *     once. Merged shortlist = top-K of (base shortlist ∪ delta band)
+    *     per vector — row-identical to a from-scratch build under the
+    *     same frozen routing because top-k of a union equals top-k of
+    *     (top-k of one side ∪ the other side), and base×base candidates
+    *     are exactly the base build's candidate set (Round12Spec pins
+    *     this artifact by artifact).
+    *
+    * 100 TB economics: the DOT work — the build's only superlinear term —
+    * tracks the delta band (|delta|·√n-ish), never n·√n; the base side
+    * contributes one skinny (3-long) probe-key pass that joins against
+    * the broadcast-small delta membership, and the base shortlist is
+    * read, never recomputed. Update cost tracks |delta|, rebuild cost
+    * tracks |corpus| — the economics that make a standing index viable.
+    */
+  def indexUpdateVecsearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val baseDir = ensureVecBase(spark, sfDir)
+    val updDir = vecUpdDir(sfDir)
+    // force: the query owns the delta-build cost (the bench measures it
+    // here, once, like the other index_build_* entries)
+    publish(updDir, force = true) { tmp =>
+      graft.functions.DotProduct.register(spark)
+      val e = Tables.embeddings(spark, sfDir)
+      val delta = e.where(VecDeltaPred)
+      val cent = spark.read.parquet(s"$baseDir/ivf_centroids")
+      write(cent, s"$tmp/ivf_centroids")
+      val cb = spark.read.parquet(s"$baseDir/pq_codebook")
+      write(cb, s"$tmp/pq_codebook")
+      // delta assignment + encode, merged per-vector artifacts
+      write(Similarity.ivfAssignBuild(delta, cent), s"$tmp/ivf_assigned_delta")
+      val deltaAsg = spark.read.parquet(s"$tmp/ivf_assigned_delta")
+      write(spark.read.parquet(s"$baseDir/ivf_assigned").unionByName(deltaAsg),
+        s"$tmp/ivf_assigned")
+      write(Similarity.pqEncodeAgainst(delta, cb), s"$tmp/pq_codes_delta")
+      val deltaCodes = spark.read.parquet(s"$tmp/pq_codes_delta")
+      write(spark.read.parquet(s"$baseDir/pq_codes").unionByName(deltaCodes),
+        s"$tmp/pq_codes")
+      write(packCodes(spark.read.parquet(s"$tmp/pq_codes")), s"$tmp/pq_packed")
+      // shortlist delta band against the FROZEN base routing
+      val routing = spark.read.parquet(s"$baseDir/knn_routing")
+      val baseMem = routing.select(col("vec_id"), col("cell"), col("bucket"))
+      val baseProbes2 = spark.read.parquet(s"$baseDir/knn_probes2")
+      val bounds = Similarity.knnBounds(routing)
+      val deltaOwn = Similarity.mapByBounds(deltaAsg, bounds)
+        .lineageCut(false) // probe side, membership side, and the B band read it
+      val deltaSec = Similarity.mapByBounds(
+        Similarity.secondCells(delta, cent), bounds)
+      val bandA = Similarity.knnPairIds(
+        deltaOwn.unionByName(deltaSec), baseMem.unionByName(deltaOwn))
+      val bandB = Similarity.knnPairIds(
+        baseMem.unionByName(baseProbes2), deltaOwn)
+      write(Similarity.dotPairs(e, bandA.unionByName(bandB)),
+        s"$tmp/knn_pairs_delta")
+      val deltaPairs = spark.read.parquet(s"$tmp/knn_pairs_delta")
+      val baseShort = spark.read.parquet(s"$baseDir/knn_candidates_full")
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
+      write(baseShort.unionByName(deltaPairs)
+          .withColumn("rn", row_number().over(wTop))
+          .where(col("rn") <= KnnFullTopK)
+          .drop("rn"),
+        s"$tmp/knn_candidates_full")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.write(marker(tmp),
+        vecUpdKey(sfDir).getBytes("UTF-8"))
+    }
+    import spark.implicits._
+    VecUpdateArtifactNames.map { n =>
       (n, spark.read.parquet(s"$updDir/$n").count())
     }.toDF("artifact", "n_rows").orderBy(col("artifact"))
   }

@@ -284,37 +284,50 @@ object Similarity {
     *      integer arithmetic (`((rn-1)·m) div cnt`). Total cells ≈ 10·m ≈
     *      √n, so sub-bucket population ≈ n/√n = √n and candidate work is
     *      Θ(n·√n) — never n², at any corpus size.
-    *   3. candidates: every vector PROBES its own sub-bucket ±1 (boundary
-    *      neighbors straddle an equal-depth cut, so width-1 probing keeps
-    *      the relation symmetric: |Δbucket| ≤ 1 holds for (a,b) iff it
-    *      holds for (b,a)). Probe rows equi-join assigned rows on the
-    *      composite (cell, bucket) key — a keyed shuffle join, 3 probe
-    *      rows per vector, each (a,b) pair produced exactly once. The
-    *      codegen'd exact dot rides on the joined pair.
+    *   3. candidates: every vector PROBES six sub-buckets — its own ±1 in
+    *      its argmax cell, plus a ±1 window in its SECOND-nearest cell
+    *      (round 12, VERDICT r11 #1: own-cell-only probing measured
+    *      recall@8 ≈ 0.14 because only ~18% of true neighbors share the
+    *      argmax cell on this weakly-clustered fixture; the second cell
+    *      roughly doubles the reachable neighbor mass at 2× candidate
+    *      cost, the same trade the bounded nprobe=2 IVF makes). The
+    *      second-cell window is centered by DOT-RANGE MAPPING: the
+    *      query's dot against that cell's centroid is located among the
+    *      cell's equal-depth bucket boundaries (the least bucket whose
+    *      minimum member dot is ≤ the query's, else the cell's last
+    *      bucket) — the ~√n-row boundary relation broadcasts, so mapping
+    *      is a broadcast join, never a corpus-sized rank insert. Probe
+    *      rows equi-join assigned rows on the composite (cell, bucket)
+    *      key — a keyed shuffle join, 6 probe rows per vector, each
+    *      directed (a,b) pair produced at most once (the two probed cells
+    *      are distinct, and a vector occupies exactly one (cell, bucket)).
+    *      Own-cell pairs stay symmetric; cross-cell pairs are
+    *      one-directional by nature (b need not probe back into a's
+    *      cell). The codegen'd exact dot rides on the joined pair.
     *
     * 100 TB: the routing table is one corpus pass (the per-cell ranking is
     * a keyed window, range-partitionable within cells); the candidate join
     * shuffles on (cell, bucket) with ~√n rows per key — skewed label
     * cells split into more sub-buckets automatically because bucket depth
-    * is equal-COUNT, not equal-width. The artifact this builds is the one
-    * the whole graph family consumes, so the n·√n dot pass runs once per
-    * corpus version, not once per analytic.
+    * is equal-COUNT, not equal-width. The boundary relation is ~√n rows
+    * (broadcast); the second-cell assignment is one more corpus×10
+    * broadcast ranking, the same shape as the argmax pass. The artifact
+    * this builds is the one the whole graph family consumes, so the n·√n
+    * dot pass runs once per corpus version, not once per analytic.
     */
-  private[graft] def knnCandidatesFull(e: DataFrame, assigned: DataFrame): DataFrame = {
-    val n = assigned.count()
-    val m = math.max(1L, math.ceil(math.sqrt(n.toDouble) / 10.0).toLong)
-    val wCell = Window.partitionBy(col("cell")).orderBy(desc("d"), asc("vec_id"))
-    val routed = assigned
-      .withColumn("rn", row_number().over(wCell))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("cell"))))
-      .select(col("vec_id"), col("cell"),
-        expr(s"((rn - 1) * ${m}L) div cnt").as("bucket"))
-      .lineageCut(true) // both join sides read the routing table
+  private[graft] def knnCandidatesFull(e: DataFrame, assigned: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val routed = knnRouting(assigned)
+      .lineageCut(true) // probe side, membership side, boundaries all read it
+    val bounds = knnBounds(routed)
+    val mapped = mapByBounds(secondCells(e, cent), bounds)
+    val probes = routed.select(col("vec_id"), col("cell"), col("bucket"))
+      .unionByName(mapped.select(col("vec_id"), col("cell"), col("bucket")))
     val b = routed
       .select(col("vec_id").as("b_id"), col("cell"), col("bucket"))
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
         Seq("b_id"))
-    val a = routed
+    val a = probes
       .select(col("vec_id").as("a_id"), col("cell"), col("bucket"),
         explode(array(lit(-1L), lit(0L), lit(1L))).as("dlt"))
       .select(col("a_id"), col("cell"), (col("bucket") + col("dlt")).as("bucket"))
@@ -326,6 +339,96 @@ object Similarity {
       .withColumn("dot", expr("graft_dot(a_emb, b_emb)"))
       .select(col("a_id"), col("b_id"), col("dot"))
   }
+
+  /** The full-corpus routing table (vec_id, cell, d, bucket): each cell's
+    * members ranked (d desc, vec_id asc) and cut into m = ⌈√n/10⌉
+    * equal-depth sub-buckets via exact integer arithmetic — step 2 of
+    * [[knnCandidatesFull]], factored out (round 12) because incremental
+    * maintenance needs the BASE version's routing as a standing artifact
+    * (the delta update maps new vectors into it instead of re-ranking the
+    * corpus). One keyed window over the inverted lists; the single
+    * driver-side count sizes m (an O(1)-byte action, the documented
+    * loop-control pattern).
+    */
+  private[graft] def knnRouting(assigned: DataFrame): DataFrame = {
+    val n = assigned.count()
+    val m = math.max(1L, math.ceil(math.sqrt(n.toDouble) / 10.0).toLong)
+    val wCell = Window.partitionBy(col("cell")).orderBy(desc("d"), asc("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(wCell))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .select(col("vec_id"), col("cell"), col("d"),
+        expr(s"((rn - 1) * ${m}L) div cnt").as("bucket"))
+  }
+
+  /** Equal-depth bucket boundaries: each (cell, bucket)'s minimum member
+    * dot — ~√n rows total, the broadcastable relation dot-range probes
+    * map into.
+    */
+  private[graft] def knnBounds(routed: DataFrame): DataFrame =
+    routed.groupBy(col("cell"), col("bucket"))
+      .agg(min(col("d")).as("lo"))
+
+  /** Second-nearest cell per vector (vec_id, cell, d), against the same
+    * persisted quantizer and with the same (d desc, cell) ranking
+    * protocol as [[ivfAssignBuild]].
+    */
+  private[graft] def secondCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("d", centDotExpr)
+      .select(col("vec_id"), col("cell"), col("d"))
+      .withColumn("crn", row_number().over(wAssign))
+      .where(col("crn") === 2)
+      .select(col("vec_id"), col("cell"), col("d"))
+  }
+
+  /** Dot-range mapping of (vec_id, cell, d) rows into a cell's equal-depth
+    * buckets: the least bucket whose lo ≤ the dot (buckets are ranked
+    * d-descending, so that is the bucket whose range contains the dot),
+    * else the cell's last bucket. The boundary relation broadcasts, so
+    * mapping is never a corpus-sized rank insert. A row whose cell has no
+    * boundary entry (possible only when the routing's corpus version had
+    * an empty cell) is dropped — documented convention: such vectors stay
+    * unindexed until the next full rebuild.
+    */
+  private[graft] def mapByBounds(vcd: DataFrame, bounds: DataFrame): DataFrame =
+    vcd.join(broadcast(bounds), Seq("cell"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(coalesce(min(when(col("lo") <= col("d"), col("bucket"))),
+        max(col("bucket"))).as("bucket"))
+
+  /** The SKINNY candidate pair relation (a_id, b_id) from probe centers ×
+    * (cell, bucket) membership — the [[knnCandidatesFull]] join with the
+    * embedding attachment deferred (round 12, for the incremental update:
+    * the delta band's pair relation is delta-sized, so attaching
+    * embeddings to the PAIRS costs |delta band| joins instead of a
+    * corpus-sized probe-side join). Each probe center widens ±1 bucket;
+    * (a, b) is produced at most once because a vector has at most one
+    * probe center per cell.
+    */
+  private[graft] def knnPairIds(probes: DataFrame, membership: DataFrame): DataFrame =
+    probes
+      .select(col("vec_id").as("a_id"), col("cell"), col("bucket"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("dlt"))
+      .select(col("a_id"), col("cell"), (col("bucket") + col("dlt")).as("bucket"))
+      .join(membership.select(col("vec_id").as("b_id"), col("cell"), col("bucket")),
+        Seq("cell", "bucket"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+
+  /** Attach both embeddings to a skinny pair relation and score it with
+    * the codegen'd exact dot — IEEE-identical to the [[knnCandidatesFull]]
+    * scoring (same graft_dot kernel on the same float arrays).
+    */
+  private[graft] def dotPairs(e: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
+        Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
+        Seq("b_id"))
+      .withColumn("dot", expr("graft_dot(a_emb, b_emb)"))
+      .select(col("a_id"), col("b_id"), col("dot"))
 
   /** The standing FULL-CORPUS candidate shortlist (top-[[IndexStore.KnnFullTopK]]
     * per vector, persisted pre-cut — 8n rows, the corpus-viable form),
@@ -369,7 +472,13 @@ object Similarity {
     * the vertex key, lineage-cut through the [[Checkpoints]] knob; the
     * fixpoint loop's driver-side work is two scalar counts per round.
     */
-  private[graft] val KcoreFullK = 4
+  // k = 3 since round 12: second-cell probing made the top-8 lists more
+  // accurate and more cross-cell, which LOWERED mutual reciprocation —
+  // the k=4 core now cascades to empty at sf0.001 (degree histogram peaks
+  // at 4-5 with a long tail below), while k=3 leaves a ~370-vertex core
+  // after a real multi-round cascade. The empty-core fixpoint was equally
+  // correct (the oracle agreed), just a weaker fixture for the peel.
+  private[graft] val KcoreFullK = 3
   private[graft] val KcoreFullMaxRounds = 25
 
   /** The directed k-NN edge list over the WHOLE corpus — [[knnEdgesStored]]
@@ -463,11 +572,13 @@ object Similarity {
     * than k yields fewer candidates), so each vertex ships rank/outdeg
     * along its edges — the general PageRank transition, still one keyed
     * join + one keyed sum per iteration, linear in |E|. Vertices without
-    * in-edges settle at 0.15/n; the fixture graph has no dangling
-    * vertices (every vector probes its own bucket), and the oracle
-    * replicates the identical transition so any residual dangling mass
-    * convention cancels. Determinism: M51's 12-dp per-iteration rounding
-    * protocol — both engines iterate on bit-identical inputs.
+    * in-edges settle at 0.15/n. Dangling-vertex CONVENTION (ADVICE r11
+    * #2): a vector alone in its probe window can have zero out-edges, and
+    * this transition simply drops its rank mass (no redistribution) — a
+    * convention, not a structural impossibility; the oracle replicates
+    * the identical transition, so the convention cancels in the compare.
+    * Determinism: M51's 12-dp per-iteration rounding protocol — both
+    * engines iterate on bit-identical inputs.
     */
   def pageRankFull(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -505,21 +616,21 @@ object Similarity {
     * (broadcast 10 vectors × corpus, WindowGroupLimit top-k); the
     * corpus-sized work is the standing artifact scan.
     *
-    * What it measures (round-11 numbers, recorded in BASELINE.md): mean
-    * recall@8 ≈ 0.14 at sf0.001 vs 0.35 for the bounded nprobe=2 IVF —
-    * and the diagnosis is structural, not a tuning miss: only ~18% of
-    * exact top-8 neighbors share the query's argmax LABEL cell on this
-    * weakly-clustered fixture (max corpus dot ≈ 0.6 — near-random
-    * 64-dim data is the published hard case for any sublinear scheme).
-    * The known fix is probing the second-nearest cell with equal-depth
-    * bucket boundaries mapped by centroid-dot range (doubles candidate
-    * cost, stays Θ(n·√n)) — deferred so the measured baseline lands
-    * first; this harness is what will price that change.
+    * What it measures (recorded in BASELINE.md): round 11's own-cell-only
+    * probing scored mean recall@8 ≈ 0.14 at sf0.001 — structural, not a
+    * tuning miss: only ~18% of exact top-8 neighbors share the query's
+    * argmax LABEL cell on this weakly-clustered fixture (max corpus dot
+    * ≈ 0.6 — near-random 64-dim data is the published hard case for any
+    * sublinear scheme). Round 12's second-cell probing (VERDICT r11 #1 —
+    * the ±1 window in the second-nearest cell, centered by dot-range
+    * mapping, 2× candidate cost, still Θ(n·√n)) lifts it to mean
+    * recall@8 = 0.35 at sf0.001 — exactly the bounded nprobe=2 IVF bar,
+    * which probes the same two whole cells on the 500-vector slice.
     */
   def annRecallFull(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val k = 8
+    val k = IndexStore.KnnFullTopK // recall@K of the stored shortlist's own cut
     val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
@@ -560,6 +671,81 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         (round(col("dot"), 4) + lit(0.0)).as("sim"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** graph_labelprop_full (round 12, VERDICT r11 #4) — the M44
+    * semi-supervised label propagation with the 500-vector bound removed:
+    * every 5th corpus vector's label is held out, the rest vote over the
+    * symmetrized full-corpus 5-NN graph (two clamped majority rounds,
+    * vote tiebreak (count desc, label asc)), and the report scores the
+    * held-out slice. Consumes the standing shortlist artifact, so the
+    * corpus-sized work is two keyed join+aggregate rounds — the
+    * transductive-labeling shape a curation pipeline runs to densify
+    * sparse human labels, now at corpus scale.
+    */
+  def graphLabelPropFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val kn = knnFullEdges(spark, sfDir, 5)
+    val edges = kn.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(kn.select(col("b_id").as("u"), col("a_id").as("v")))
+      .distinct()
+      .lineageCut(true)
+    val obs = e.select(col("vec_id"),
+      when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("label")).as("l"))
+    def propagate(labels: DataFrame): DataFrame = {
+      val wVote = Window.partitionBy(col("u")).orderBy(desc("n"), asc("l"))
+      val votes = edges
+        .join(labels.select(col("vec_id").as("v"), col("l")), Seq("v"))
+        .where(col("l").isNotNull)
+        .groupBy(col("u"), col("l")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wVote))
+        .where(col("rn") === 1)
+        .select(col("u").as("vec_id"), col("l").as("pred"))
+      // clamp: observed labels never change; only null slots fill in
+      obs.join(labels.select(col("vec_id"), col("l").as("prev")), Seq("vec_id"))
+        .join(votes, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("l"), col("pred"), col("prev")).as("l"))
+    }
+    val r2 = propagate(propagate(obs))
+    e.where(col("vec_id") % 5 === 0)
+      .join(r2, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label").as("label_true"),
+        col("l").cast("int").as("label_pred"),
+        when(col("l") === col("label"), 1).otherwise(0).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** graph_jaccard_full (round 12, VERDICT r11 #4) — the M54 structural
+    * link predictor with the bound removed: Jaccard overlap of neighbor
+    * sets on the symmetrized full-corpus 5-NN graph, top-15 pairs. The
+    * wedge join is keyed by the shared neighbor; out-degree is capped at
+    * 5 by the rank cut, so wedge fan-out is bounded by each vertex's
+    * IN-degree — at production scale a hub cap (drop wedges through
+    * vertices above a degree ceiling, the standard triangle-counting
+    * mitigation) bounds the skew; the fixture's in-degrees stay small.
+    */
+  def graphJaccardFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = knnFullEdges(spark, sfDir, 5)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .lineageCut(true)
+    val adj = und.select(col("u").as("x"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("nb")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val common = adj.select(col("nb").as("w"), col("x").as("pu"))
+      .join(adj.select(col("nb").as("w2"), col("x").as("pv")),
+        col("w") === col("w2") && col("pu") < col("pv"))
+      .groupBy(col("pu"), col("pv")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("x").as("du"), col("deg").as("deg_u")), col("pu") === col("du"))
+      .join(deg.select(col("x").as("dv"), col("deg").as("deg_v")), col("pv") === col("dv"))
+      .select(col("pu").as("u"), col("pv").as("v"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("deg_u") + col("deg_v") - col("n_common")), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("u"), asc("v"))
+      .limit(15)
   }
 
   /** The candidate stage of [[knnBucketed]] — cell-pruned (a_id, b_id,
@@ -984,6 +1170,18 @@ object Similarity {
     (codebook, pqEncode(sub, codebook))
   }
 
+  /** Encode a corpus against an already-trained (stored) codebook — the
+    * incremental-maintenance path (round 12): delta vectors are encoded
+    * with the BASE snapshot's codebook, exactly as a production IVF-PQ
+    * index adds vectors without retraining its quantizers. Same
+    * subvector split + argmin kernel as [[pqIndex]]'s final encode, so a
+    * from-scratch encode of (base ∪ delta) against the same codebook is
+    * row-identical to (base codes ∪ delta codes).
+    */
+  private[graft] def pqEncodeAgainst(e: DataFrame, cb: DataFrame): DataFrame =
+    pqEncode(pqSubvectors(e), cb)
+      .select(col("vec_id"), col("s"), col("code"), col("qerr"))
+
   /** The untrained (first-16-sampled) PQ index — the bootstrap [[pqIndex]]
     * now trains past; kept so the quality spec can assert the Lloyd round
     * strictly reduces mean quantization error.
@@ -1088,6 +1286,56 @@ object Similarity {
     * round is one edge-keyed join + one node-keyed argmax aggregate —
     * O(|E|) per round, constant rounds.
     */
+  /** J30 pq_recall_at_k (round 12, VERDICT r11 #6) — the recall harness
+    * for the ADC serving path, completing the eval family: per sampled
+    * query (vec_id < 8, the vec_pq_adc_topk protocol), recall@10 of the
+    * 4-byte ADC scan against EXACT squared-L2 ground truth. `vec_pq_error`
+    * reports residual error per subspace; this reports what a user of the
+    * index actually experiences — how many true neighbors the compressed
+    * scan returns. Ground truth is L2 (the metric PQ quantizes), not dot,
+    * so the number isolates quantization loss from metric mismatch.
+    *
+    * 100 TB: the exact side is the one corpus×8 brute-force pass — an
+    * EVAL job over a sampled query set, not a serving path (the M37/M104
+    * recall-harness convention); the ADC side is the standing map-only
+    * scan. Both engines share the diff-vector fold (zip_with sub, dv·dv),
+    * so d2 values are bit-identical and rank cuts agree.
+    */
+  def pqRecallAtK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val k = 10
+    val (packed, lut) = pqAdcArtifacts(spark, sfDir, qBound = 8)
+    val wAdc = Window.partitionBy(col("a_id")).orderBy(asc("adc"), asc("b_id"))
+    val adcTop = packed.withColumnRenamed("vec_id", "b_id").crossJoin(broadcast(lut))
+      .where(col("b_id") =!= col("a_id"))
+      .withColumn("adc", adcExpr)
+      .withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val wEx = Window.partitionBy(col("a_id")).orderBy(asc("d2"), asc("b_id"))
+    val exact = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .join(broadcast(q))
+      .where(col("a_id") =!= col("b_id"))
+      // the pqEncode fold shape: diff vector, then dv·dv — IEEE-identical
+      // to DuckDB's list_dot_product over the same diff list
+      .withColumn("dv", expr(
+        "zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(wEx))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"))
+    exact.join(adcTop, Seq("a_id", "b_id"), "left")
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("a_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("a_id"))
+  }
+
   def graphLabelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir).where(col("vec_id") < 500)
       .select(col("vec_id"), col("label"))

@@ -14,6 +14,12 @@ package graft.oracle
   */
 object OracleSql {
 
+  /** The full-corpus shortlist cut, interpolated from the engine constant
+    * (ADVICE r11 #1): bumping IndexStore.KnnFullTopK re-keys the store AND
+    * moves every full-chain oracle cut with it — no silent divergence.
+    */
+  private val KF: Int = graft.ops.IndexStore.KnnFullTopK
+
   /** Shared events-normalizing CTE prefix (ns → µs truncation). */
   val EV: String =
     "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, " +
@@ -65,14 +71,17 @@ object OracleSql {
       |rk AS (SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM cand)"""
       .stripMargin.replace("\n", " ")
 
-  /** FULL-corpus kNN candidate CTE chain (round 11), mirroring
-    * Similarity.knnCandidatesFull exactly: per-label centroids over the
-    * WHOLE corpus (same 2^20 fixed-point protocol), argmax-cell inverted
-    * lists with the winning dot `d`, m = ⌈√n/10⌉ equal-depth sub-buckets
-    * per cell along the (d desc, vec_id) ranking (exact integer bucket
-    * arithmetic), candidates = |Δbucket| ≤ 1 pairs within a cell. Yields
-    * `fcand(a_id, b_id)` and the dot-ranked `frk(a_id, b_id, rn)`.
-    * `fasg`/`frt`/`frk` are MATERIALIZED (the M98 lesson): consumers
+  /** FULL-corpus kNN candidate CTE chain (round 11; second-cell probing
+    * round 12), mirroring Similarity.knnCandidatesFull exactly: per-label
+    * centroids over the WHOLE corpus (same 2^20 fixed-point protocol),
+    * argmax-cell inverted lists with the winning dot `d`, m = ⌈√n/10⌉
+    * equal-depth sub-buckets per cell along the (d desc, vec_id) ranking
+    * (exact integer bucket arithmetic). Probes: the vector's own bucket
+    * ±1 PLUS a ±1 window in its SECOND-nearest cell, centered by
+    * dot-range mapping (the least bucket of that cell whose minimum
+    * member dot ≤ the query's dot there, else the cell's last bucket).
+    * Yields `fcand(a_id, b_id)` and the dot-ranked `frk(a_id, b_id, rn)`.
+    * `fasg`/`frtd`/`frk` are MATERIALIZED (the M98 lesson): consumers
     * reference them many times and DuckDB's CTE inlining would otherwise
     * re-evaluate the corpus-sized chain per reference. F-prefixed names so
     * the chain composes with the bounded knnIvfChain in one WITH clause.
@@ -82,12 +91,50 @@ object OracleSql {
       |fcc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
       |fcent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM fcc GROUP BY label),
       |fdots AS (SELECT ef.vec_id, c.cell, list_dot_product(ef.emb, c.cvec) AS d FROM ef CROSS JOIN fcent c),
-      |fasg AS MATERIALIZED (SELECT vec_id, cell, d FROM (SELECT vec_id, cell, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM fdots) WHERE crn = 1),
+      |fcr AS MATERIALIZED (SELECT vec_id, cell, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM fdots),
+      |fasg AS MATERIALIZED (SELECT vec_id, cell, d FROM fcr WHERE crn = 1),
+      |fasg2 AS (SELECT vec_id, cell, d FROM fcr WHERE crn = 2),
       |fm AS (SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)) / 10.0) AS BIGINT)) AS m FROM fasg),
-      |frt AS MATERIALIZED (SELECT vec_id, cell, ((ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) - 1) * (SELECT m FROM fm)) // (COUNT(*) OVER (PARTITION BY cell)) AS bucket FROM fasg),
-      |fcand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM frt a JOIN frt b ON b.cell = a.cell AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1 AND b.vec_id <> a.vec_id),
+      |frtd AS MATERIALIZED (SELECT vec_id, cell, d, ((ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) - 1) * (SELECT m FROM fm)) // (COUNT(*) OVER (PARTITION BY cell)) AS bucket FROM fasg),
+      |fbnd AS (SELECT cell, bucket, MIN(d) AS lo FROM frtd GROUP BY cell, bucket),
+      |fmap AS (SELECT g.vec_id, g.cell, COALESCE(MIN(b.bucket) FILTER (WHERE b.lo <= g.d), MAX(b.bucket)) AS bucket FROM fasg2 g JOIN fbnd b ON b.cell = g.cell GROUP BY g.vec_id, g.cell),
+      |fprb AS (SELECT vec_id, cell, bucket FROM frtd UNION ALL SELECT vec_id, cell, bucket FROM fmap),
+      |fcand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM fprb a JOIN frtd b ON b.cell = a.cell AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1 AND b.vec_id <> a.vec_id),
       |frk AS MATERIALIZED (SELECT a_id, b_id, dot, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM (SELECT c.a_id, c.b_id, list_dot_product(ae.emb, be.emb) AS dot FROM fcand c JOIN ef ae ON ae.vec_id = c.a_id JOIN ef be ON be.vec_id = c.b_id))"""
       .stripMargin.replace("\n", " ")
+
+  /** TWO-SNAPSHOT kNN candidate chain (round 12), mirroring the
+    * incremental `index_update_vecsearch` protocol exactly: centroids and
+    * equal-depth bucket boundaries trained on the BASE slice only
+    * (`NOT (${IndexStore.VecDeltaPred})`), every vector assigned against
+    * them; base vectors take their base-ranking bucket, delta vectors are
+    * dot-range-mapped into the FROZEN base buckets (the same COALESCE
+    * mapping the second-cell probe uses); probes = own + second-cell
+    * center per vector, membership = base routing ∪ mapped delta. Yields
+    * `g2cand(a_id, b_id)` — counts only, no dots needed (the manifest
+    * checks are pure (cell, bucket) membership). G2-prefixed so the chain
+    * composes with the bounded and full chains in one WITH clause.
+    */
+  private val knnTwoSnapChain: String = {
+    val vd = graft.ops.IndexStore.VecDeltaPred
+    s"""ef2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+      |g2cc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(emb[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM ef2, range(1, 65) t(i) WHERE NOT ($vd) GROUP BY label, i),
+      |g2cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM g2cc GROUP BY label),
+      |g2dots AS (SELECT ef2.vec_id, c.cell, list_dot_product(ef2.emb, c.cvec) AS d FROM ef2 CROSS JOIN g2cent c),
+      |g2cr AS MATERIALIZED (SELECT vec_id, cell, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM g2dots),
+      |g2own AS MATERIALIZED (SELECT vec_id, cell, d FROM g2cr WHERE crn = 1),
+      |g2sec AS (SELECT vec_id, cell, d FROM g2cr WHERE crn = 2),
+      |g2ownb AS (SELECT vec_id, cell, d FROM g2own WHERE NOT ($vd)),
+      |g2m AS (SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)) / 10.0) AS BIGINT)) AS m FROM g2ownb),
+      |g2rt AS MATERIALIZED (SELECT vec_id, cell, d, ((ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) - 1) * (SELECT m FROM g2m)) // (COUNT(*) OVER (PARTITION BY cell)) AS bucket FROM g2ownb),
+      |g2bnd AS (SELECT cell, bucket, MIN(d) AS lo FROM g2rt GROUP BY cell, bucket),
+      |g2mapo AS (SELECT g.vec_id, g.cell, COALESCE(MIN(b.bucket) FILTER (WHERE b.lo <= g.d), MAX(b.bucket)) AS bucket FROM g2own g JOIN g2bnd b ON b.cell = g.cell WHERE $vd GROUP BY g.vec_id, g.cell),
+      |g2maps AS (SELECT g.vec_id, g.cell, COALESCE(MIN(b.bucket) FILTER (WHERE b.lo <= g.d), MAX(b.bucket)) AS bucket FROM g2sec g JOIN g2bnd b ON b.cell = g.cell GROUP BY g.vec_id, g.cell),
+      |g2mem AS MATERIALIZED (SELECT vec_id, cell, bucket FROM g2rt UNION ALL SELECT vec_id, cell, bucket FROM g2mapo),
+      |g2prb AS (SELECT vec_id, cell, bucket FROM g2mem UNION ALL SELECT vec_id, cell, bucket FROM g2maps),
+      |g2cand AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM g2prb a JOIN g2mem b ON b.cell = a.cell AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1 AND b.vec_id <> a.vec_id)"""
+      .stripMargin.replace("\n", " ")
+  }
 
   /** graph_kcore_full: the unrolled fixpoint peel (see the map entry's
     * comment for the soundness argument). Generated — 15 structurally
@@ -96,8 +143,10 @@ object OracleSql {
     * Round11Spec).
     */
   private val kcoreFullSql: String = {
-    val R = 25
-    val K = 4
+    // interpolated from the engine constants (ADVICE r11 #1 discipline):
+    // bumping K or the round budget regenerates the unrolled SQL with it
+    val R = graft.ops.Similarity.KcoreFullMaxRounds
+    val K = graft.ops.Similarity.KcoreFullK
     val rounds = (1 to R).map { r =>
       val prev = s"e${r - 1}"
       s"a$r AS MATERIALIZED (SELECT x FROM (SELECT x, COUNT(*) AS deg FROM " +
@@ -109,7 +158,7 @@ object OracleSql {
         s"SELECT $r, (SELECT COUNT(*) FROM a$r), (SELECT COUNT(*) FROM e$r)"
       }).mkString(" UNION ALL ")
     "WITH " + knnFullChain +
-      ", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= 8), " +
+      s", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF), " +
       // MUTUAL edges only (reciprocated in both top-8 lists), canonical u<v
       "e0 AS MATERIALIZED (SELECT a.a_id AS u, a.b_id AS v FROM knn a " +
       "JOIN knn b ON b.a_id = a.b_id AND b.b_id = a.a_id WHERE a.a_id < a.b_id), " +
@@ -2917,6 +2966,33 @@ object OracleSql {
         |round(MAX(qerr), 6) + 0.0 AS max_qerr
         |FROM codes GROUP BY s ORDER BY s""".stripMargin.replace("\n", " ")),
 
+    // J30 (round 12) pq_recall_at_k — ADC top-10 (the vec_pq_adc_topk
+    // serving chain) vs EXACT squared-L2 ground truth (list_dot_product
+    // of the diff vector with itself — the same fold both engines' PQ
+    // encode runs, so d2 values are bit-identical); the M37 recall
+    // protocol per sampled query.
+    "pq_recall_at_k" ->
+      (pqChain +
+        """, lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc WHERE vec_id < 8),
+        |adcp AS (SELECT l.a_id, k.vec_id AS b_id, k.s, l.d2
+        |FROM codes k JOIN lut l ON l.s = k.s AND l.c = k.code),
+        |adc AS (SELECT a_id, b_id,
+        |MAX(CASE WHEN s = 0 THEN d2 END) + MAX(CASE WHEN s = 1 THEN d2 END)
+        |+ MAX(CASE WHEN s = 2 THEN d2 END) + MAX(CASE WHEN s = 3 THEN d2 END) AS adc_d2
+        |FROM adcp WHERE a_id <> b_id GROUP BY a_id, b_id),
+        |adct AS (SELECT a_id, b_id FROM (
+        |SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY adc_d2, b_id) AS rn FROM adc) WHERE rn <= 10),
+        |q AS (SELECT vec_id AS a_id, emb AS a_emb FROM e WHERE vec_id < 8),
+        |exd AS (SELECT q.a_id, e.vec_id AS b_id,
+        |list_transform(range(1, 65), i -> q.a_emb[CAST(i AS INT)] - e.emb[CAST(i AS INT)]) AS dv
+        |FROM q JOIN e ON e.vec_id <> q.a_id),
+        |ex AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY list_dot_product(dv, dv), b_id) AS rn FROM exd) WHERE rn <= 10)
+        |SELECT ex.a_id, COUNT(*) AS n_exact, CAST(COUNT(adct.b_id) AS BIGINT) AS n_hit,
+        |CAST(COUNT(adct.b_id) AS DOUBLE) / COUNT(*) AS recall
+        |FROM ex LEFT JOIN adct ON adct.a_id = ex.a_id AND adct.b_id = ex.b_id
+        |GROUP BY ex.a_id ORDER BY ex.a_id""".stripMargin.replace("\n", " ")),
+
     // 2 clamped majority-vote rounds over the symmetrized 5-NN graph;
     // vote tiebreak (count desc, label asc) mirrors the Spark window
     "graph_label_propagation" ->
@@ -3430,10 +3506,10 @@ object OracleSql {
     // arithmetic over the d-ranking.
     "index_build_vecsearch" ->
       ("WITH " + knnIvfChain + ", " + knnFullChain +
-        """, nv AS (SELECT COUNT(*) AS n FROM embeddings),
+        s""", nv AS (SELECT COUNT(*) AS n FROM embeddings),
         |nl AS (SELECT COUNT(DISTINCT label) AS n FROM embeddings),
         |ncand AS (SELECT COUNT(*) AS n FROM cand),
-        |ncandfull AS (SELECT CAST(SUM(LEAST(8, c)) AS BIGINT) AS n
+        |ncandfull AS (SELECT CAST(SUM(LEAST($KF, c)) AS BIGINT) AS n
         |FROM (SELECT a_id, COUNT(*) AS c FROM fcand GROUP BY a_id))
         |SELECT artifact, n_rows FROM (
         |SELECT 'ivf_assigned' AS artifact, (SELECT n FROM nv) AS n_rows
@@ -3504,7 +3580,7 @@ object OracleSql {
     // tractable because mutual-kNN components are cluster-sized.
     "graph_cc_full" ->
       ("WITH RECURSIVE " + knnFullChain +
-        """, knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= 8),
+        s""", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF),
         |me AS MATERIALIZED (SELECT a.a_id AS u, a.b_id AS v FROM knn a
         |JOIN knn b ON b.a_id = a.b_id AND b.b_id = a.a_id WHERE a.a_id < a.b_id),
         |ed AS (SELECT u AS a, v AS b FROM me UNION ALL SELECT v, u FROM me),
@@ -3520,7 +3596,7 @@ object OracleSql {
     // is data-dependent on the full graph, not the constant k).
     "graph_pagerank_full" ->
       ("WITH " + knnFullChain +
-        """, knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= 8),
+        s""", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF),
         |od AS MATERIALIZED (SELECT a_id, COUNT(*) AS od FROM knn GROUP BY a_id),
         |nn AS (SELECT COUNT(*) AS n FROM ef),
         |r0 AS (SELECT vec_id, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r FROM ef, nn),
@@ -3550,12 +3626,12 @@ object OracleSql {
     // sample vs the full chain's top-8 cut; the M37 recall protocol.
     "ann_recall_full" ->
       ("WITH " + knnFullChain +
-        """, q AS (SELECT vec_id AS a_id, emb AS a_emb FROM ef WHERE vec_id < 10),
+        s""", q AS (SELECT vec_id AS a_id, emb AS a_emb FROM ef WHERE vec_id < 10),
         |x AS (SELECT a_id, b_id FROM (SELECT q.a_id, ef.vec_id AS b_id,
         |ROW_NUMBER() OVER (PARTITION BY q.a_id
         |ORDER BY list_dot_product(q.a_emb, ef.emb) DESC, ef.vec_id) AS rn
-        |FROM q JOIN ef ON ef.vec_id <> q.a_id) WHERE rn <= 8),
-        |ap AS (SELECT a_id, b_id FROM frk WHERE rn <= 8 AND a_id < 10)
+        |FROM q JOIN ef ON ef.vec_id <> q.a_id) WHERE rn <= $KF),
+        |ap AS (SELECT a_id, b_id FROM frk WHERE rn <= $KF AND a_id < 10)
         |SELECT x.a_id, COUNT(*) AS n_exact,
         |CAST(COUNT(ap.b_id) AS BIGINT) AS n_hit,
         |CAST(COUNT(ap.b_id) AS DOUBLE) / COUNT(*) AS recall
@@ -3612,17 +3688,85 @@ object OracleSql {
     // the result against the from-scratch definition.
     "index_update_mediasig" ->
       ("WITH " + phashPairChain +
-        """, ns AS (SELECT COUNT(*) AS n FROM documents WHERE n_chars > 0),
-        |nsd AS (SELECT COUNT(*) AS n FROM documents WHERE n_chars > 0 AND doc_id % 10 = 0),
+        s""", ns AS (SELECT COUNT(*) AS n FROM documents WHERE n_chars > 0),
+        |nsd AS (SELECT COUNT(*) AS n FROM documents WHERE n_chars > 0 AND ${graft.ops.IndexStore.DeltaPred}),
         |np AS (SELECT COUNT(*) AS n FROM cand WHERE bit_count(xor(sa, sb)) <= 10),
         |npd AS (SELECT COUNT(*) AS n FROM cand WHERE bit_count(xor(sa, sb)) <= 10
-        |AND (a_id % 10 = 0 OR b_id % 10 = 0))
+        |AND (${graft.ops.IndexStore.deltaPredOn("a_id")} OR ${graft.ops.IndexStore.deltaPredOn("b_id")}))
         |SELECT artifact, n_rows FROM (
         |SELECT 'media_pairs' AS artifact, (SELECT n FROM np) AS n_rows
         |UNION ALL SELECT 'media_pairs_delta', (SELECT n FROM npd)
         |UNION ALL SELECT 'media_sigs', (SELECT n FROM ns)
         |UNION ALL SELECT 'media_sigs_delta', (SELECT n FROM nsd))
         |ORDER BY artifact""".stripMargin.replace("\n", " ")),
+
+    // M105 (round 12) index_update_vecsearch — incremental maintenance of
+    // the vector store: the oracle replicates the TWO-SNAPSHOT protocol
+    // (quantizer/boundaries frozen at the base slice, delta dot-range-
+    // mapped in) and checks all nine manifest counts. Per-vector artifact
+    // counts are structural (assignment and encoding are per-vector pure
+    // functions of the frozen quantizers); the shortlist and delta-band
+    // counts come from the g2 candidate chain — pure (cell, bucket)
+    // membership, no dots needed. The codebook count is 4 × the base
+    // vectors among the first 16 (the PQ init-sample protocol).
+    "index_update_vecsearch" ->
+      ("WITH " + knnTwoSnapChain +
+        s""", n2 AS (SELECT COUNT(*) AS n FROM embeddings),
+        |nd2 AS (SELECT COUNT(*) AS n FROM embeddings WHERE ${graft.ops.IndexStore.VecDeltaPred}),
+        |nc2 AS (SELECT COUNT(DISTINCT label) AS n FROM embeddings WHERE NOT (${graft.ops.IndexStore.VecDeltaPred})),
+        |ncb2 AS (SELECT 4 * COUNT(*) AS n FROM embeddings WHERE vec_id < 16 AND NOT (${graft.ops.IndexStore.VecDeltaPred})),
+        |nshort AS (SELECT CAST(SUM(LEAST($KF, c)) AS BIGINT) AS n
+        |FROM (SELECT a_id, COUNT(*) AS c FROM g2cand GROUP BY a_id)),
+        |ndp AS (SELECT COUNT(*) AS n FROM g2cand
+        |WHERE ${graft.ops.IndexStore.vecDeltaPredOn("a_id")} OR ${graft.ops.IndexStore.vecDeltaPredOn("b_id")})
+        |SELECT artifact, n_rows FROM (
+        |SELECT 'ivf_assigned' AS artifact, (SELECT n FROM n2) AS n_rows
+        |UNION ALL SELECT 'ivf_assigned_delta', (SELECT n FROM nd2)
+        |UNION ALL SELECT 'ivf_centroids', (SELECT n FROM nc2)
+        |UNION ALL SELECT 'knn_candidates_full', (SELECT n FROM nshort)
+        |UNION ALL SELECT 'knn_pairs_delta', (SELECT n FROM ndp)
+        |UNION ALL SELECT 'pq_codebook', (SELECT n FROM ncb2)
+        |UNION ALL SELECT 'pq_codes', 4 * (SELECT n FROM n2)
+        |UNION ALL SELECT 'pq_codes_delta', 4 * (SELECT n FROM nd2)
+        |UNION ALL SELECT 'pq_packed', (SELECT n FROM n2))
+        |ORDER BY artifact""".stripMargin.replace("\n", " ")),
+
+    // M106 (round 12) graph_labelprop_full — the M44 two-round clamped
+    // majority vote over the symmetrized FULL-corpus 5-NN graph (edges
+    // from the shared full chain's rank cut); ed/obs/l1 MATERIALIZED (the
+    // M98 lesson — each is referenced by both vote rounds).
+    "graph_labelprop_full" ->
+      ("WITH " + knnFullChain +
+        """, kn AS (SELECT a_id, b_id FROM frk WHERE rn <= 5),
+        |ed AS MATERIALIZED (SELECT DISTINCT u, v FROM (SELECT a_id AS u, b_id AS v FROM kn UNION ALL SELECT b_id, a_id FROM kn)),
+        |obs AS MATERIALIZED (SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN NULL ELSE label END AS l FROM embeddings),
+        |v1 AS (SELECT u, o.l, COUNT(*) AS n FROM ed JOIN obs o ON o.vec_id = ed.v WHERE o.l IS NOT NULL GROUP BY u, o.l),
+        |p1 AS (SELECT u AS vec_id, l AS pred FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, l) AS rn2 FROM v1) WHERE rn2 = 1),
+        |l1 AS MATERIALIZED (SELECT o.vec_id, COALESCE(o.l, p1.pred) AS l FROM obs o LEFT JOIN p1 ON p1.vec_id = o.vec_id),
+        |v2 AS (SELECT u, x.l, COUNT(*) AS n FROM ed JOIN l1 x ON x.vec_id = ed.v WHERE x.l IS NOT NULL GROUP BY u, x.l),
+        |p2 AS (SELECT u AS vec_id, l AS pred FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, l) AS rn2 FROM v2) WHERE rn2 = 1),
+        |l2 AS (SELECT o.vec_id, COALESCE(o.l, p2.pred, l1.l) AS l FROM obs o
+        |LEFT JOIN p2 ON p2.vec_id = o.vec_id LEFT JOIN l1 ON l1.vec_id = o.vec_id)
+        |SELECT e2.vec_id, e2.label AS label_true, CAST(l2.l AS INT) AS label_pred,
+        |CASE WHEN l2.l = e2.label THEN 1 ELSE 0 END AS correct
+        |FROM embeddings e2 LEFT JOIN l2 ON l2.vec_id = e2.vec_id WHERE e2.vec_id % 5 = 0 ORDER BY e2.vec_id"""
+          .stripMargin.replace("\n", " ")),
+
+    // M107 (round 12) graph_jaccard_full — the M54 wedge join over the
+    // symmetrized FULL-corpus 5-NN graph; adj MATERIALIZED (read by both
+    // wedge sides and the degree relation).
+    "graph_jaccard_full" ->
+      ("WITH " + knnFullChain +
+        """, knn AS (SELECT a_id, b_id FROM frk WHERE rn <= 5),
+        |und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+        |adj AS MATERIALIZED (SELECT u AS x, v AS nb FROM und UNION ALL SELECT v AS x, u AS nb FROM und),
+        |deg AS (SELECT x, COUNT(*) AS deg FROM adj GROUP BY x),
+        |com AS (SELECT p1.x AS pu, p2.x AS pv, COUNT(*) AS n_common
+        |FROM adj p1 JOIN adj p2 ON p1.nb = p2.nb AND p1.x < p2.x GROUP BY p1.x, p2.x)
+        |SELECT pu AS u, pv AS v, CAST(n_common AS BIGINT) AS n_common,
+        |round(CAST(n_common AS DOUBLE) / (du.deg + dv.deg - n_common), 6) AS jaccard
+        |FROM com JOIN deg du ON du.x = pu JOIN deg dv ON dv.x = pv
+        |ORDER BY jaccard DESC, u, v LIMIT 15""".stripMargin.replace("\n", " ")),
 
     "agg_heavy_hitters_grouped" ->
       """WITH t AS (SELECT event_type, CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item

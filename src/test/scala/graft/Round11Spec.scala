@@ -12,18 +12,26 @@ class Round11Spec extends SparkSpec {
   private def store(name: String) =
     ops.IndexStore.read(spark, sf, name)
 
-  test("knnCandidatesFull: builder output is non-empty, self-pair-free, and symmetric (±1-bucket probing implies (a,b) ⇔ (b,a))") {
+  test("knnCandidatesFull: non-empty, self-pair-free, no duplicate directed pairs, and second-cell probing reaches across cells") {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sf)
-    val c = ops.Similarity.knnCandidatesFull(e, store("ivf_assigned"))
+    val c = ops.Similarity.knnCandidatesFull(
+        e, store("ivf_assigned"), store("ivf_centroids"))
       .select("a_id", "b_id").cache()
     try {
       assert(c.count() > 0)
       assert(c.where(col("a_id") === col("b_id")).count() === 0)
-      val asym = c.join(
-        c.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
-        Seq("a_id", "b_id"), "left_anti").count()
-      assert(asym === 0L, "candidate relation must be symmetric")
+      // each directed pair at most once (the two probed cells are distinct
+      // and membership is a single (cell, bucket))
+      assert(c.groupBy("a_id", "b_id").count().where(col("count") > 1).count() === 0)
+      // round 12: cross-cell candidates must exist — the whole point of
+      // the second probe (own-cell-only measured recall@8 ≈ 0.14)
+      val asg = store("ivf_assigned").select(col("vec_id"), col("cell"))
+      val cross = c
+        .join(asg.select(col("vec_id").as("a_id"), col("cell").as("a_cell")), Seq("a_id"))
+        .join(asg.select(col("vec_id").as("b_id"), col("cell").as("b_cell")), Seq("b_id"))
+        .where(col("a_cell") =!= col("b_cell")).count()
+      assert(cross > 0, "second-cell probing must produce cross-cell candidates")
     } finally c.unpersist()
   }
 
@@ -33,7 +41,8 @@ class Round11Spec extends SparkSpec {
     val assigned = store("ivf_assigned")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
-    val recomputed = ops.Similarity.knnCandidatesFull(e, assigned)
+    val recomputed = ops.Similarity.knnCandidatesFull(
+        e, assigned, store("ivf_centroids"))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .where(col("rn") <= ops.IndexStore.KnnFullTopK)
       .drop("rn")
@@ -129,6 +138,11 @@ class Round11Spec extends SparkSpec {
       assert(recall >= 0.0 && recall <= 1.0)
       assert(r.getLong(2) <= r.getLong(1))
     }
+    // round 12 (VERDICT r11 #1): second-cell probing must hold the
+    // bounded-IVF quality bar at sf0.001 (measured 0.35; own-cell-only
+    // was 0.14) — a regression gate, not an aspiration
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.30, f"mean recall@8 $mean%.3f fell below the 0.30 gate")
   }
 
   test("index_update_mediasig: the incrementally-updated store is row-identical to a full rebuild") {
