@@ -423,5 +423,12 @@ object Queries {
     // round-12: recall@10 of the ADC serving path vs exact L2 ground
     // truth — completes the eval-harness family (SURVEY §2 row J30)
     "pq_recall_at_k"            -> (Similarity.pqRecallAtK _),
+    // round-12: triangle census + degree assortativity migrated to the
+    // full-corpus graph (SURVEY §2 rows M108, M109)
+    "graph_triangle_full"       -> (Similarity.graphTriangleFull _),
+    "graph_assortativity_full"  -> (Similarity.graphAssortativityFull _),
+    // round-12: label-partition modularity on the full-corpus graph
+    // (SURVEY §2 row M110)
+    "graph_modularity_full"     -> (Similarity.graphModularityFull _),
   )
 }

@@ -221,11 +221,27 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     /** Recall@8 of the full-corpus candidate scheme vs exact ground
       * truth — the index ships with its measured quality. */
     def recallFull(): DataFrame = Similarity.annRecallFull(spark, dir)
+    /** Semi-supervised label propagation over the full-corpus 5-NN
+      * graph: two clamped majority rounds densify a 20%-held-out label
+      * set (round 12). */
+    def labelPropFull(): DataFrame = Similarity.graphLabelPropFull(spark, dir)
+    /** Jaccard link prediction (top-15 neighbor-set overlaps) on the
+      * full-corpus 5-NN graph (round 12). */
+    def jaccardFull(): DataFrame = Similarity.graphJaccardFull(spark, dir)
+    /** Recall@10 of the 4-byte ADC serving scan vs exact L2 ground
+      * truth — the PQ index ships with its measured quality (round 12). */
+    def pqRecall(): DataFrame = Similarity.pqRecallAtK(spark, dir)
     /** Force-rebuild the standing vector-search index (IVF quantizer +
       * inverted lists, PQ codebooks/codes/packed words, bounded + full
       * kNN candidate relations) and emit its artifact manifest. Serving
       * methods read this store, building on first use if absent. */
     def indexBuild(): DataFrame = IndexStore.indexBuildVecsearch(spark, dir)
+    /** INCREMENTALLY update the vector store from the base snapshot:
+      * re-assign + re-encode only the delta slice against the frozen
+      * quantizers, compute only the delta band of the kNN shortlist, and
+      * emit the merged manifest — row-identical to a from-scratch build
+      * under the frozen routing (round 12). */
+    def indexUpdate(): DataFrame = IndexStore.indexUpdateVecsearch(spark, dir)
   }
 
   /** Data-quality checks. */

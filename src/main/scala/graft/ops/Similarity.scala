@@ -1286,6 +1286,100 @@ object Similarity {
     * round is one edge-keyed join + one node-keyed argmax aggregate —
     * O(|E|) per round, constant rounds.
     */
+  /** graph_triangle_full (round 12, VERDICT r11 #4) — M42's triangle
+    * census with the 500-vector bound removed: wedges + closing semi-join
+    * on the symmetrized full-corpus 5-NN graph. Edge list lineage-cut
+    * once for the five downstream consumers (both wedge sides, the
+    * closing probe, and the vertex/edge counters); degree bounded at 5
+    * out-edges by the rank cut, the hub-cap caveat of
+    * [[graphJaccardFull]] applies to skewed in-degree.
+    */
+  def graphTriangleFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val knn = knnFullEdges(spark, sfDir, 5)
+    val und = knn
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .lineageCut(true)
+    val e1 = und.select(col("u").as("x"), col("v").as("y"))
+    val e2 = und.select(col("u").as("y2"), col("v").as("z"))
+    val wedges = e1.join(e2, col("y") === col("y2"))
+    val tris = wedges.join(und,
+      col("x") === col("u") && col("z") === col("v"), "left_semi")
+    val nV = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x"))).distinct()
+      .agg(count(lit(1)).as("n_vertices"))
+    val nE = und.agg(count(lit(1)).as("n_edges"))
+    val nT = tris.agg(count(lit(1)).as("n_triangles"))
+    nV.crossJoin(broadcast(nE)).crossJoin(broadcast(nT))
+  }
+
+  /** graph_modularity_full (round 12, VERDICT r11 #4) — M55's modularity
+    * of the label partition with the bound removed, over the symmetrized
+    * full-corpus 5-NN graph: Q = (4·|E|·intra − Σ d_c²) / (4·|E|²), all
+    * counts exact LONG, one double division (the M55 protocol). The
+    * partition audited is the fixture's label column — the "do my
+    * communities explain the similarity graph" number a curation run
+    * reports per label taxonomy.
+    */
+  def graphModularityFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val und = knnFullEdges(spark, sfDir, 5)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .lineageCut(true)
+    val edges = und
+      .join(lab.select(col("vec_id").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("vec_id").as("v"), col("label").as("lv")), Seq("v"))
+    val deg = und.select(col("u").as("x")).unionAll(und.select(col("v").as("x")))
+      .join(lab.select(col("vec_id").as("x"), col("label")), Seq("x"))
+      .groupBy(col("label")).agg(count(lit(1)).as("d"))
+    val perLabel = deg.agg(sum(col("d") * col("d")).as("sum_d2"))
+    val counts = edges.agg(count(lit(1)).as("l_edges"),
+      sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra"))
+    counts.crossJoin(broadcast(perLabel))
+      .select(col("l_edges"), col("intra"), col("sum_d2"),
+        (round((lit(4L) * col("l_edges") * col("intra") - col("sum_d2"))
+          .cast("double") /
+          (lit(4L) * col("l_edges") * col("l_edges")).cast("double"), 6)
+          + lit(0.0)).as("modularity"))
+  }
+
+  /** graph_assortativity_full (round 12, VERDICT r11 #4) — M56's
+    * degree-degree Pearson correlation with the bound removed, over the
+    * symmetrized full-corpus 5-NN graph. Exact decimal sums feed one
+    * double expression at the end (the M56 protocol), so the corpus-sized
+    * aggregation stays in the integer domain.
+    */
+  def graphAssortativityFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = knnFullEdges(spark, sfDir, 5)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .lineageCut(true)
+    val adj = und.select(col("u").as("x"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("nb")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val pairs = adj
+      .join(deg.select(col("x").as("dx"), col("deg").as("xd")), col("x") === col("dx"))
+      .join(deg.select(col("x").as("dn"), col("deg").as("yd")), col("nb") === col("dn"))
+      .select(col("xd").cast("decimal(38,0)").as("xd"),
+        col("yd").cast("decimal(38,0)").as("yd"))
+    val dn = col("n").cast("decimal(38,0)")
+    pairs
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd")).as("sx"), sum(col("yd")).as("sy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("yd") * col("yd")).as("syy"),
+        sum(col("xd") * col("yd")).as("sxy"))
+      .select(expr("CAST(n div 2 AS BIGINT)").as("n_edges"),
+        ((dn * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((dn * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((dn * col("syy") - col("sy") * col("sy")).cast("double")))
+          + lit(0.0)).as("assortativity"))
+  }
+
   /** J30 pq_recall_at_k (round 12, VERDICT r11 #6) — the recall harness
     * for the ADC serving path, completing the eval family: per sampled
     * query (vec_id < 8, the vec_pq_adc_topk protocol), recall@10 of the

@@ -3752,6 +3752,54 @@ object OracleSql {
         |FROM embeddings e2 LEFT JOIN l2 ON l2.vec_id = e2.vec_id WHERE e2.vec_id % 5 = 0 ORDER BY e2.vec_id"""
           .stripMargin.replace("\n", " ")),
 
+    // M108 (round 12) graph_triangle_full — the M42 wedge + closing
+    // semi-join census over the symmetrized FULL-corpus 5-NN graph; und
+    // MATERIALIZED (read by all three triangle legs and both counters).
+    "graph_triangle_full" ->
+      ("WITH " + knnFullChain +
+        """, knn AS (SELECT a_id, b_id FROM frk WHERE rn <= 5),
+        |und AS MATERIALIZED (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+        |tri AS (SELECT e1.u FROM und e1 JOIN und e2 ON e1.v = e2.u JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |vx AS (SELECT count(DISTINCT x) AS n_vertices FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und))
+        |SELECT vx.n_vertices, (SELECT count(*) FROM und) AS n_edges,
+        |(SELECT count(*) FROM tri) AS n_triangles FROM vx""".stripMargin.replace("\n", " ")),
+
+    // M109 (round 12) graph_assortativity_full — the M56 degree-degree
+    // Pearson over the symmetrized FULL-corpus 5-NN graph; exact HUGEINT
+    // sums, one double expression at the end.
+    "graph_assortativity_full" ->
+      ("WITH " + knnFullChain +
+        """, knn AS (SELECT a_id, b_id FROM frk WHERE rn <= 5),
+        |und AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM knn),
+        |adj AS MATERIALIZED (SELECT u AS x, v AS nb FROM und UNION ALL SELECT v AS x, u AS nb FROM und),
+        |deg AS (SELECT x, COUNT(*) AS deg FROM adj GROUP BY x),
+        |pairs AS (SELECT CAST(du.deg AS HUGEINT) AS xd, CAST(dv.deg AS HUGEINT) AS yd
+        |FROM adj JOIN deg du ON du.x = adj.x JOIN deg dv ON dv.x = adj.nb),
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(xd) AS sx, SUM(yd) AS sy,
+        |SUM(xd*xd) AS sxx, SUM(yd*yd) AS syy, SUM(xd*yd) AS sxy FROM pairs)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) + 0.0 AS assortativity
+        |FROM s""".stripMargin.replace("\n", " ")),
+
+    // M110 (round 12) graph_modularity_full — the M55 label-partition
+    // modularity over the symmetrized FULL-corpus 5-NN graph; und
+    // MATERIALIZED (read by the edge-labeling join and the degree sum).
+    "graph_modularity_full" ->
+      ("WITH " + knnFullChain +
+        """, kn AS (SELECT a_id, b_id FROM frk WHERE rn <= 5),
+        |und AS MATERIALIZED (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM kn),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |ed AS (SELECT lu.label AS lu2, lv.label AS lv2 FROM und
+        |JOIN lab lu ON lu.vec_id = und.u JOIN lab lv ON lv.vec_id = und.v),
+        |deg AS (SELECT l.label, COUNT(*) AS d FROM
+        |(SELECT u AS x FROM und UNION ALL SELECT v FROM und) t JOIN lab l ON l.vec_id = t.x GROUP BY l.label),
+        |s2 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sum_d2 FROM deg),
+        |cts AS (SELECT COUNT(*) AS l_edges,
+        |CAST(SUM(CASE WHEN lu2 = lv2 THEN 1 ELSE 0 END) AS BIGINT) AS intra FROM ed)
+        |SELECT l_edges, intra, sum_d2,
+        |round(CAST(4 * l_edges * intra - sum_d2 AS DOUBLE) / CAST(4 * l_edges * l_edges AS DOUBLE), 6) + 0.0 AS modularity
+        |FROM cts, s2""".stripMargin.replace("\n", " ")),
+
     // M107 (round 12) graph_jaccard_full — the M54 wedge join over the
     // symmetrized FULL-corpus 5-NN graph; adj MATERIALIZED (read by both
     // wedge sides and the degree relation).

@@ -238,7 +238,10 @@ class PlanSpec extends SparkSpec {
       "ts_forecast_baseline_mae", // hour spine × broadcast ~5-row type list
       "dq_ab_ttest",              // two broadcast 1-row arm aggregates
       "pipeline_license_filter",  // broadcast 1-row token total
-      "graph_kcore_peel")         // per-round 1-row count × count joins
+      "graph_kcore_peel",         // per-round 1-row count × count joins
+      "graph_triangle_full",      // 1-row vertex/edge/triangle count joins (M42 shape)
+      "graph_modularity_full",    // broadcast 1-row moment aggregate (M55 shape)
+      "pq_recall_at_k")           // 8 broadcast query LUTs/vectors (J3/ADC patterns)
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

@@ -111,6 +111,31 @@ class Round12Spec extends SparkSpec {
     } finally deltaPairs.unpersist()
   }
 
+  test("full-graph migrations: triangle census internally consistent, modularity and assortativity in range, ADC recall in [0,1]") {
+    val tri = run("graph_triangle_full").collect().head
+    val (nv, ne, nt) = (tri.getLong(0), tri.getLong(1), tri.getLong(2))
+    assert(nv > 0 && ne > 0)
+    // an undirected simple graph has at most C(n,3) triangles and each
+    // triangle needs 3 edges
+    assert(nt >= 0 && 3 * nt <= ne * (ne - 1))
+    val mod = run("graph_modularity_full").collect().head.getDouble(3)
+    assert(mod >= -1.0 && mod <= 1.0, s"modularity $mod out of range")
+    val asr = run("graph_assortativity_full").collect().head.getDouble(1)
+    assert(asr >= -1.0 && asr <= 1.0, s"assortativity $asr out of range")
+    val pq = run("pq_recall_at_k").collect()
+    assert(pq.length === 8)
+    pq.foreach { r =>
+      assert(r.getLong(1) === 10L)
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // held-out label propagation scores exactly the held-out slice
+    val lp = run("graph_labelprop_full").collect()
+    val nHeld = Tables.embeddings(spark, sf).where(col("vec_id") % 5 === 0).count()
+    assert(lp.length.toLong === nHeld)
+    assert(lp.forall(r => r.getInt(3) == 0 || r.getInt(3) == 1))
+  }
+
   test("index_update_vecsearch manifest: every declared artifact emitted with positive rows (no name without a builder)") {
     val m = run("index_update_vecsearch").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
