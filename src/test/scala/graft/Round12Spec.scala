@@ -141,5 +141,11 @@ class Round12Spec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m.keySet === ops.IndexStore.VecUpdateArtifactNames.toSet)
     assert(m.values.forall(_ > 0))
+    // and the BASE store carries every declared artifact too (the r10
+    // "no name without a builder" lesson applied to the new family)
+    val baseDir = ops.IndexStore.vecBaseDir(sf)
+    ops.IndexStore.VecBaseArtifactNames.foreach { n =>
+      assert(spark.read.parquet(s"$baseDir/$n").count() > 0, s"base artifact $n")
+    }
   }
 }
