@@ -430,5 +430,8 @@ object Queries {
     // round-12: label-partition modularity on the full-corpus graph
     // (SURVEY §2 row M110)
     "graph_modularity_full"     -> (Similarity.graphModularityFull _),
+    // round-12: the recall/cost curve at nprobe 1..3, one probe pass
+    // serving all three arms (SURVEY §2 row J31)
+    "vec_ivf_recall_sweep"      -> (Similarity.vecIvfRecallSweep _),
   )
 }

@@ -150,6 +150,77 @@ object Similarity {
     * always measured on a sample); the corpus-sized work is the same
     * cell-pruned probe the production query path runs.
     */
+  /** J31 vec_ivf_recall_sweep (round 12) — the recall/cost CURVE the M37
+    * point measurement sits on: recall@10 of the IVF index at nprobe = 1,
+    * 2, and 3, one summary row per setting. This is the tuning artifact a
+    * deployment actually reads — "what recall does each extra probed cell
+    * buy, at 10% more scan cost per cell" — and it brackets the M37
+    * nprobe=2 operating point from both sides.
+    *
+    * One corpus pass serves all three arms: the probe relation carries
+    * its cell RANK (crn ≤ 3), the scored candidate relation is computed
+    * once against the standing inverted lists, and each arm is a filter
+    * (crn ≤ p) + rank cut over it — the three-way sweep costs one probe
+    * of 3/10ths of the corpus, not three separate scans. Ground truth is
+    * the shared J3 exact side, computed once.
+    */
+  def vecIvfRecallSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val k = 10
+    val qBound = 10
+    val cent = IndexStore.read(spark, sfDir, "ivf_centroids")
+    val assigned = IndexStore.read(spark, sfDir, "ivf_assigned")
+      .select(col("vec_id"), col("cell"))
+    val q = e.where(col("vec_id") < qBound)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    // probe cells WITH their rank (the arm selector), query-sized
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
+    val probe = e.where(col("vec_id") < qBound)
+      .crossJoin(broadcast(cent))
+      .withColumn("d", centDotExpr)
+      .withColumn("crn", row_number().over(wAssign))
+      .where(col("crn") <= 3)
+      .select(col("vec_id").as("a_id"), col("cell"), col("crn"))
+    // one scored candidate pass over the union of all probed cells
+    val scored = assigned
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
+      .join(broadcast(probe.join(q, "a_id")), Seq("cell"))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+      .select(col("a_id"), col("b_id"), col("crn"), col("sim_raw"))
+      .lineageCut(true) // three arms + nothing else re-reads the corpus
+    val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
+    val arms = (1 to 3).map { p =>
+      scored.where(col("crn") <= p)
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= k)
+        .select(lit(p).as("nprobe"), col("a_id"), col("b_id"))
+    }.reduce(_ unionByName _)
+    val exact = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .join(broadcast(q))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"))
+    import spark.implicits._
+    val grid = Seq(1, 2, 3).toDF("nprobe")
+    grid
+      .join(exact.crossJoin(broadcast(grid.withColumnRenamed("nprobe", "np2")))
+          .select(col("np2").as("nprobe"), col("a_id"), col("b_id"))
+          .join(arms, Seq("nprobe", "a_id", "b_id"), "left_semi")
+          .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit")),
+        Seq("nprobe"), "left")
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .select(col("nprobe"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
   def annRecallAtK(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir)

@@ -2966,6 +2966,42 @@ object OracleSql {
         |round(MAX(qerr), 6) + 0.0 AS max_qerr
         |FROM codes GROUP BY s ORDER BY s""".stripMargin.replace("\n", " ")),
 
+    // J31 (round 12) vec_ivf_recall_sweep — the recall/cost curve: one
+    // crn<=3 probe relation serves all three arms; per-arm rank cut,
+    // micro-averaged recall vs the shared exact ground truth (the
+    // ann_ivf_topk full-corpus chain + the M37 protocol).
+    "vec_ivf_recall_sweep" ->
+      """WITH comp AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |round(CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c
+        |FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM comp GROUP BY label),
+        |dots AS (SELECT e.vec_id, e.embedding, c.cell,
+        |list_dot_product(CAST(e.embedding AS DOUBLE[]), cvec) AS d
+        |FROM embeddings e CROSS JOIN cent c),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn FROM dots),
+        |assigned AS (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+        |probe AS (SELECT vec_id AS a_id, cell, rn AS crn FROM ranked WHERE rn <= 3 AND vec_id < 10),
+        |cand AS (SELECT p.a_id, b.vec_id AS b_id, p.crn,
+        |list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw
+        |FROM probe p JOIN embeddings q ON q.vec_id = p.a_id
+        |JOIN assigned b ON b.cell = p.cell AND b.vec_id <> p.a_id),
+        |np AS (SELECT unnest([1, 2, 3]) AS nprobe),
+        |arms AS (SELECT nprobe, a_id, b_id FROM (
+        |SELECT np.nprobe, c.a_id, c.b_id,
+        |ROW_NUMBER() OVER (PARTITION BY np.nprobe, c.a_id ORDER BY c.sim_raw DESC, c.b_id) AS rnk
+        |FROM np JOIN cand c ON c.crn <= np.nprobe) WHERE rnk <= 10),
+        |ex AS (SELECT a_id, b_id FROM (
+        |SELECT q.vec_id AS a_id, e.vec_id AS b_id,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rnk
+        |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id WHERE q.vec_id < 10) WHERE rnk <= 10),
+        |nex AS (SELECT COUNT(*) AS n FROM ex)
+        |SELECT np.nprobe, (SELECT n FROM nex) AS n_exact,
+        |CAST(COUNT(a.b_id) AS BIGINT) AS n_hit,
+        |CAST(COUNT(a.b_id) AS DOUBLE) / (SELECT n FROM nex) AS recall
+        |FROM np CROSS JOIN ex
+        |LEFT JOIN arms a ON a.nprobe = np.nprobe AND a.a_id = ex.a_id AND a.b_id = ex.b_id
+        |GROUP BY np.nprobe ORDER BY np.nprobe""".stripMargin.replace("\n", " "),
+
     // J30 (round 12) pq_recall_at_k — ADC top-10 (the vec_pq_adc_topk
     // serving chain) vs EXACT squared-L2 ground truth (list_dot_product
     // of the diff vector with itself — the same fold both engines' PQ

@@ -108,6 +108,15 @@ class Round12Spec extends SparkSpec {
       val fullPairs = ops.Similarity.knnPairIds(mem.unionByName(allSec), mem).count()
       assert(deltaPairs.count() * 2 <= fullPairs,
         s"delta band (${deltaPairs.count()}) should be at most half the full candidate relation ($fullPairs)")
+      // the B band's scale claim: the base probe pass joins against the
+      // SMALL delta membership — AQE must pick a broadcast join at
+      // runtime, keeping the base side map-only (read post-execution:
+      // the pre-execution adaptive plan can't see the agg's true size)
+      val bandB = ops.Similarity.knnPairIds(
+        routing.select(col("vec_id"), col("cell"), col("bucket")), deltaOwn)
+      bandB.collect()
+      assert(bandB.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "delta membership side must broadcast in the base-probe band")
     } finally deltaPairs.unpersist()
   }
 
