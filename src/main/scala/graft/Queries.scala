@@ -433,5 +433,9 @@ object Queries {
     // round-12: the recall/cost curve at nprobe 1..3, one probe pass
     // serving all three arms (SURVEY §2 row J31)
     "vec_ivf_recall_sweep"      -> (Similarity.vecIvfRecallSweep _),
+    // round-12: per-cell drift of the frozen base quantizer vs a fresh
+    // M-step on the current corpus — the rebuild-policy audit that
+    // completes the incremental lifecycle (SURVEY §2 row M111)
+    "vec_centroid_drift"        -> (Similarity.vecCentroidDrift _),
   )
 }

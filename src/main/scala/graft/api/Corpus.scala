@@ -236,6 +236,13 @@ final class Corpus(val spark: SparkSession, val dir: String) {
       * kNN candidate relations) and emit its artifact manifest. Serving
       * methods read this store, building on first use if absent. */
     def indexBuild(): DataFrame = IndexStore.indexBuildVecsearch(spark, dir)
+    /** Recall@10 of the IVF index at nprobe 1/2/3 — the recall/cost
+      * curve the nprobe setting is tuned from (round 12). */
+    def ivfRecallSweep(): DataFrame = Similarity.vecIvfRecallSweep(spark, dir)
+    /** Per-cell L2 drift of the frozen base-snapshot quantizer vs a
+      * fresh M-step on the current corpus — the rebuild-policy audit for
+      * the incremental lifecycle (round 12). */
+    def centroidDrift(): DataFrame = Similarity.vecCentroidDrift(spark, dir)
     /** INCREMENTALLY update the vector store from the base snapshot:
       * re-assign + re-encode only the delta slice against the frozen
       * quantizers, compute only the delta band of the kNN shortlist, and

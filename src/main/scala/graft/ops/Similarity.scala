@@ -1451,6 +1451,38 @@ object Similarity {
           + lit(0.0)).as("assortativity"))
   }
 
+  /** vec_centroid_drift (round 12) — the REBUILD-POLICY audit that
+    * completes the incremental-maintenance story (M105): the update path
+    * deliberately freezes the base snapshot's quantizer, so something
+    * must tell operators when that freeze has gone stale. Per cell, the
+    * L2 distance between the BASE-trained centroid (read from the
+    * standing base store — the quantizer serving queries actually use)
+    * and the centroid the CURRENT corpus would train (one fresh M-step
+    * over base ∪ delta, same 2^20 fixed-point protocol), alongside both
+    * member counts. Large drift in a cell = the frozen quantizer no
+    * longer represents that region = schedule a retrain (a rebuild, not
+    * an update). One corpus pass + a 10-row broadcast join; the diff
+    * rides the shared diff-vector fold so both engines agree bit-exactly.
+    */
+  def vecCentroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val baseDir = IndexStore.ensureVecBase(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+    val baseCent = spark.read.parquet(s"$baseDir/ivf_centroids")
+      .select(col("cell"), col("cvec").as("base_cvec"))
+    val nowCent = centroidsBuild(e).select(col("cell"), col("cvec").as("now_cvec"))
+    val nBase = e.where(s"NOT (${IndexStore.VecDeltaPred})")
+      .groupBy(col("label").as("cell")).agg(count(lit(1)).as("n_base"))
+    val nNow = e.groupBy(col("label").as("cell")).agg(count(lit(1)).as("n_now"))
+    baseCent.join(nowCent, Seq("cell"))
+      .join(nBase, Seq("cell")).join(nNow, Seq("cell"))
+      .withColumn("dv", expr("zip_with(base_cvec, now_cvec, (x, y) -> x - y)"))
+      .select(col("cell"), col("n_base"), col("n_now"),
+        (round(expr(
+          "sqrt(aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"),
+          6) + lit(0.0)).as("l2_drift"))
+      .orderBy(col("cell"))
+  }
+
   /** J30 pq_recall_at_k (round 12, VERDICT r11 #6) — the recall harness
     * for the ADC serving path, completing the eval family: per sampled
     * query (vec_id < 8, the vec_pq_adc_topk protocol), recall@10 of the

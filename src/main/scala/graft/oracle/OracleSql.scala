@@ -2966,6 +2966,24 @@ object OracleSql {
         |round(MAX(qerr), 6) + 0.0 AS max_qerr
         |FROM codes GROUP BY s ORDER BY s""".stripMargin.replace("\n", " ")),
 
+    // M111 (round 12) vec_centroid_drift — the rebuild-policy audit:
+    // per-cell L2 distance between the BASE-trained centroid (the frozen
+    // quantizer the update path serves) and a fresh M-step on the current
+    // corpus; both centroid computations use the shared 2^20 fixed-point
+    // protocol, the diff rides the shared diff-vector fold.
+    "vec_centroid_drift" ->
+      (s"""WITH bcc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) WHERE NOT (${graft.ops.IndexStore.VecDeltaPred}) GROUP BY label, i),
+        |bcent AS (SELECT label AS cell, list(c ORDER BY dim) AS bv FROM bcc GROUP BY label),
+        |ncc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |ncent AS (SELECT label AS cell, list(c ORDER BY dim) AS nv FROM ncc GROUP BY label),
+        |nb AS (SELECT label AS cell, COUNT(*) AS n_base FROM embeddings WHERE NOT (${graft.ops.IndexStore.VecDeltaPred}) GROUP BY label),
+        |nn AS (SELECT label AS cell, COUNT(*) AS n_now FROM embeddings GROUP BY label),
+        |dvr AS (SELECT b.cell, list_transform(range(1, 65), i -> b.bv[CAST(i AS INT)] - n2.nv[CAST(i AS INT)]) AS d FROM bcent b JOIN ncent n2 ON n2.cell = b.cell)
+        |SELECT dvr.cell, nb.n_base, nn.n_now,
+        |round(sqrt(list_dot_product(d, d)), 6) + 0.0 AS l2_drift
+        |FROM dvr JOIN nb ON nb.cell = dvr.cell JOIN nn ON nn.cell = dvr.cell
+        |ORDER BY dvr.cell""".stripMargin.replace("\n", " ")),
+
     // J31 (round 12) vec_ivf_recall_sweep — the recall/cost curve: one
     // crn<=3 probe relation serves all three arms; per-arm rank cut,
     // micro-averaged recall vs the shared exact ground truth (the
