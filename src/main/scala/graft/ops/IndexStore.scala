@@ -587,11 +587,19 @@ object IndexStore {
         val routing = spark.read.parquet(s"$tmp/knn_routing")
         write(Similarity.mapByBounds(Similarity.secondCells(base, cent),
           Similarity.knnBounds(routing)), s"$tmp/knn_probes2")
-        // base shortlist — the standard full-corpus builder on the base
-        // slice (same routing protocol as the persisted relations above)
+        // base shortlist — built FROM the persisted routing relations
+        // (probes = routing ∪ second-cell centers, membership = routing),
+        // so "the shortlist derives from the frozen routing artifacts"
+        // holds by construction, and the routing/bounds/second-cell
+        // passes are not recomputed. Same candidate set and dots as the
+        // standard knnCandidatesFull on the base slice (Round12Spec's
+        // from-scratch comparison pins it).
+        val baseMemB = routing.select(col("vec_id"), col("cell"), col("bucket"))
+        val probes2B = spark.read.parquet(s"$tmp/knn_probes2")
         val wTop = org.apache.spark.sql.expressions.Window
           .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
-        write(Similarity.knnCandidatesFull(base, storedAssigned, cent)
+        write(Similarity.dotPairs(base,
+            Similarity.knnPairIds(baseMemB.unionByName(probes2B), baseMemB))
             .withColumn("rn", row_number().over(wTop))
             .where(col("rn") <= KnnFullTopK)
             .drop("rn"),

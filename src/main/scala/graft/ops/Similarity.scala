@@ -112,18 +112,30 @@ object Similarity {
     */
   private def ivfRouting(spark: SparkSession, sfDir: String,
       qBound: Int, nprobe: Int): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(spark, sfDir)
-    val cent = IndexStore.read(spark, sfDir, "ivf_centroids")
     val assigned = IndexStore.read(spark, sfDir, "ivf_assigned")
       .select(col("vec_id"), col("cell"))
+    val probe = ivfProbeRanked(spark, sfDir, qBound, nprobe)
+      .select(col("a_id"), col("cell"))
+    (assigned, probe)
+  }
+
+  /** The rank-tagged query probe relation (a_id, cell, crn ≤ maxProbe)
+    * against the persisted quantizer — the ONE copy of the probe-ranking
+    * protocol (round 12: [[vecIvfRecallSweep]] needs the rank to serve
+    * three nprobe arms from one pass, and a second inline copy could
+    * drift from the serving path it brackets).
+    */
+  private def ivfProbeRanked(spark: SparkSession, sfDir: String,
+      qBound: Int, maxProbe: Int): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = IndexStore.read(spark, sfDir, "ivf_centroids")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    val probe = e.where(col("vec_id") < qBound)
+    e.where(col("vec_id") < qBound)
       .crossJoin(broadcast(cent))
       .withColumn("d", centDotExpr)
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") <= nprobe)
-      .select(col("vec_id").as("a_id"), col("cell"))
-    (assigned, probe)
+      .withColumn("crn", row_number().over(wAssign))
+      .where(col("crn") <= maxProbe)
+      .select(col("vec_id").as("a_id"), col("cell"), col("crn"))
   }
 
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -169,19 +181,13 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val k = 10
     val qBound = 10
-    val cent = IndexStore.read(spark, sfDir, "ivf_centroids")
     val assigned = IndexStore.read(spark, sfDir, "ivf_assigned")
       .select(col("vec_id"), col("cell"))
     val q = e.where(col("vec_id") < qBound)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    // probe cells WITH their rank (the arm selector), query-sized
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    val probe = e.where(col("vec_id") < qBound)
-      .crossJoin(broadcast(cent))
-      .withColumn("d", centDotExpr)
-      .withColumn("crn", row_number().over(wAssign))
-      .where(col("crn") <= 3)
-      .select(col("vec_id").as("a_id"), col("cell"), col("crn"))
+    // probe cells WITH their rank (the arm selector), query-sized — the
+    // same protocol object the serving path routes through
+    val probe = ivfProbeRanked(spark, sfDir, qBound, maxProbe = 3)
     // one scored candidate pass over the union of all probed cells
     val scored = assigned
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -205,6 +211,8 @@ object Similarity {
       .withColumn("rn", row_number().over(wTop))
       .where(col("rn") <= k)
       .select(col("a_id"), col("b_id"))
+      .lineageCut(true) // hit counter AND the n_exact agg both read it —
+      // without the cut the corpus×10 exact pass would run twice
     import spark.implicits._
     val grid = Seq(1, 2, 3).toDF("nprobe")
     grid
@@ -519,8 +527,10 @@ object Similarity {
     * near-dup clustering literature. Mutuality matters for the peel: the
     * plain symmetrized 8-NN graph has min degree 8 by construction, so
     * every k ≤ 8 is a no-op and k ≥ 9 cascades to the empty graph;
-    * mutual degree varies 0..8 and k = 4 yields a real multi-round
-    * cascade ending in a large non-trivial core at every fixture size.
+    * mutual degree varies 0..8 and [[KcoreFullK]] is chosen so the peel
+    * runs a real multi-round cascade ending in a non-trivial core at
+    * every fixture size (the right value moves with the candidate
+    * scheme's accuracy — see the constant's comment).
     * Each round drops vertices of degree < k and induces the survivor
     * subgraph, looping until NO edge is removed (the fixpoint —
     * detectable from counts alone because the survivor sets shrink
