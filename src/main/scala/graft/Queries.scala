@@ -437,5 +437,14 @@ object Queries {
     // M-step on the current corpus — the rebuild-policy audit that
     // completes the incremental lifecycle (SURVEY §2 row M111)
     "vec_centroid_drift"        -> (Similarity.vecCentroidDrift _),
+    // round-13: the drift audit turned into the serve/update/retrain
+    // DECISION a lake deployment runs nightly — explicit thresholds over
+    // drift, delta fraction, and cell population, per cell plus a
+    // worst-cell-wins overall row (SURVEY §2 row M112)
+    "index_policy_vecsearch"    -> (Similarity.indexPolicyVecsearch _),
+    // round-13: per-query ADAPTIVE probe depth — cells probed in rank
+    // order until a candidate floor is met, the knob between the J31
+    // sweep's fixed-nprobe grid points (SURVEY §2 row J32)
+    "vec_probe_adaptive"        -> (Similarity.vecProbeAdaptive _),
   )
 }

@@ -88,6 +88,31 @@ object IndexStore {
     */
   private[graft] val KnnFullTopK = 8
 
+  /** How many coarse cells each vector probes when the full-corpus
+    * shortlist is built: its argmax cell (±1 sub-bucket window along the
+    * cell's dot ranking) plus dot-range-mapped ±1 windows in its 2nd..Pth
+    * nearest cells. Round 13 moved 2 → 3 (VERDICT r12 #1): the repo's own
+    * `vec_ivf_recall_sweep` priced the third probed cell at ~1.5× candidate
+    * cost for recall@10 0.40 → 0.52 (sf0.001) / 0.41 → 0.62 (sf1), and the
+    * measured shortlist recall@8 moved 0.35 → 0.52 at sf0.001 (see
+    * BASELINE.md round 13). Baked into [[vecsearchParams]], so bumping it
+    * re-keys every store built with the narrower scheme.
+    */
+  private[graft] val KnnFullProbeCells = 3
+
+  /** Half-width of the sub-bucket window each probe center scans (center
+    * ±W equal-depth buckets, ~√n candidates per bucket). Round 13 moved
+    * 1 → 2 together with the third probe cell: the third cell alone
+    * measured recall@8 0.41 at sf0.001 — the residual gap to the sweep's
+    * whole-cell 0.52 was window coverage (±1 covers 3 of the m=5 buckets
+    * per cell at that fixture), and widening the window is the
+    * architecture-preserving fix (candidate work stays Θ(n·√n); the
+    * alternative, an ADC-prefilter rerank over the whole corpus per query,
+    * is Θ(n²) for the self-join shortlist and was rejected). Baked into
+    * [[vecsearchParams]] → any change re-keys the store.
+    */
+  private[graft] val KnnFullProbeWidth = 2
+
   /** Parameters baked into the artifacts, folded into the staleness
     * fingerprint (ADVICE r9 #3) so changing any of them invalidates the
     * store automatically instead of relying on a FormatVersion bump:
@@ -97,10 +122,10 @@ object IndexStore {
     * layout + Hamming cut.
     */
   private def vecsearchParams: String =
-    // full-chain tag: √n/10 equal-depth sub-buckets, ±1 window, TWO probed
-    // cells (round 12 — "c2" re-keyed every store built with the
-    // own-cell-only round-11 scheme)
-    s"b$KnnBound|p$KnnNprobe|pq4x16|fullsqrt10w1c2k$KnnFullTopK"
+    // full-chain tag: √n/10 equal-depth sub-buckets, ±1 window, probe-cell
+    // count interpolated (round 13 — "c3" re-keys every store built with
+    // the two-cell round-12 scheme, exactly like "c2" re-keyed round 11's)
+    s"b$KnnBound|p$KnnNprobe|pq4x16|fullsqrt10w${KnnFullProbeWidth}c${KnnFullProbeCells}k$KnnFullTopK"
   private def mediaParams: String = "bands4x15|ham10"
 
   private def rootDir: String =
@@ -525,8 +550,10 @@ object IndexStore {
     *   - `knn_routing` (vec_id, cell, d, bucket) — the base corpus's
     *     equal-depth sub-bucket membership (the candidate join's
     *     membership side, and the source of the boundary relation)
-    *   - `knn_probes2` (vec_id, cell, bucket) — each base vector's
-    *     second-cell probe center, dot-range-mapped at base-build time
+    *   - `knn_probes_alt` (vec_id, cell, bucket) — each base vector's
+    *     NON-ARGMAX probe centers (cell ranks 2..[[KnnFullProbeCells]]),
+    *     dot-range-mapped at base-build time (named `knn_probes2` while
+    *     the scheme probed only the second cell, rounds 12 and earlier)
     *
     * Persisting these is what makes the update incremental: bucket
     * boundaries are FROZEN at the base snapshot (delta vectors map into
@@ -536,7 +563,7 @@ object IndexStore {
     * of the maintained family (it serves from the main per-corpus store).
     */
   val VecBaseArtifactNames: Seq[String] = Seq(
-    "ivf_assigned", "ivf_centroids", "knn_candidates_full", "knn_probes2",
+    "ivf_assigned", "ivf_centroids", "knn_candidates_full", "knn_probes_alt",
     "knn_routing", "pq_codebook", "pq_codes")
 
   /** The incremental update's manifest: the merged serving relations plus
@@ -585,17 +612,17 @@ object IndexStore {
         // the frozen routing relations (see VecBaseArtifactNames)
         write(Similarity.knnRouting(storedAssigned), s"$tmp/knn_routing")
         val routing = spark.read.parquet(s"$tmp/knn_routing")
-        write(Similarity.mapByBounds(Similarity.secondCells(base, cent),
-          Similarity.knnBounds(routing)), s"$tmp/knn_probes2")
+        write(Similarity.mapByBounds(Similarity.probeCells(base, cent),
+          Similarity.knnBounds(routing)), s"$tmp/knn_probes_alt")
         // base shortlist — built FROM the persisted routing relations
-        // (probes = routing ∪ second-cell centers, membership = routing),
+        // (probes = routing ∪ alt-cell centers, membership = routing),
         // so "the shortlist derives from the frozen routing artifacts"
         // holds by construction, and the routing/bounds/second-cell
         // passes are not recomputed. Same candidate set and dots as the
         // standard knnCandidatesFull on the base slice (Round12Spec's
         // from-scratch comparison pins it).
         val baseMemB = routing.select(col("vec_id"), col("cell"), col("bucket"))
-        val probes2B = spark.read.parquet(s"$tmp/knn_probes2")
+        val probes2B = spark.read.parquet(s"$tmp/knn_probes_alt")
         val wTop = org.apache.spark.sql.expressions.Window
           .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
         write(Similarity.dotPairs(base,
@@ -625,8 +652,8 @@ object IndexStore {
     *     base quantizers); merged = base ∪ delta by construction, because
     *     assignment and encoding are per-vector pure functions of the
     *     frozen quantizers
-    *   - kNN shortlist: the delta band — delta probes (own + second cell,
-    *     both dot-range-mapped into the FROZEN base bucket boundaries) ×
+    *   - kNN shortlist: the delta band — delta probes (own + alt cells,
+    *     all dot-range-mapped into the FROZEN base bucket boundaries) ×
     *     full membership, plus base probe centers × delta membership
     *     (pairs an existing vector gains toward a new one). The two sides
     *     are disjoint on a_id, so each directed pair is produced at most
@@ -670,12 +697,12 @@ object IndexStore {
       // shortlist delta band against the FROZEN base routing
       val routing = spark.read.parquet(s"$baseDir/knn_routing")
       val baseMem = routing.select(col("vec_id"), col("cell"), col("bucket"))
-      val baseProbes2 = spark.read.parquet(s"$baseDir/knn_probes2")
+      val baseProbes2 = spark.read.parquet(s"$baseDir/knn_probes_alt")
       val bounds = Similarity.knnBounds(routing)
       val deltaOwn = Similarity.mapByBounds(deltaAsg, bounds)
         .lineageCut(false) // probe side, membership side, and the B band read it
       val deltaSec = Similarity.mapByBounds(
-        Similarity.secondCells(delta, cent), bounds)
+        Similarity.probeCells(delta, cent), bounds)
       val bandA = Similarity.knnPairIds(
         deltaOwn.unionByName(deltaSec), baseMem.unionByName(deltaOwn))
       val bandB = Similarity.knnPairIds(

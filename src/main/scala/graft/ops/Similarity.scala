@@ -93,11 +93,15 @@ object Similarity {
     // nprobe×|queries| rows → broadcast it so the corpus never shuffles
     val qVec = e.where(col("vec_id") < qBound)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    // prune FIRST (ADVICE r12 #3): the broadcast probe-cell join cuts the
+    // id-only inverted lists to the probed ~nprobe/10ths of the corpus
+    // BEFORE the embedding columns are attached, so the candidate
+    // join/shuffle — not just the dot work — is prune-sized
     assigned
-      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
       .join(broadcast(probe.join(qVec, "a_id")), Seq("cell"))
-      .where(col("a_id") =!= col("b_id"))
+      .where(col("a_id") =!= col("vec_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("b_emb")), Seq("vec_id"))
+      .withColumnRenamed("vec_id", "b_id")
       // codegen'd kernel; IEEE-identical to the HOF form (see DotProduct)
       .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
   }
@@ -188,12 +192,15 @@ object Similarity {
     // probe cells WITH their rank (the arm selector), query-sized — the
     // same protocol object the serving path routes through
     val probe = ivfProbeRanked(spark, sfDir, qBound, maxProbe = 3)
-    // one scored candidate pass over the union of all probed cells
+    // one scored candidate pass over the union of all probed cells; the
+    // broadcast probe join prunes the ID-ONLY lists before embeddings are
+    // attached (ADVICE r12 #3), so the join/shuffle cost — not just the
+    // dot work — is the probed 3/10ths
     val scored = assigned
-      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cell"))
       .join(broadcast(probe.join(q, "a_id")), Seq("cell"))
-      .where(col("a_id") =!= col("b_id"))
+      .where(col("a_id") =!= col("vec_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("b_emb")), Seq("vec_id"))
+      .withColumnRenamed("vec_id", "b_id")
       .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
       .select(col("a_id"), col("b_id"), col("crn"), col("sim_raw"))
       .lineageCut(true) // three arms + nothing else re-reads the corpus
@@ -252,6 +259,106 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
       .select(col("a_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("a_id"))
+  }
+
+  /** Candidate floor of the ADAPTIVE probe policy, as a PERCENT of the
+    * corpus: probe cells in rank order until the accumulated
+    * inverted-list population reaches ⌈pct·n/100⌉ candidates. 22% sits
+    * BETWEEN the sweep's nprobe=2 (~20% of a 10-cell corpus) and nprobe=3
+    * (~30%) grid points, so probe depth genuinely varies with routing
+    * density: a query whose two nearest cells are populous stops at 2,
+    * one routed to sparse cells takes a third — at every fixture size
+    * (cell populations scale with n, so an absolute floor would collapse
+    * to nprobe=1 at scale). The floor is computed with exact integer
+    * arithmetic ((pct·n + 99) div 100) so both engines agree bit-exactly.
+    */
+  private[graft] val AdaptiveProbePct = 22
+
+  /** J32 vec_probe_adaptive (round 13, VERDICT r12 #6) — the knob BETWEEN
+    * the sweep's fixed-nprobe grid points: per-query adaptive probe depth.
+    * Cells are probed in centroid-dot rank order until the cumulative
+    * population of the probed inverted lists reaches the
+    * [[AdaptiveProbePct]]-percent corpus floor — i.e. a cell is probed
+    * iff the total BEFORE it is still short of the floor. This converts
+    * the fixed cost knob (nprobe) into a quality knob (candidate floor),
+    * the policy production IVF deployments actually run: skewed/sparse
+    * routing no longer starves a query of candidates, and dense routing
+    * stops early.
+    * Report: per query, cells probed, candidates scored, and recall@10 vs
+    * the exact ground truth — the measured recall/cost point next to the
+    * sweep's nprobe = 1/2/3 curve (recorded in BASELINE.md).
+    *
+    * Determinism: populations and cumulative sums are exact integers over
+    * the persisted inverted lists; the probe ranking is the shared
+    * (d desc, cell) protocol; dots ride the shared codegen'd kernel with
+    * the full (sim desc, b_id) tiebreak — both engines agree bit-exactly.
+    *
+    * 100 TB: the per-cell population relation is ≤cells rows (broadcast);
+    * the probe selection is a query-sized window over it; the candidate
+    * pass is the same pruned ID-only join the sweep runs — map-side
+    * broadcast prune, then the embedding attach touches only surviving
+    * list entries.
+    */
+  def vecProbeAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val k = 10
+    val qBound = 10
+    val assigned = IndexStore.read(spark, sfDir, "ivf_assigned")
+      .select(col("vec_id"), col("cell"))
+      .lineageCut(false) // population agg + candidate membership read it
+    val cellPop = assigned.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+      .lineageCut(false) // the floor total and the probe join both read it
+    val q = e.where(col("vec_id") < qBound)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    // probe selection: rank all cells per query, keep every cell whose
+    // PRECEDING cumulative population is below the corpus-relative floor
+    // (exact integer arithmetic — see AdaptiveProbePct)
+    val floorRel = cellPop.agg(sum(col("pop")).as("n_total"))
+      .select(expr(s"($AdaptiveProbePct * n_total + 99) div 100").as("floor_cnt"))
+    val wCum = Window.partitionBy(col("a_id")).orderBy(col("crn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val probe = ivfProbeRanked(spark, sfDir, qBound, maxProbe = 10)
+      .join(broadcast(cellPop), Seq("cell"))
+      .withColumn("cum_before", coalesce(sum(col("pop")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(floorRel))
+      .where(col("cum_before") < col("floor_cnt"))
+      .select(col("a_id"), col("cell"))
+    val wTop = Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))
+    // the sweep's pruned-id candidate shape: broadcast probe join first,
+    // embeddings attached only to surviving list entries
+    val scored = assigned
+      .join(broadcast(probe.join(q, "a_id")), Seq("cell"))
+      .where(col("a_id") =!= col("vec_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("b_emb")), Seq("vec_id"))
+      .withColumnRenamed("vec_id", "b_id")
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+      .select(col("a_id"), col("b_id"), col("sim_raw"))
+      .lineageCut(false) // the cost report and the top-k both read it
+    val cost = scored.groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_cand"))
+      .join(probe.groupBy(col("a_id")).agg(count(lit(1)).as("n_probed")),
+        Seq("a_id"))
+    val top = scored
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    val exact = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .join(broadcast(q))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"))
+    exact.join(top, Seq("a_id", "b_id"), "left")
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .join(cost, Seq("a_id"))
+      .select(col("a_id"), col("n_probed"), col("n_cand"), col("n_exact"),
+        col("n_hit"),
         (col("n_hit").cast("double") / col("n_exact")).as("recall"))
       .orderBy(col("a_id"))
   }
@@ -363,23 +470,29 @@ object Similarity {
     *      integer arithmetic (`((rn-1)·m) div cnt`). Total cells ≈ 10·m ≈
     *      √n, so sub-bucket population ≈ n/√n = √n and candidate work is
     *      Θ(n·√n) — never n², at any corpus size.
-    *   3. candidates: every vector PROBES six sub-buckets — its own ±1 in
-    *      its argmax cell, plus a ±1 window in its SECOND-nearest cell
-    *      (round 12, VERDICT r11 #1: own-cell-only probing measured
-    *      recall@8 ≈ 0.14 because only ~18% of true neighbors share the
-    *      argmax cell on this weakly-clustered fixture; the second cell
-    *      roughly doubles the reachable neighbor mass at 2× candidate
-    *      cost, the same trade the bounded nprobe=2 IVF makes). The
-    *      second-cell window is centered by DOT-RANGE MAPPING: the
-    *      query's dot against that cell's centroid is located among the
-    *      cell's equal-depth bucket boundaries (the least bucket whose
-    *      minimum member dot is ≤ the query's, else the cell's last
-    *      bucket) — the ~√n-row boundary relation broadcasts, so mapping
-    *      is a broadcast join, never a corpus-sized rank insert. Probe
-    *      rows equi-join assigned rows on the composite (cell, bucket)
-    *      key — a keyed shuffle join, 6 probe rows per vector, each
-    *      directed (a,b) pair produced at most once (the two probed cells
-    *      are distinct, and a vector occupies exactly one (cell, bucket)).
+    *   3. candidates: every vector PROBES P·(2W+1) sub-buckets — a
+    *      center ±W window in its argmax cell plus one in each of its
+    *      2nd..Pth nearest cells (P = [[IndexStore.KnnFullProbeCells]],
+    *      W = [[IndexStore.KnnFullProbeWidth]]; 3 cells × ±2 = 15
+    *      buckets since round 13). History of the knobs: own-cell-only
+    *      ±1 probing (round 11) measured recall@8 ≈ 0.14 — only ~18% of
+    *      true neighbors share the argmax cell on this weakly-clustered
+    *      fixture; the second cell (round 12) lifted it to 0.35 at 2×
+    *      candidate cost; round 13's third cell + ±2 window (priced by
+    *      `vec_ivf_recall_sweep`'s nprobe=3 arm) lifts it to 0.52,
+    *      matching the sweep's whole-cell bar — the same trades the
+    *      bounded nprobe-k IVF makes, still Θ(n·√n). Each non-argmax
+    *      window is centered by DOT-RANGE
+    *      MAPPING: the query's dot against that cell's centroid is
+    *      located among the cell's equal-depth bucket boundaries (the
+    *      least bucket whose minimum member dot is ≤ the query's, else
+    *      the cell's last bucket) — the ~√n-row boundary relation
+    *      broadcasts, so mapping is a broadcast join, never a
+    *      corpus-sized rank insert. Probe rows equi-join assigned rows
+    *      on the composite (cell, bucket) key — a keyed shuffle join,
+    *      P·(2W+1) probe rows per vector, each directed (a,b) pair
+    *      produced at most once (the probed cells are pairwise
+    *      distinct, and a vector occupies exactly one (cell, bucket)).
     *      Own-cell pairs stay symmetric; cross-cell pairs are
     *      one-directional by nature (b need not probe back into a's
     *      cell). The codegen'd exact dot rides on the joined pair.
@@ -389,7 +502,7 @@ object Similarity {
     * shuffles on (cell, bucket) with ~√n rows per key — skewed label
     * cells split into more sub-buckets automatically because bucket depth
     * is equal-COUNT, not equal-width. The boundary relation is ~√n rows
-    * (broadcast); the second-cell assignment is one more corpus×10
+    * (broadcast); the alt-cell assignment is one more corpus×10
     * broadcast ranking, the same shape as the argmax pass. The artifact
     * this builds is the one the whole graph family consumes, so the n·√n
     * dot pass runs once per corpus version, not once per analytic.
@@ -399,7 +512,7 @@ object Similarity {
     val routed = knnRouting(assigned)
       .lineageCut(true) // probe side, membership side, boundaries all read it
     val bounds = knnBounds(routed)
-    val mapped = mapByBounds(secondCells(e, cent), bounds)
+    val mapped = mapByBounds(probeCells(e, cent), bounds)
     val probes = routed.select(col("vec_id"), col("cell"), col("bucket"))
       .unionByName(mapped.select(col("vec_id"), col("cell"), col("bucket")))
     val b = routed
@@ -408,7 +521,7 @@ object Similarity {
         Seq("b_id"))
     val a = probes
       .select(col("vec_id").as("a_id"), col("cell"), col("bucket"),
-        explode(array(lit(-1L), lit(0L), lit(1L))).as("dlt"))
+        explode(windowDeltas).as("dlt"))
       .select(col("a_id"), col("cell"), (col("bucket") + col("dlt")).as("bucket"))
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
         Seq("a_id"))
@@ -440,6 +553,15 @@ object Similarity {
         expr(s"((rn - 1) * ${m}L) div cnt").as("bucket"))
   }
 
+  /** The probe window's bucket offsets (−W..W around each probe center,
+    * W = [[IndexStore.KnnFullProbeWidth]]) — the ONE literal both pair
+    * builders explode, so the serving window can never drift from the
+    * params tag that keys the store.
+    */
+  private def windowDeltas =
+    array((-IndexStore.KnnFullProbeWidth to IndexStore.KnnFullProbeWidth)
+      .map(i => lit(i.toLong)): _*)
+
   /** Equal-depth bucket boundaries: each (cell, bucket)'s minimum member
     * dot — ~√n rows total, the broadcastable relation dot-range probes
     * map into.
@@ -448,17 +570,21 @@ object Similarity {
     routed.groupBy(col("cell"), col("bucket"))
       .agg(min(col("d")).as("lo"))
 
-  /** Second-nearest cell per vector (vec_id, cell, d), against the same
-    * persisted quantizer and with the same (d desc, cell) ranking
-    * protocol as [[ivfAssignBuild]].
+  /** NON-ARGMAX probe cells per vector (vec_id, cell, d) — cell ranks
+    * 2..[[IndexStore.KnnFullProbeCells]] against the same persisted
+    * quantizer and with the same (d desc, cell) ranking protocol as
+    * [[ivfAssignBuild]]. Through round 12 this was the single second cell;
+    * round 13 widened it to the sweep-priced third cell (VERDICT r12 #1).
+    * Cells at distinct ranks are distinct, so downstream probe relations
+    * keep the at-most-one-probe-center-per-(vector, cell) invariant.
     */
-  private[graft] def secondCells(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def probeCells(e: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
     e.crossJoin(broadcast(cent))
       .withColumn("d", centDotExpr)
       .select(col("vec_id"), col("cell"), col("d"))
       .withColumn("crn", row_number().over(wAssign))
-      .where(col("crn") === 2)
+      .where(col("crn") >= 2 && col("crn") <= IndexStore.KnnFullProbeCells)
       .select(col("vec_id"), col("cell"), col("d"))
   }
 
@@ -482,14 +608,14 @@ object Similarity {
     * embedding attachment deferred (round 12, for the incremental update:
     * the delta band's pair relation is delta-sized, so attaching
     * embeddings to the PAIRS costs |delta band| joins instead of a
-    * corpus-sized probe-side join). Each probe center widens ±1 bucket;
-    * (a, b) is produced at most once because a vector has at most one
-    * probe center per cell.
+    * corpus-sized probe-side join). Each probe center widens
+    * ±[[IndexStore.KnnFullProbeWidth]] buckets; (a, b) is produced at most
+    * once because a vector has at most one probe center per cell.
     */
   private[graft] def knnPairIds(probes: DataFrame, membership: DataFrame): DataFrame =
     probes
       .select(col("vec_id").as("a_id"), col("cell"), col("bucket"),
-        explode(array(lit(-1L), lit(0L), lit(1L))).as("dlt"))
+        explode(windowDeltas).as("dlt"))
       .select(col("a_id"), col("cell"), (col("bucket") + col("dlt")).as("bucket"))
       .join(membership.select(col("vec_id").as("b_id"), col("cell"), col("bucket")),
         Seq("cell", "bucket"))
@@ -702,11 +828,17 @@ object Similarity {
     * tuning miss: only ~18% of exact top-8 neighbors share the query's
     * argmax LABEL cell on this weakly-clustered fixture (max corpus dot
     * ≈ 0.6 — near-random 64-dim data is the published hard case for any
-    * sublinear scheme). Round 12's second-cell probing (VERDICT r11 #1 —
-    * the ±1 window in the second-nearest cell, centered by dot-range
-    * mapping, 2× candidate cost, still Θ(n·√n)) lifts it to mean
-    * recall@8 = 0.35 at sf0.001 — exactly the bounded nprobe=2 IVF bar,
-    * which probes the same two whole cells on the 500-vector slice.
+    * sublinear scheme). Round 12's second-cell ±1 probing lifted it to
+    * 0.35; round 13's third cell + ±2 window (VERDICT r12 #1, both knobs
+    * priced by `vec_ivf_recall_sweep`) lifts it to mean recall@8 = 0.55
+    * at sf0.001 — ABOVE the sweep's whole-cell nprobe=3 bar (0.52),
+    * because the ±2 window covers each probed cell fully at that fixture
+    * while the dot ranking concentrates true neighbors near the window
+    * center. At fixed probe budget the window covers a shrinking cell
+    * fraction as n grows (0.49 at sf0.01, 0.35 at sf0.1 — recorded in
+    * BASELINE.md): the standard IVF trade; buying it back is a
+    * probe-depth policy decision, which is exactly what the sweep and
+    * `index_policy_vecsearch` price.
     */
   def annRecallFull(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
@@ -1474,7 +1606,42 @@ object Similarity {
     * an update). One corpus pass + a 10-row broadcast join; the diff
     * rides the shared diff-vector fold so both engines agree bit-exactly.
     */
-  def vecCentroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The drift-audit JOIN, factored out (round 13) so the delta-only-cell
+    * branch is unit-testable with synthetic relations (ADVICE r12 #2: the
+    * old inner join silently DROPPED any cell whose members exist only in
+    * the delta slice — exactly the case where the frozen quantizer is most
+    * stale). FULL OUTER on cell: a current cell the base quantizer never
+    * trained surfaces with `untrained` = 1, n_base = 0, and NULL drift
+    * (there is no frozen centroid to diff); a base cell that vanished from
+    * the corpus surfaces with n_now = 0 and NULL drift. On the standard
+    * fixture every label exists in both slices, so the outer join reduces
+    * to the old inner join and the oracle hash still pins the values.
+    */
+  private[graft] def driftAudit(baseCent: DataFrame, nowCent: DataFrame,
+      nBase: DataFrame, nNow: DataFrame): DataFrame =
+    baseCent.join(nBase, Seq("cell"), "left")
+      .join(nowCent.join(nNow, Seq("cell"), "left"), Seq("cell"), "full_outer")
+      .withColumn("dv", expr("zip_with(base_cvec, now_cvec, (x, y) -> x - y)"))
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        // NULL-propagating: a missing side leaves dv NULL, so the fold,
+        // sqrt, round, and +0.0 all stay NULL — no `when` needed
+        (round(expr(
+          "sqrt(aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"),
+          6) + lit(0.0)).as("l2_drift"),
+        // untrained = the frozen quantizer has NO centroid for this cell
+        // (delta-only); a vanished cell stays trained and is identified by
+        // n_now = 0 — the two staleness modes are distinct policy inputs
+        when(col("base_cvec").isNull, lit(1)).otherwise(lit(0)).as("untrained"))
+
+  /** The four audit inputs shared by [[vecCentroidDrift]] and
+    * [[indexPolicyVecsearch]]: the FROZEN base quantizer (read from the
+    * standing base store — the centroids updates actually serve), a fresh
+    * M-step on the current corpus, and both member counts.
+    */
+  private def driftInputs(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val baseDir = IndexStore.ensureVecBase(spark, sfDir)
     val e = Tables.embeddings(spark, sfDir)
     val baseCent = spark.read.parquet(s"$baseDir/ivf_centroids")
@@ -1483,14 +1650,84 @@ object Similarity {
     val nBase = e.where(s"NOT (${IndexStore.VecDeltaPred})")
       .groupBy(col("label").as("cell")).agg(count(lit(1)).as("n_base"))
     val nNow = e.groupBy(col("label").as("cell")).agg(count(lit(1)).as("n_now"))
-    baseCent.join(nowCent, Seq("cell"))
-      .join(nBase, Seq("cell")).join(nNow, Seq("cell"))
-      .withColumn("dv", expr("zip_with(base_cvec, now_cvec, (x, y) -> x - y)"))
-      .select(col("cell"), col("n_base"), col("n_now"),
-        (round(expr(
-          "sqrt(aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"),
-          6) + lit(0.0)).as("l2_drift"))
-      .orderBy(col("cell"))
+    (baseCent, nowCent, nBase, nNow)
+  }
+
+  def vecCentroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val (baseCent, nowCent, nBase, nNow) = driftInputs(spark, sfDir)
+    driftAudit(baseCent, nowCent, nBase, nNow).orderBy(col("cell"))
+  }
+
+  /** Retrain threshold on per-cell centroid drift (L2 between the frozen
+    * and the fresh centroid): the 10% fixture delta produces ~0.03–0.06
+    * per cell, so 0.05 yields a MIXED decision table — both branches of
+    * the policy are exercised (and oracle-hashed) at every fixture size.
+    */
+  private[graft] val PolicyDriftRetrain = 0.05
+
+  /** Retrain threshold on the per-cell delta fraction (share of current
+    * members the frozen routing never ranked): above this, the delta band
+    * stops being the cheap path and a rebuild amortizes better.
+    */
+  private[graft] val PolicyDeltaRetrain = 0.25
+
+  /** index_policy_vecsearch (round 13, VERDICT r12 #2) — the operator that
+    * turns the drift AUDIT into the serve/update/retrain DECISION a lake
+    * deployment runs nightly. Per cell (plus an overall summary row,
+    * cell = −1): explicit thresholds over the drift relation —
+    *
+    *   - `retrain` if the cell is untrained (exists only in the delta —
+    *     the frozen quantizer cannot represent it), vanished (n_now = 0),
+    *     drifted past [[PolicyDriftRetrain]], or its delta fraction
+    *     exceeds [[PolicyDeltaRetrain]]
+    *   - `update`  if any delta members arrived (the incremental path —
+    *     index_update_vecsearch — is worth running)
+    *   - `serve`   otherwise (the standing store is current)
+    *
+    * The overall row takes the WORST per-cell decision (severity max —
+    * one stale cell forces the corpus-level action, because quantizer
+    * retraining is global), summed counts, and the max drift. Pure
+    * threshold arithmetic over the audit relation → fully
+    * oracle-expressible; thresholds interpolate into the oracle SQL so
+    * engine and oracle can never silently diverge (the ADVICE r11 #1
+    * discipline).
+    *
+    * 100 TB: the audit is one corpus pass + a ≤cells-row broadcast join;
+    * the policy is a cells-row projection on top — the whole decision
+    * costs what the drift audit costs.
+    */
+  def indexPolicyVecsearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (baseCent, nowCent, nBase, nNow) = driftInputs(spark, sfDir)
+    val perCell = driftAudit(baseCent, nowCent, nBase, nNow)
+      .withColumn("delta_frac",
+        when(col("n_now") > 0, round((col("n_now") - col("n_base"))
+          .cast("double") / col("n_now").cast("double"), 6) + lit(0.0))
+          .otherwise(lit(0.0)))
+      .withColumn("sev",
+        when(col("untrained") === 1 || col("n_now") === 0 ||
+          col("l2_drift") > PolicyDriftRetrain ||
+          col("delta_frac") > PolicyDeltaRetrain, lit(2))
+          .when(col("delta_frac") > 0.0, lit(1))
+          .otherwise(lit(0)))
+      .select(col("cell").cast("int").as("cell"), col("n_base"), col("n_now"),
+        col("delta_frac"), col("l2_drift"), col("untrained"), col("sev"))
+      .lineageCut(false) // the overall row re-aggregates it
+    val overall = perCell.agg(
+        sum(col("n_base")).as("n_base"), sum(col("n_now")).as("n_now"),
+        max(col("l2_drift")).as("l2_drift"),
+        max(col("untrained")).as("untrained"), max(col("sev")).as("sev"))
+      .select(lit(-1).as("cell"), col("n_base"), col("n_now"),
+        when(col("n_now") > 0, round((col("n_now") - col("n_base"))
+          .cast("double") / col("n_now").cast("double"), 6) + lit(0.0))
+          .otherwise(lit(0.0)).as("delta_frac"),
+        col("l2_drift"), col("untrained"), col("sev"))
+    val decided = perCell.unionByName(overall)
+      .select(col("cell"), col("n_base"), col("n_now"), col("delta_frac"),
+        col("l2_drift"), col("untrained"),
+        when(col("sev") === 2, lit("retrain"))
+          .when(col("sev") === 1, lit("update"))
+          .otherwise(lit("serve")).as("decision"))
+    decided.orderBy(col("cell"))
   }
 
   /** J30 pq_recall_at_k (round 12, VERDICT r11 #6) — the recall harness

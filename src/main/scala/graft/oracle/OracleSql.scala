@@ -20,6 +20,17 @@ object OracleSql {
     */
   private val KF: Int = graft.ops.IndexStore.KnnFullTopK
 
+  /** Probe-cell count of the full-corpus candidate scheme, interpolated
+    * from the engine constant (same discipline): every vector probes its
+    * argmax cell plus dot-range-mapped windows in cells ranked 2..PC.
+    */
+  private val PC: Int = graft.ops.IndexStore.KnnFullProbeCells
+
+  /** Probe-window half-width of the full-corpus candidate scheme (center
+    * ±PW sub-buckets), interpolated from the engine constant.
+    */
+  private val PW: Int = graft.ops.IndexStore.KnnFullProbeWidth
+
   /** Shared events-normalizing CTE prefix (ns → µs truncation). */
   val EV: String =
     "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, " +
@@ -72,13 +83,14 @@ object OracleSql {
       .stripMargin.replace("\n", " ")
 
   /** FULL-corpus kNN candidate CTE chain (round 11; second-cell probing
-    * round 12), mirroring Similarity.knnCandidatesFull exactly: per-label
+    * round 12; third cell round 13 via the interpolated [[PC]]), mirroring
+    * Similarity.knnCandidatesFull exactly: per-label
     * centroids over the WHOLE corpus (same 2^20 fixed-point protocol),
     * argmax-cell inverted lists with the winning dot `d`, m = ⌈√n/10⌉
     * equal-depth sub-buckets per cell along the (d desc, vec_id) ranking
     * (exact integer bucket arithmetic). Probes: the vector's own bucket
-    * ±1 PLUS a ±1 window in its SECOND-nearest cell, centered by
-    * dot-range mapping (the least bucket of that cell whose minimum
+    * ±1 PLUS a ±1 window in each of its 2nd..PCth nearest cells, centered
+    * by dot-range mapping (the least bucket of that cell whose minimum
     * member dot ≤ the query's dot there, else the cell's last bucket).
     * Yields `fcand(a_id, b_id)` and the dot-ranked `frk(a_id, b_id, rn)`.
     * `fasg`/`frtd`/`frk` are MATERIALIZED (the M98 lesson): consumers
@@ -87,19 +99,19 @@ object OracleSql {
     * the chain composes with the bounded knnIvfChain in one WITH clause.
     */
   private val knnFullChain: String =
-    """ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |fcc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
       |fcent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM fcc GROUP BY label),
       |fdots AS (SELECT ef.vec_id, c.cell, list_dot_product(ef.emb, c.cvec) AS d FROM ef CROSS JOIN fcent c),
       |fcr AS MATERIALIZED (SELECT vec_id, cell, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM fdots),
       |fasg AS MATERIALIZED (SELECT vec_id, cell, d FROM fcr WHERE crn = 1),
-      |fasg2 AS (SELECT vec_id, cell, d FROM fcr WHERE crn = 2),
+      |fasg2 AS (SELECT vec_id, cell, d FROM fcr WHERE crn BETWEEN 2 AND $PC),
       |fm AS (SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)) / 10.0) AS BIGINT)) AS m FROM fasg),
       |frtd AS MATERIALIZED (SELECT vec_id, cell, d, ((ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) - 1) * (SELECT m FROM fm)) // (COUNT(*) OVER (PARTITION BY cell)) AS bucket FROM fasg),
       |fbnd AS (SELECT cell, bucket, MIN(d) AS lo FROM frtd GROUP BY cell, bucket),
       |fmap AS (SELECT g.vec_id, g.cell, COALESCE(MIN(b.bucket) FILTER (WHERE b.lo <= g.d), MAX(b.bucket)) AS bucket FROM fasg2 g JOIN fbnd b ON b.cell = g.cell GROUP BY g.vec_id, g.cell),
       |fprb AS (SELECT vec_id, cell, bucket FROM frtd UNION ALL SELECT vec_id, cell, bucket FROM fmap),
-      |fcand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM fprb a JOIN frtd b ON b.cell = a.cell AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1 AND b.vec_id <> a.vec_id),
+      |fcand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM fprb a JOIN frtd b ON b.cell = a.cell AND b.bucket BETWEEN a.bucket - $PW AND a.bucket + $PW AND b.vec_id <> a.vec_id),
       |frk AS MATERIALIZED (SELECT a_id, b_id, dot, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM (SELECT c.a_id, c.b_id, list_dot_product(ae.emb, be.emb) AS dot FROM fcand c JOIN ef ae ON ae.vec_id = c.a_id JOIN ef be ON be.vec_id = c.b_id))"""
       .stripMargin.replace("\n", " ")
 
@@ -109,8 +121,9 @@ object OracleSql {
     * (`NOT (${IndexStore.VecDeltaPred})`), every vector assigned against
     * them; base vectors take their base-ranking bucket, delta vectors are
     * dot-range-mapped into the FROZEN base buckets (the same COALESCE
-    * mapping the second-cell probe uses); probes = own + second-cell
-    * center per vector, membership = base routing ∪ mapped delta. Yields
+    * mapping the alt-cell probes use); probes = own + alt-cell centers
+    * (ranks 2..PC) per vector, membership = base routing ∪ mapped delta.
+    * Yields
     * `g2cand(a_id, b_id)` — counts only, no dots needed (the manifest
     * checks are pure (cell, bucket) membership). G2-prefixed so the chain
     * composes with the bounded and full chains in one WITH clause.
@@ -123,7 +136,7 @@ object OracleSql {
       |g2dots AS (SELECT ef2.vec_id, c.cell, list_dot_product(ef2.emb, c.cvec) AS d FROM ef2 CROSS JOIN g2cent c),
       |g2cr AS MATERIALIZED (SELECT vec_id, cell, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM g2dots),
       |g2own AS MATERIALIZED (SELECT vec_id, cell, d FROM g2cr WHERE crn = 1),
-      |g2sec AS (SELECT vec_id, cell, d FROM g2cr WHERE crn = 2),
+      |g2sec AS (SELECT vec_id, cell, d FROM g2cr WHERE crn BETWEEN 2 AND $PC),
       |g2ownb AS (SELECT vec_id, cell, d FROM g2own WHERE NOT ($vd)),
       |g2m AS (SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)) / 10.0) AS BIGINT)) AS m FROM g2ownb),
       |g2rt AS MATERIALIZED (SELECT vec_id, cell, d, ((ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) - 1) * (SELECT m FROM g2m)) // (COUNT(*) OVER (PARTITION BY cell)) AS bucket FROM g2ownb),
@@ -132,9 +145,33 @@ object OracleSql {
       |g2maps AS (SELECT g.vec_id, g.cell, COALESCE(MIN(b.bucket) FILTER (WHERE b.lo <= g.d), MAX(b.bucket)) AS bucket FROM g2sec g JOIN g2bnd b ON b.cell = g.cell GROUP BY g.vec_id, g.cell),
       |g2mem AS MATERIALIZED (SELECT vec_id, cell, bucket FROM g2rt UNION ALL SELECT vec_id, cell, bucket FROM g2mapo),
       |g2prb AS (SELECT vec_id, cell, bucket FROM g2mem UNION ALL SELECT vec_id, cell, bucket FROM g2maps),
-      |g2cand AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM g2prb a JOIN g2mem b ON b.cell = a.cell AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1 AND b.vec_id <> a.vec_id)"""
+      |g2cand AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM g2prb a JOIN g2mem b ON b.cell = a.cell AND b.bucket BETWEEN a.bucket - $PW AND a.bucket + $PW AND b.vec_id <> a.vec_id)"""
       .stripMargin.replace("\n", " ")
   }
+
+  /** Shared drift-audit CTE chain (M111 vec_centroid_drift + M112
+    * index_policy_vecsearch), mirroring Similarity.driftAudit exactly:
+    * frozen-base vs fresh-current centroids (shared 2^20 fixed-point
+    * M-step), member counts, FULL OUTER on cell (ADVICE r12 #2 — a
+    * delta-only cell surfaces as untrained = 1 / n_base = 0 / NULL drift
+    * instead of being dropped; a vanished cell as n_now = 0 / NULL
+    * drift). Yields `aud(cell, n_base, n_now, l2_drift, untrained)`.
+    */
+  private val driftAuditSql: String =
+    s"""WITH bcc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) WHERE NOT (${graft.ops.IndexStore.VecDeltaPred}) GROUP BY label, i),
+      |bcent AS (SELECT label AS cell, list(c ORDER BY dim) AS bv FROM bcc GROUP BY label),
+      |ncc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+      |ncent AS (SELECT label AS cell, list(c ORDER BY dim) AS nv FROM ncc GROUP BY label),
+      |nb AS (SELECT label AS cell, COUNT(*) AS n_base FROM embeddings WHERE NOT (${graft.ops.IndexStore.VecDeltaPred}) GROUP BY label),
+      |nn AS (SELECT label AS cell, COUNT(*) AS n_now FROM embeddings GROUP BY label),
+      |bj AS (SELECT b.cell, b.bv, nb.n_base FROM bcent b LEFT JOIN nb ON nb.cell = b.cell),
+      |nj AS (SELECT n2.cell, n2.nv, nn.n_now FROM ncent n2 LEFT JOIN nn ON nn.cell = n2.cell),
+      |dvr AS (SELECT COALESCE(bj.cell, nj.cell) AS cell, COALESCE(bj.n_base, 0) AS n_base, COALESCE(nj.n_now, 0) AS n_now,
+      |CASE WHEN bj.bv IS NULL OR nj.nv IS NULL THEN NULL ELSE list_transform(range(1, 65), i -> bj.bv[CAST(i AS INT)] - nj.nv[CAST(i AS INT)]) END AS d,
+      |CASE WHEN bj.bv IS NULL THEN 1 ELSE 0 END AS untrained
+      |FROM bj FULL JOIN nj ON nj.cell = bj.cell),
+      |aud AS (SELECT cell, n_base, n_now, round(sqrt(list_dot_product(d, d)), 6) + 0.0 AS l2_drift, untrained FROM dvr)"""
+      .stripMargin.replace("\n", " ")
 
   /** graph_kcore_full: the unrolled fixpoint peel (see the map entry's
     * comment for the soundness argument). Generated — 15 structurally
@@ -2966,23 +3003,37 @@ object OracleSql {
         |round(MAX(qerr), 6) + 0.0 AS max_qerr
         |FROM codes GROUP BY s ORDER BY s""".stripMargin.replace("\n", " ")),
 
-    // M111 (round 12) vec_centroid_drift — the rebuild-policy audit:
-    // per-cell L2 distance between the BASE-trained centroid (the frozen
-    // quantizer the update path serves) and a fresh M-step on the current
-    // corpus; both centroid computations use the shared 2^20 fixed-point
-    // protocol, the diff rides the shared diff-vector fold.
-    "vec_centroid_drift" ->
-      (s"""WITH bcc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) WHERE NOT (${graft.ops.IndexStore.VecDeltaPred}) GROUP BY label, i),
-        |bcent AS (SELECT label AS cell, list(c ORDER BY dim) AS bv FROM bcc GROUP BY label),
-        |ncc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
-        |ncent AS (SELECT label AS cell, list(c ORDER BY dim) AS nv FROM ncc GROUP BY label),
-        |nb AS (SELECT label AS cell, COUNT(*) AS n_base FROM embeddings WHERE NOT (${graft.ops.IndexStore.VecDeltaPred}) GROUP BY label),
-        |nn AS (SELECT label AS cell, COUNT(*) AS n_now FROM embeddings GROUP BY label),
-        |dvr AS (SELECT b.cell, list_transform(range(1, 65), i -> b.bv[CAST(i AS INT)] - n2.nv[CAST(i AS INT)]) AS d FROM bcent b JOIN ncent n2 ON n2.cell = b.cell)
-        |SELECT dvr.cell, nb.n_base, nn.n_now,
-        |round(sqrt(list_dot_product(d, d)), 6) + 0.0 AS l2_drift
-        |FROM dvr JOIN nb ON nb.cell = dvr.cell JOIN nn ON nn.cell = dvr.cell
-        |ORDER BY dvr.cell""".stripMargin.replace("\n", " ")),
+    // M111 (round 12; outer-join audit round 13, ADVICE r12 #2) —
+    // vec_centroid_drift, the rebuild-policy audit: per-cell L2 distance
+    // between the BASE-trained centroid (the frozen quantizer the update
+    // path serves) and a fresh M-step on the current corpus; both centroid
+    // computations use the shared 2^20 fixed-point protocol, the diff
+    // rides the shared diff-vector fold. FULL OUTER on cell: a delta-only
+    // (untrained) cell surfaces with untrained = 1 / n_base = 0 / NULL
+    // drift instead of being silently dropped; a vanished cell with
+    // n_now = 0 / NULL drift.
+    "vec_centroid_drift" -> (driftAuditSql +
+      " SELECT cell, n_base, n_now, l2_drift, untrained FROM aud ORDER BY cell"),
+
+    // M112 (round 13, VERDICT r12 #2) index_policy_vecsearch — the drift
+    // audit turned into the serve/update/retrain DECISION: explicit
+    // thresholds (interpolated from the engine constants) over drift,
+    // delta fraction, and cell population, per cell plus a
+    // worst-cell-wins overall row (cell = -1; one stale cell forces the
+    // corpus-level action because quantizer retraining is global).
+    "index_policy_vecsearch" -> (driftAuditSql +
+      s""", per AS (SELECT cell, n_base, n_now,
+        |CASE WHEN n_now > 0 THEN round((n_now - n_base) / CAST(n_now AS DOUBLE), 6) + 0.0 ELSE 0.0 END AS delta_frac,
+        |l2_drift, untrained FROM aud),
+        |sv AS (SELECT *, CASE WHEN untrained = 1 OR n_now = 0 OR l2_drift > ${graft.ops.Similarity.PolicyDriftRetrain} OR delta_frac > ${graft.ops.Similarity.PolicyDeltaRetrain} THEN 2 WHEN delta_frac > 0.0 THEN 1 ELSE 0 END AS s FROM per),
+        |ovr AS (SELECT -1 AS cell, CAST(SUM(n_base) AS BIGINT) AS n_base, CAST(SUM(n_now) AS BIGINT) AS n_now, MAX(l2_drift) AS l2_drift, MAX(untrained) AS untrained, MAX(s) AS s FROM sv),
+        |uni AS (SELECT cell, n_base, n_now, delta_frac, l2_drift, untrained, s FROM sv
+        |UNION ALL SELECT cell, n_base, n_now,
+        |CASE WHEN n_now > 0 THEN round((n_now - n_base) / CAST(n_now AS DOUBLE), 6) + 0.0 ELSE 0.0 END,
+        |l2_drift, untrained, s FROM ovr)
+        |SELECT cell, n_base, n_now, delta_frac, l2_drift, untrained,
+        |CASE WHEN s = 2 THEN 'retrain' WHEN s = 1 THEN 'update' ELSE 'serve' END AS decision
+        |FROM uni ORDER BY cell""".stripMargin.replace("\n", " ")),
 
     // J31 (round 12) vec_ivf_recall_sweep — the recall/cost curve: one
     // crn<=3 probe relation serves all three arms; per-arm rank cut,
@@ -3019,6 +3070,48 @@ object OracleSql {
         |FROM np CROSS JOIN ex
         |LEFT JOIN arms a ON a.nprobe = np.nprobe AND a.a_id = ex.a_id AND a.b_id = ex.b_id
         |GROUP BY np.nprobe ORDER BY np.nprobe""".stripMargin.replace("\n", " "),
+
+    // J32 (round 13, VERDICT r12 #6) vec_probe_adaptive — per-query
+    // ADAPTIVE probe depth: cells probed in centroid-dot rank order until
+    // the cumulative inverted-list population reaches the candidate floor
+    // (interpolated from the engine constant); recall@10 + cost (cells
+    // probed, candidates scored) vs the shared exact ground truth — the
+    // knob BETWEEN the J31 sweep's fixed-nprobe grid points.
+    "vec_probe_adaptive" ->
+      (s"""WITH comp AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |round(CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c
+        |FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM comp GROUP BY label),
+        |dots AS (SELECT e.vec_id, e.embedding, c.cell,
+        |list_dot_product(CAST(e.embedding AS DOUBLE[]), cvec) AS d
+        |FROM embeddings e CROSS JOIN cent c),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn FROM dots),
+        |assigned AS (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+        |pop AS (SELECT cell, COUNT(*) AS pop FROM assigned GROUP BY cell),
+        |flr AS (SELECT (${graft.ops.Similarity.AdaptiveProbePct} * COUNT(*) + 99) // 100 AS floor_cnt FROM assigned),
+        |probe AS (SELECT a_id, cell FROM (
+        |SELECT r.vec_id AS a_id, r.cell,
+        |COALESCE(SUM(p.pop) OVER (PARTITION BY r.vec_id ORDER BY r.rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |FROM ranked r JOIN pop p ON p.cell = r.cell WHERE r.vec_id < 10)
+        |WHERE cum_before < (SELECT floor_cnt FROM flr)),
+        |cand AS (SELECT p.a_id, b.vec_id AS b_id,
+        |list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim_raw
+        |FROM probe p JOIN embeddings q ON q.vec_id = p.a_id
+        |JOIN assigned b ON b.cell = p.cell AND b.vec_id <> p.a_id),
+        |cost AS (SELECT a_id, COUNT(*) AS n_cand FROM cand GROUP BY a_id),
+        |nprb AS (SELECT a_id, COUNT(*) AS n_probed FROM probe GROUP BY a_id),
+        |topk AS (SELECT a_id, b_id FROM (
+        |SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim_raw DESC, b_id) AS rnk FROM cand) WHERE rnk <= 10),
+        |ex AS (SELECT a_id, b_id FROM (
+        |SELECT q.vec_id AS a_id, e.vec_id AS b_id,
+        |ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rnk
+        |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id WHERE q.vec_id < 10) WHERE rnk <= 10)
+        |SELECT ex.a_id, np.n_probed, ct.n_cand,
+        |CAST(COUNT(*) AS BIGINT) AS n_exact, CAST(COUNT(t.b_id) AS BIGINT) AS n_hit,
+        |CAST(COUNT(t.b_id) AS DOUBLE) / COUNT(*) AS recall
+        |FROM ex LEFT JOIN topk t ON t.a_id = ex.a_id AND t.b_id = ex.b_id
+        |JOIN cost ct ON ct.a_id = ex.a_id JOIN nprb np ON np.a_id = ex.a_id
+        |GROUP BY ex.a_id, np.n_probed, ct.n_cand ORDER BY ex.a_id""".stripMargin.replace("\n", " ")),
 
     // J30 (round 12) pq_recall_at_k — ADC top-10 (the vec_pq_adc_topk
     // serving chain) vs EXACT squared-L2 ground truth (list_dot_product

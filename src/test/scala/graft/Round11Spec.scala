@@ -138,11 +138,12 @@ class Round11Spec extends SparkSpec {
       assert(recall >= 0.0 && recall <= 1.0)
       assert(r.getLong(2) <= r.getLong(1))
     }
-    // round 12 (VERDICT r11 #1): second-cell probing must hold the
-    // bounded-IVF quality bar at sf0.001 (measured 0.35; own-cell-only
-    // was 0.14) — a regression gate, not an aspiration
+    // round 13 (VERDICT r12 #1): third-cell probing + the ±2 window must
+    // hold the >=0.50 bar at sf0.001 (measured 0.55; round 12's two-cell
+    // ±1 scheme was 0.35, round 11's own-cell-only 0.14) — a regression
+    // gate, not an aspiration
     val mean = rows.map(_.getDouble(3)).sum / rows.length
-    assert(mean >= 0.30, f"mean recall@8 $mean%.3f fell below the 0.30 gate")
+    assert(mean >= 0.50, f"mean recall@8 $mean%.3f fell below the 0.50 gate")
   }
 
   test("index_update_mediasig: the incrementally-updated store is row-identical to a full rebuild") {

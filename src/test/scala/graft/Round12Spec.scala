@@ -51,14 +51,14 @@ class Round12Spec extends SparkSpec {
     val routing = spark.read.parquet(s"$baseDir/knn_routing")
     val bounds = ops.Similarity.knnBounds(routing)
     // from-scratch: map EVERY vector under the frozen routing (delta own
-    // cells by dot range; second cells for base and delta alike), build
+    // cells by dot range; alt cells for base and delta alike), build
     // the whole candidate relation in one shot, cut top-K — no reuse of
     // the base shortlist or the persisted probe relation
     val delta = e.where(ops.IndexStore.VecDeltaPred)
     val deltaOwn = ops.Similarity.mapByBounds(
       ops.Similarity.ivfAssignBuild(delta, cent), bounds)
     val allSec = ops.Similarity.mapByBounds(
-      ops.Similarity.secondCells(e, cent), bounds)
+      ops.Similarity.probeCells(e, cent), bounds)
     val mem = routing.select(col("vec_id"), col("cell"), col("bucket"))
       .unionByName(deltaOwn)
     val refShort = ops.Similarity.dotPairs(e,
@@ -102,7 +102,7 @@ class Round12Spec extends SparkSpec {
       val deltaOwn = ops.Similarity.mapByBounds(
         ops.Similarity.ivfAssignBuild(e.where(ops.IndexStore.VecDeltaPred), cent), bounds)
       val allSec = ops.Similarity.mapByBounds(
-        ops.Similarity.secondCells(e, cent), bounds)
+        ops.Similarity.probeCells(e, cent), bounds)
       val mem = routing.select(col("vec_id"), col("cell"), col("bucket"))
         .unionByName(deltaOwn)
       val fullPairs = ops.Similarity.knnPairIds(mem.unionByName(allSec), mem).count()
