@@ -108,10 +108,24 @@ object IndexStore {
     * per cell at that fixture), and widening the window is the
     * architecture-preserving fix (candidate work stays Θ(n·√n); the
     * alternative, an ADC-prefilter rerank over the whole corpus per query,
-    * is Θ(n²) for the self-join shortlist and was rejected). Baked into
-    * [[vecsearchParams]] → any change re-keys the store.
+    * is Θ(n²) for the self-join shortlist and was rejected). Late round 13
+    * moved 2 → 4 after the amplification study (BASELINE.md "probe
+    * amplification frontier"): every candidate-amplification scheme
+    * measured (second routing table through the 2nd cell, cross-axis
+    * re-bucketing of the argmax cell, wider window) sits on the same
+    * ~2×-concentration frontier on this near-random fixture — recall ≈ 2 ×
+    * scanned fraction — so the window knob, which is frontier-optimal
+    * (marginal efficiency 2.05 vs the 2.06 baseline at 20k vectors) and
+    * already interpolated into the store key AND the oracle chains, is the
+    * right way to buy recall. ±4 covers the m=5 sub-buckets of the sf0.1
+    * fixture from any center, moving measured shortlist recall@8 there
+    * from 0.39 to 0.50 (50-query harness) at +41% BUILD-time candidate
+    * volume and zero serving-cost change; the sf0.001/sf0.01 fixtures
+    * (m=3) were already fully covered at ±2, so their artifacts are
+    * bit-identical. Baked into [[vecsearchParams]] → any change re-keys
+    * the store.
     */
-  private[graft] val KnnFullProbeWidth = 2
+  private[graft] val KnnFullProbeWidth = 4
 
   /** Parameters baked into the artifacts, folded into the staleness
     * fingerprint (ADVICE r9 #3) so changing any of them invalidates the

@@ -473,15 +473,19 @@ object Similarity {
     *   3. candidates: every vector PROBES P·(2W+1) sub-buckets — a
     *      center ±W window in its argmax cell plus one in each of its
     *      2nd..Pth nearest cells (P = [[IndexStore.KnnFullProbeCells]],
-    *      W = [[IndexStore.KnnFullProbeWidth]]; 3 cells × ±2 = 15
-    *      buckets since round 13). History of the knobs: own-cell-only
-    *      ±1 probing (round 11) measured recall@8 ≈ 0.14 — only ~18% of
-    *      true neighbors share the argmax cell on this weakly-clustered
-    *      fixture; the second cell (round 12) lifted it to 0.35 at 2×
-    *      candidate cost; round 13's third cell + ±2 window (priced by
-    *      `vec_ivf_recall_sweep`'s nprobe=3 arm) lifts it to 0.52,
-    *      matching the sweep's whole-cell bar — the same trades the
-    *      bounded nprobe-k IVF makes, still Θ(n·√n). Each non-argmax
+    *      W = [[IndexStore.KnnFullProbeWidth]]; 3 cells × ±4 = 27
+    *      buckets since late round 13). History of the knobs:
+    *      own-cell-only ±1 probing (round 11) measured recall@8 ≈ 0.14 —
+    *      only ~18% of true neighbors share the argmax cell on this
+    *      weakly-clustered fixture; the second cell (round 12) lifted it
+    *      to 0.35 at 2× candidate cost; round 13's third cell + ±2 window
+    *      (priced by `vec_ivf_recall_sweep`'s nprobe=3 arm) lifted
+    *      sf0.001 to 0.55; the late-round amplification study (four
+    *      scales × three schemes, BASELINE.md) showed every scheme on
+    *      the same ~2×-concentration frontier and widened W to ±4 —
+    *      the frontier-optimal knob — lifting the sf0.1 fixture to 0.50
+    *      at build-time-only cost. Same trades the bounded nprobe-k IVF
+    *      makes, still Θ(n·√n). Each non-argmax
     *      window is centered by DOT-RANGE
     *      MAPPING: the query's dot against that cell's centroid is
     *      located among the cell's equal-depth bucket boundaries (the
@@ -832,13 +836,18 @@ object Similarity {
     * 0.35; round 13's third cell + ±2 window (VERDICT r12 #1, both knobs
     * priced by `vec_ivf_recall_sweep`) lifts it to mean recall@8 = 0.55
     * at sf0.001 — ABOVE the sweep's whole-cell nprobe=3 bar (0.52),
-    * because the ±2 window covers each probed cell fully at that fixture
+    * because the window covers each probed cell fully at that fixture
     * while the dot ranking concentrates true neighbors near the window
-    * center. At fixed probe budget the window covers a shrinking cell
-    * fraction as n grows (0.49 at sf0.01, 0.35 at sf0.1 — recorded in
-    * BASELINE.md): the standard IVF trade; buying it back is a
+    * center. The late-round amplification study (BASELINE.md "probe
+    * amplification frontier") widened W to ±4, lifting sf0.1 from 0.35
+    * to 0.50 (sf0.001/sf0.01 artifacts bit-identical — already fully
+    * covered). At fixed probe budget the window covers a shrinking cell
+    * fraction as n grows — the standard IVF trade; buying it back is a
     * probe-depth policy decision, which is exactly what the sweep and
-    * `index_policy_vecsearch` price.
+    * `index_policy_vecsearch` price, and the study's measured frontier
+    * (recall ≈ 2 × scanned fraction on this near-random fixture, for
+    * EVERY amplification scheme tried) is the honest law governing that
+    * purchase.
     */
   def annRecallFull(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
