@@ -319,6 +319,7 @@ object Queries {
     "vec_pq_error"          -> (Similarity.vecPqError _),
     "graph_label_propagation" -> (Similarity.graphLabelPropagation _),
     "pipeline_compaction_plan" -> (Relational.compactionPlan _),
+    "layout_zone_map_prune" -> (Relational.layoutZoneMapPrune _),
     "mm_magic_sniff"        -> (Multimodal.magicSniff _),
     "dedup_url_canonical"   -> (Dedup.urlCanonical _),
     "dq_profile_drift"      -> (DataQuality.dqProfileDrift _),
@@ -334,6 +335,7 @@ object Queries {
     // round-7 batch 6: PQ-code dedup blocking, segment-level dedup,
     // Tukey-fence volume screen (SURVEY §2 rows M82, M83, N11)
     "dedup_pq_codes"        -> (Dedup.pqCodes _),
+    "dedup_exact_substring" -> (Dedup.exactSubstring _),
     "text_paragraph_dedup"  -> (Dedup.paragraphDedup _),
     "dq_outlier_tukey"      -> (DataQuality.dqOutlierTukey _),
     // round-7 batch 7: SQL-defined functions and binary quantization
@@ -446,5 +448,7 @@ object Queries {
     // order until a candidate floor is met, the knob between the J31
     // sweep's fixed-nprobe grid points (SURVEY §2 row J32)
     "vec_probe_adaptive"        -> (Similarity.vecProbeAdaptive _),
+    "vec_pq_residual"           -> (Similarity.vecPqResidual _),
+    "graph_bfs_distance_full"   -> (Similarity.graphBfsDistanceFull _),
   )
 }

@@ -892,4 +892,40 @@ object Dedup {
         col("chars_removed"))
       .orderBy(col("doc_id"))
   }
+
+  /** M113 dedup_exact_substring (round 13) — EXACT-substring dedup, the
+    * published complement to n-gram/MinHash dedup (train-set curation
+    * flags documents that share long verbatim character runs — boilerplate,
+    * mirrored articles, license blocks — which token-level shingles can
+    * miss across tokenization differences): 50-char windows sampled at
+    * stride 25, so any shared run of ≥ 99 chars is GUARANTEED to produce a
+    * colliding window in both documents (two stride-25 grids cannot both
+    * miss a 99-char span), and shorter runs are caught when alignment
+    * cooperates. Per document (≥ 50 chars): window count, windows owned by
+    * an EARLIER doc (min doc_id keeps — the keep-first convention of
+    * `dedup_exact_keep_first`), and the dup flag.
+    *
+    * 100 TB: window extraction is map-side (stride 25 bounds the blowup at
+    * 2× text bytes); ownership is ONE shuffle keyed by the window hash;
+    * the flag join rides the same key — linear in corpus bytes, never
+    * pairwise. The published full-suffix-array approach needs a global
+    * sort of every suffix; stride sampling is the bounded-loss version
+    * whose guarantee (2×stride−1 chars) is explicit.
+    */
+  def exactSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Tables.documents(spark, sfDir)
+      .where(length(col("text")) >= 50)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 49, 25)")).as("o"), col("text"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, CAST(o AS INT), 50)")).as("h"))
+    val own = w.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+    w.join(own, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        (col("n_shared") > 0).as("dup_flag"))
+      .orderBy(col("doc_id"))
+  }
 }

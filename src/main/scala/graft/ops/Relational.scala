@@ -1182,4 +1182,56 @@ object Relational {
       .withColumn("fill_bp", expr(s"CAST(total_bytes * 10000 div ${target}L AS BIGINT)"))
       .orderBy(col("bin"))
   }
+
+  /** A13 layout_zone_map_prune (round 13) — zone-map file skipping
+    * QUANTIFIED, the scan-pruning decision `layout_zorder_stats`
+    * (clustering quality) and `pipeline_compaction_plan` (file sizing)
+    * feed: simulate the orders fact written as 64 files under two layouts —
+    * `arrival` (hash-scattered, file = o_orderkey % 64: every file's
+    * min/max date spans the table, zone maps prune nothing) vs `clustered`
+    * (equal-depth date order, the one-time sort a lake table buys with a
+    * clustered write) — record each file's (min, max) date zone map, and
+    * evaluate a one-year predicate against the maps. Output per layout:
+    * files pruned, rows scanned vs rows matching, and the scan
+    * amplification a reader pays. The measured gap (≈6.6× vs ≈1.03× at
+    * every SF) is the number that justifies clustering a 100 TB fact.
+    *
+    * 100 TB: the clustered file id comes from [[GlobalRank]]'s two-pass
+    * range-partitioned rank (never a single-partition window); zone maps
+    * are one keyed aggregate per layout (64-row outputs); at lake scale
+    * the min/max maps are free — parquet footers / manifest stats — and
+    * this op is the planner arithmetic a table-format reader runs before
+    * touching data.
+    */
+  def layoutZoneMapPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate"))
+    val lo = lit("1995-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1995-12-31 23:59:59").cast("timestamp")
+    val arrival = o
+      .select((col("o_orderkey") % 64).as("file_id"), col("o_orderdate"))
+      .withColumn("layout", lit("arrival"))
+    val clustered = GlobalRank.withGlobalRowNumber(
+        o, 32, col("o_orderdate"), col("o_orderkey"))
+      .select(expr("CAST((rn - 1) * 64 DIV n_total AS BIGINT)").as("file_id"),
+        col("o_orderdate"))
+      .withColumn("layout", lit("clustered"))
+    val zones = arrival.unionByName(clustered)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderdate").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("pruned", col("mx") < lo || col("mn") > hi)
+    zones.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(col("pruned"), 0L).otherwise(col("n_rows"))).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matching"))
+      .select(col("layout"), col("n_files"), col("n_pruned"), col("rows_total"),
+        col("rows_scanned"), col("rows_matching"),
+        (round(col("rows_scanned").cast("double") /
+          when(col("rows_matching") === 0, lit(null)).otherwise(col("rows_matching")), 4)
+          + lit(0.0)).as("scan_amplification"))
+      .orderBy(col("layout"))
+  }
 }

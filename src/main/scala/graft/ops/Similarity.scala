@@ -2105,4 +2105,140 @@ object Similarity {
         (round(col("sim_raw"), 4) + lit(0.0)).as("sim"), col("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
+
+  /** J33 vec_pq_residual (round 13) — RESIDUAL product quantization, the
+    * published refinement raw-vector PQ deployments evaluate first
+    * (IVFADC: quantize x − c(x), the residual after the coarse quantizer,
+    * so the 4-bit codes spend their resolution on within-cell geometry
+    * instead of re-describing cell placement). Pipeline: the STANDING
+    * store's coarse quantizer (`ivf_centroids`) and inverted lists
+    * (`ivf_assigned`) route each vector; the residual is encoded with a
+    * codebook trained by the same sampled-init + one-Lloyd-round protocol
+    * as [[pqIndex]]; serving is full-corpus ADC with a PER-(query, cell)
+    * LUT — ||q − x||² ≈ ADC(q − c(cell_x), r_x) — 10 LUTs per query, still
+    * 4 lookups + 3 adds per scanned vector. Output: the J30 recall-harness
+    * shape (per sampled query, recall@10 vs exact squared-L2), directly
+    * comparable to `pq_recall_at_k`'s raw-PQ number.
+    *
+    * MEASURED VERDICT (recorded in BASELINE.md): residual 0.26 / 0.23 /
+    * 0.28 vs raw 0.30 / 0.29 / 0.28 at sf0.001/0.01/0.1 — on this
+    * near-random fixture the coarse centroids sit close to the origin
+    * (concentration of measure), residuals ≈ the originals, and the
+    * 10×-LUT serving cost buys NOTHING. That is the point of the harness:
+    * residual encoding's published win assumes real cluster structure,
+    * and a deployment should demand this measurement before paying the
+    * per-cell LUT complexity. The op IS the measurement.
+    *
+    * 100 TB: the residual pass is one map-side zip_with against the
+    * broadcast 10-row quantizer; training adds the same two
+    * encode+aggregate corpus passes as the raw codebook (build-once);
+    * serving broadcasts |queries|×10 LUT rows and the corpus never
+    * shuffles — the cell join rides the packed artifact's assigned-cell
+    * column. Exact side is the one corpus×8 eval pass (M37/M104
+    * convention).
+    */
+  def vecPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val k = 10
+    val cent = IndexStore.read(spark, sfDir, "ivf_centroids")
+    val asg = IndexStore.read(spark, sfDir, "ivf_assigned")
+      .select(col("vec_id"), col("cell"))
+    // residual corpus, served under the `embedding` name so the pqIndex
+    // machinery (subvector split, sampled init, Lloyd round) reuses as-is
+    val res = e.join(asg, Seq("vec_id"))
+      .join(broadcast(cent), Seq("cell"))
+      .select(col("vec_id"),
+        expr("zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) - y)")
+          .as("embedding"))
+      .lineageCut(true) // read by the init, both encode passes and the M-step
+    val (rcb, rcodes) = pqIndex(res)
+    val packed = rcodes
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)")
+        .as("cds"))
+      .join(asg, Seq("vec_id"))
+    // per-(query, cell) residual LUT: d2(query residual vs that cell, every code)
+    val lut = e.where(col("vec_id") < 8)
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id").as("a_id"), col("cell"),
+        expr("zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) - y)").as("qr"))
+      .crossJoin(broadcast(e.sparkSession.range(4).select(col("id").cast("int").as("s"))))
+      .select(col("a_id"), col("cell"), col("s"),
+        expr("slice(qr, s * 16 + 1, 16)").as("sv"))
+      .join(broadcast(rcb), Seq("s"))
+      .withColumn("dv", expr("zip_with(sv, cb, (x, y) -> x - y)"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .groupBy(col("a_id"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(s * 16 + c AS i, d2))), x -> x.d2)")
+        .as("lut"))
+    val wAdc = Window.partitionBy(col("a_id")).orderBy(asc("adc"), asc("b_id"))
+    val adcTop = packed.withColumnRenamed("vec_id", "b_id")
+      .join(broadcast(lut), Seq("cell"))
+      .where(col("b_id") =!= col("a_id"))
+      .withColumn("adc", adcExpr)
+      .withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val wEx = Window.partitionBy(col("a_id")).orderBy(asc("d2"), asc("b_id"))
+    val exact = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .join(broadcast(q))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("dv", expr(
+        "zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(wEx))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"))
+    exact.join(adcTop, Seq("a_id", "b_id"), "left")
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("a_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("a_id"))
+  }
+
+  /** M114 graph_bfs_distance_full (round 13) — bounded multi-source BFS
+    * over the FULL-corpus mutual-8NN graph: hop distance from a
+    * corpus-relative seed set (graph nodes with vec_id % 100 = 0) out to 4
+    * hops, reported as a distance histogram (nodes at hop d; unreached
+    * graph nodes as dist = −1). The reachability primitive the full-graph
+    * family lacked: "how much of the similarity graph is within k hops of
+    * a labeled sample" is the expansion question a curation pipeline asks
+    * before propagating labels or quality scores along edges (M106
+    * propagates; this MEASURES the reach it can hope for).
+    *
+    * 100 TB: edges come from the standing shortlist artifact (mutuality =
+    * one keyed semi-join); each BFS round is one keyed semi-join +
+    * anti-join on the frontier — linear in |E| with degree bounded by 8,
+    * the textbook Pregel round — and the loop is STATICALLY bounded
+    * (4 rounds, no driver-side convergence counts at all). Oracle = 4
+    * unrolled frontier stages over the same edge CTEs.
+    */
+  def graphBfsDistanceFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val me = mutualKnnFullEdges(spark, sfDir).lineageCut(true)
+    val ed = me.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(me.select(col("v").as("a"), col("u").as("b")))
+    val nodes = ed.select(col("a").as("node")).distinct().lineageCut(true)
+    var dist = nodes.where(col("node") % 100 === 0)
+      .select(col("node"), lit(0).as("dist"))
+      .lineageCut(true)
+    for (d <- 1 to 4) {
+      val frontier = dist.where(col("dist") === d - 1)
+      val next = ed
+        .join(frontier.select(col("node").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(d).as("dist"))
+      dist = dist.unionAll(next).lineageCut(true)
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(coalesce(col("dist"), lit(-1)).cast("long").as("dist"))
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
+  }
 }

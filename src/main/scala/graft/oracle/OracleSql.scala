@@ -3118,6 +3118,104 @@ object OracleSql {
     // of the diff vector with itself — the same fold both engines' PQ
     // encode runs, so d2 values are bit-identical); the M37 recall
     // protocol per sampled query.
+    // M113: stride-25 50-char windows; min-doc_id window ownership
+    // (keep-first); any shared run >= 99 chars is guaranteed caught (two
+    // stride-25 grids cannot both miss it); substring/length are
+    // character-based in both engines and md5 hashes the UTF-8 bytes in both
+    "dedup_exact_substring" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 50),
+        |offs AS (SELECT doc_id, text, unnest(range(1, length(text) - 48, 25)) AS o FROM d),
+        |w AS (SELECT doc_id, md5(substring(text, CAST(o AS INT), 50)) AS h FROM offs),
+        |own AS (SELECT h, MIN(doc_id) AS owner FROM w GROUP BY h)
+        |SELECT w.doc_id, COUNT(*) AS n_windows,
+        |CAST(SUM(CASE WHEN own.owner < w.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |SUM(CASE WHEN own.owner < w.doc_id THEN 1 ELSE 0 END) > 0 AS dup_flag
+        |FROM w JOIN own ON own.h = w.h GROUP BY w.doc_id ORDER BY w.doc_id"""
+        .stripMargin.replace("\n", " "),
+
+    // A13: two simulated 64-file layouts of the orders fact; zone map =
+    // per-file (min, max) o_orderdate; the clustered file id uses the exact
+    // integer (rn-1)*64 // n protocol (the frtd bucket arithmetic)
+    "layout_zone_map_prune" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate FROM orders),
+        |n AS (SELECT COUNT(*) AS n_total FROM o),
+        |arrival AS (SELECT 'arrival' AS layout, o_orderkey % 64 AS file_id, o_orderdate FROM o),
+        |clustered AS (SELECT 'clustered' AS layout, ((ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1) * 64) // (SELECT n_total FROM n) AS file_id, o_orderdate FROM o),
+        |bl AS (SELECT * FROM arrival UNION ALL SELECT * FROM clustered),
+        |za AS (SELECT layout, file_id, MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx, COUNT(*) AS n_rows,
+        |SUM(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-12-31 23:59:59' THEN 1 ELSE 0 END) AS n_match
+        |FROM bl GROUP BY layout, file_id),
+        |zp AS (SELECT *, CASE WHEN mx < TIMESTAMP '1995-01-01 00:00:00' OR mn > TIMESTAMP '1995-12-31 23:59:59' THEN 1 ELSE 0 END AS pruned FROM za)
+        |SELECT layout, COUNT(*) AS n_files, CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+        |CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+        |CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+        |CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+        |round(CAST(SUM(CASE WHEN pruned = 1 THEN 0 ELSE n_rows END) AS DOUBLE) / NULLIF(SUM(n_match), 0), 4) + 0.0 AS scan_amplification
+        |FROM zp GROUP BY layout ORDER BY layout""".stripMargin.replace("\n", " "),
+
+    // J33: residual IVF-PQ recall harness — the store's quantizer/
+    // assignment protocol (per-label 2^20 fixed-point centroids, argmax by
+    // (d DESC, cell)), residual = emb - cvec(cell), then the pqChain
+    // protocol on residuals (sampled init vec_id < 16, one Lloyd round),
+    // per-(query, cell) LUTs, fixed-order 4-term ADC, recall@10 vs exact
+    // squared-L2 (the pq_recall_at_k comparison target)
+    "vec_pq_residual" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |comp AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM comp GROUP BY label),
+        |dots AS (SELECT e.vec_id, c.cell, list_dot_product(e.emb, c.cvec) AS d FROM e CROSS JOIN cent c),
+        |asg AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rna FROM dots) WHERE rna = 1),
+        |r AS MATERIALIZED (SELECT e.vec_id, a.cell, list_transform(range(1, 65), i -> e.emb[CAST(i AS INT)] - c.cvec[CAST(i AS INT)]) AS emb FROM e JOIN asg a ON a.vec_id = e.vec_id JOIN cent c ON c.cell = a.cell),
+        |ss AS (SELECT unnest([0, 1, 2, 3]) AS s),
+        |sub AS (SELECT vec_id, s, list_transform(range(1, 17), i -> emb[CAST(s * 16 + i AS INT)]) AS sv FROM r, ss),
+        |cb0 AS (SELECT s, CAST(vec_id AS INT) AS c, sv AS cbv FROM sub WHERE vec_id < 16),
+        |enc0 AS (SELECT vec_id, s, c, list_dot_product(dv, dv) AS d2 FROM (SELECT v.vec_id, v.s, cb0.c, list_transform(range(1, 17), i -> v.sv[CAST(i AS INT)] - cb0.cbv[CAST(i AS INT)]) AS dv FROM sub v JOIN cb0 ON cb0.s = v.s)),
+        |codes0 AS (SELECT vec_id, s, c AS code FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn0 FROM enc0) WHERE rn0 = 1),
+        |tm AS (SELECT k.s, k.code AS c, t.i AS dim, round(CAST(SUM(CAST(round(v.sv[CAST(t.i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS cc FROM codes0 k JOIN sub v ON v.vec_id = k.vec_id AND v.s = k.s, range(1, 17) t(i) GROUP BY k.s, k.code, t.i),
+        |cbt AS (SELECT s, c, list(cc ORDER BY dim) AS cbv FROM tm GROUP BY s, c),
+        |cb AS (SELECT cb0.s, cb0.c, COALESCE(cbt.cbv, cb0.cbv) AS cbv FROM cb0 LEFT JOIN cbt ON cbt.s = cb0.s AND cbt.c = cb0.c),
+        |enc AS (SELECT vec_id, s, c, list_dot_product(dv, dv) AS d2 FROM (SELECT v.vec_id, v.s, cb.c, list_transform(range(1, 17), i -> v.sv[CAST(i AS INT)] - cb.cbv[CAST(i AS INT)]) AS dv FROM sub v JOIN cb ON cb.s = v.s)),
+        |codes AS (SELECT vec_id, s, c AS code FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn1 FROM enc) WHERE rn1 = 1),
+        |qres AS (SELECT q.vec_id AS a_id, c.cell, list_transform(range(1, 65), i -> q.emb[CAST(i AS INT)] - c.cvec[CAST(i AS INT)]) AS qr FROM e q CROSS JOIN cent c WHERE q.vec_id < 8),
+        |qsub AS (SELECT a_id, cell, s, list_transform(range(1, 17), i -> qr[CAST(s * 16 + i AS INT)]) AS sv FROM qres, ss),
+        |qlut AS (SELECT a_id, cell, s, c, list_dot_product(dv, dv) AS d2 FROM (SELECT q.a_id, q.cell, q.s, cb.c, list_transform(range(1, 17), i -> q.sv[CAST(i AS INT)] - cb.cbv[CAST(i AS INT)]) AS dv FROM qsub q JOIN cb ON cb.s = q.s)),
+        |adcp AS (SELECT l.a_id, k.vec_id AS b_id, k.s, l.d2 FROM codes k JOIN asg a ON a.vec_id = k.vec_id JOIN qlut l ON l.cell = a.cell AND l.s = k.s AND l.c = k.code),
+        |adc AS (SELECT a_id, b_id, MAX(CASE WHEN s = 0 THEN d2 END) + MAX(CASE WHEN s = 1 THEN d2 END) + MAX(CASE WHEN s = 2 THEN d2 END) + MAX(CASE WHEN s = 3 THEN d2 END) AS adc_d2 FROM adcp WHERE a_id <> b_id GROUP BY a_id, b_id),
+        |adct AS (SELECT a_id, b_id FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY adc_d2, b_id) AS rn FROM adc) WHERE rn <= 10),
+        |q AS (SELECT vec_id AS a_id, emb AS a_emb FROM e WHERE vec_id < 8),
+        |exd AS (SELECT q.a_id, e.vec_id AS b_id, list_transform(range(1, 65), i -> q.a_emb[CAST(i AS INT)] - e.emb[CAST(i AS INT)]) AS dv FROM q JOIN e ON e.vec_id <> q.a_id),
+        |ex AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY list_dot_product(dv, dv), b_id) AS rn FROM exd) WHERE rn <= 10)
+        |SELECT ex.a_id, COUNT(*) AS n_exact, CAST(COUNT(adct.b_id) AS BIGINT) AS n_hit,
+        |CAST(COUNT(adct.b_id) AS DOUBLE) / COUNT(*) AS recall
+        |FROM ex LEFT JOIN adct ON adct.a_id = ex.a_id AND adct.b_id = ex.b_id
+        |GROUP BY ex.a_id ORDER BY ex.a_id""".stripMargin.replace("\n", " "),
+
+    // M114: 4 unrolled BFS frontier stages over the mutual-8NN edge CTEs
+    // (the graph_cc_full edge construction); seeds = graph nodes with
+    // vec_id % 100 = 0; unreached graph nodes report dist = -1
+    "graph_bfs_distance_full" ->
+      ("WITH " + knnFullChain +
+        s""", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF),
+        |me AS MATERIALIZED (SELECT a.a_id AS u, a.b_id AS v FROM knn a
+        |JOIN knn b ON b.a_id = a.b_id AND b.b_id = a.a_id WHERE a.a_id < a.b_id),
+        |ed AS MATERIALIZED (SELECT u AS a, v AS b FROM me UNION ALL SELECT v, u FROM me),
+        |nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM ed),
+        |d0 AS (SELECT node FROM nodes WHERE node % 100 = 0),
+        |d1 AS MATERIALIZED (SELECT DISTINCT e.b AS node FROM ed e JOIN d0 s ON s.node = e.a
+        |WHERE e.b NOT IN (SELECT node FROM d0)),
+        |d2 AS MATERIALIZED (SELECT DISTINCT e.b AS node FROM ed e JOIN d1 s ON s.node = e.a
+        |WHERE e.b NOT IN (SELECT node FROM d0) AND e.b NOT IN (SELECT node FROM d1)),
+        |d3 AS MATERIALIZED (SELECT DISTINCT e.b AS node FROM ed e JOIN d2 s ON s.node = e.a
+        |WHERE e.b NOT IN (SELECT node FROM d0) AND e.b NOT IN (SELECT node FROM d1) AND e.b NOT IN (SELECT node FROM d2)),
+        |d4 AS MATERIALIZED (SELECT DISTINCT e.b AS node FROM ed e JOIN d3 s ON s.node = e.a
+        |WHERE e.b NOT IN (SELECT node FROM d0) AND e.b NOT IN (SELECT node FROM d1) AND e.b NOT IN (SELECT node FROM d2) AND e.b NOT IN (SELECT node FROM d3)),
+        |dist AS (SELECT node, 0 AS dist FROM d0 UNION ALL SELECT node, 1 FROM d1
+        |UNION ALL SELECT node, 2 FROM d2 UNION ALL SELECT node, 3 FROM d3
+        |UNION ALL SELECT node, 4 FROM d4)
+        |SELECT CAST(COALESCE(d.dist, -1) AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM nodes n LEFT JOIN dist d ON d.node = n.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+
     "pq_recall_at_k" ->
       (pqChain +
         """, lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc WHERE vec_id < 8),

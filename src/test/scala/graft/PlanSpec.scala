@@ -243,7 +243,9 @@ class PlanSpec extends SparkSpec {
       "graph_modularity_full",    // broadcast 1-row moment aggregate (M55 shape)
       "pq_recall_at_k",           // 8 broadcast query LUTs/vectors (J3/ADC patterns)
       "vec_ivf_recall_sweep",     // 10 broadcast query vectors + 3-row nprobe grid
-      "vec_probe_adaptive")       // 10 broadcast query vectors + 1-row corpus floor
+      "vec_probe_adaptive",       // 10 broadcast query vectors + 1-row corpus floor
+      "vec_pq_residual")          // 8 broadcast query vectors (exact-GT side) +
+                                  // 8×10 broadcast per-cell LUTs (J3/ADC patterns)
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

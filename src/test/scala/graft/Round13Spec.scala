@@ -127,4 +127,64 @@ class Round13Spec extends SparkSpec {
       s"PLANS.md is missing ${missing.toSeq.sorted.mkString(", ")} — regenerate: " +
         "sbt 'runMain graft.PlanAudit /root/testdata/sf0.001 PLANS.md'")
   }
+
+  // ---- round-13 late batch: exact-substring dedup, zone-map pruning,
+  // ---- residual-PQ recall harness, bounded full-graph BFS
+
+  test("dedup_exact_substring: flags are consistent and match a brute-force recomputation") {
+    val out = run("dedup_exact_substring").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_shared <= n_windows")
+      assert(r.getBoolean(3) === (r.getLong(2) > 0), "dup_flag = n_shared > 0")
+    }
+    assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)),
+      "fixture exercises both branches")
+    // recompute the dup set independently with a different plan shape
+    // (raw-window self-semi-join instead of hash ownership)
+    val d = Tables.documents(spark, sf).where(length(col("text")) >= 50)
+    val w = d.select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 49, 25)")).as("o"), col("text"))
+      .select(col("doc_id"), expr("substring(text, CAST(o AS INT), 50)").as("win"))
+    val flagged = w.as("a").join(w.as("b"),
+        col("a.win") === col("b.win") && col("b.doc_id") < col("a.doc_id"), "left_semi")
+      .select(col("a.doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet === flagged,
+      "dup set matches the brute-force recomputation")
+  }
+
+  test("layout_zone_map_prune: clustering buys pruning; scan counts are sound") {
+    val out = run("layout_zone_map_prune").orderBy("layout").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("arrival", "clustered"))
+    val Array(arr, clu) = out
+    assert(arr.getLong(1) === 64 && clu.getLong(1) === 64, "64 files per layout")
+    assert(arr.getLong(3) === clu.getLong(3), "layouts cover the same rows")
+    assert(arr.getLong(5) === clu.getLong(5), "matching rows are layout-invariant")
+    Seq(arr, clu).foreach { r =>
+      assert(r.getLong(4) >= r.getLong(5), "scanned >= matching (zone maps are sound)")
+      assert(r.getLong(4) <= r.getLong(3), "scanned <= total")
+    }
+    assert(clu.getLong(2) > arr.getLong(2), "the clustered layout prunes strictly more files")
+    assert(clu.getDouble(6) < arr.getDouble(6), "and pays lower scan amplification")
+  }
+
+  test("vec_pq_residual: the harness is sound — 10 exact truths per query, recall in [0,1], hits consistent") {
+    val out = run("vec_pq_residual").collect()
+    assert(out.length === 8)
+    out.foreach { r =>
+      assert(r.getLong(1) === 10)
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getLong(2) === math.round(rec * 10))
+    }
+  }
+
+  test("graph_bfs_distance_full: histogram is a partition of the graph nodes with seeds at dist 0") {
+    val out = run("graph_bfs_distance_full").collect()
+    val dists = out.map(_.getLong(0)).toSeq
+    assert(dists === dists.sorted)
+    assert(dists.toSet.subsetOf(Set(-1L, 0L, 1L, 2L, 3L, 4L)))
+    assert(out.map(_.getLong(1)).forall(_ > 0))
+    assert(dists.contains(0L), "seed level present")
+  }
 }
