@@ -450,5 +450,17 @@ object Queries {
     "vec_probe_adaptive"        -> (Similarity.vecProbeAdaptive _),
     "vec_pq_residual"           -> (Similarity.vecPqResidual _),
     "graph_bfs_distance_full"   -> (Similarity.graphBfsDistanceFull _),
+    // round 13, second batch
+    "agg_countmin_sketch"       -> (Aggregates.aggCountminSketch _),
+    "ts_holt_linear"            -> (Aggregates.tsHoltLinear _),
+    "win_event_paths"           -> (Windows.winEventPaths _),
+    "dq_schema_drift"           -> (DataQuality.dqSchemaDrift _),
+    "pipeline_softdedup_weights" -> (TextAnalysis.softdedupWeights _),
+    "pipeline_domain_mix_kl"    -> (TextAnalysis.domainMixKl _),
+    "ann_multitable_topk"       -> (Similarity.annMultitableTopk _),
+    "graph_hits_full"           -> (Similarity.graphHitsFull _),
+    "dedup_multi_signal"        -> (Dedup.multiSignal _),
+    "vec_dim_variance_prune"    -> (VectorText.vecDimVariancePrune _),
+    "win_conversion_lag"        -> (Windows.winConversionLag _),
   )
 }

@@ -1052,4 +1052,92 @@ object Aggregates {
         round(col("n").cast("double") / col("total"), 6).as("frac"))
       .orderBy(col("event_type"), desc("n"), asc("item"))
   }
+
+  /** E29 agg_countmin_sketch — Count-Min sketch (d = 4 rows × w = 64
+    * buckets, pairwise hashes h_j(u) = ((a_j·u + b_j) mod (2³¹−1)) mod 64)
+    * over the per-user event stream, audited against exact counts for the
+    * bounded probe set (user_id < 20): estimate = min over the 4 rows of
+    * the probed bucket, overestimate = est − exact (≥ 0 by the CMS
+    * one-sided guarantee — the output hash-checks that certificate).
+    *
+    * Why this shape: the sketch build is a plain `groupBy(row, bucket)`
+    * count — 256 cells, MERGEABLE by addition across partitions/shards/
+    * days (the property that makes CMS the published streaming-frequency
+    * structure), map-side combined down to 256 rows regardless of corpus
+    * size. Probes ride a broadcast onto the sketch. All arithmetic is
+    * exact integer — both engines agree on every cell.
+    */
+  def aggCountminSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val as = Seq(131L, 137L, 139L, 149L)
+    val bs = Seq(17L, 29L, 43L, 59L)
+    val p = 2147483647L
+    def bucket(u: Column, j: Int): Column =
+      ((lit(as(j)) * u + lit(bs(j))) % p) % 64
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    // ONE corpus scan: the 4 sketch rows per event come from a generator,
+    // not a 4-way self-union (which would re-read the fact 4 times)
+    val rows =
+      posexplode(array((0 until 4).map(j => bucket(col("user_id"), j)): _*))
+    val sketch = ev.select(col("user_id"), rows)
+      .select(col("pos").as("j"), col("col").as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val probes = ev.where(col("user_id") < 20)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val probed = probes.select(col("user_id"), col("exact_n"), rows)
+      .select(col("user_id"), col("exact_n"),
+        col("pos").as("j"), col("col").as("bucket"))
+    probed.join(sketch, Seq("j", "bucket"))
+      .groupBy(col("user_id"))
+      .agg(max(col("exact_n")).as("exact_n"), min(col("cell")).as("cms_est"))
+      .select(col("user_id"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overestimate"))
+      .orderBy(col("user_id"))
+  }
+
+  /** L26 ts_holt_linear — Holt's linear-trend double exponential smoothing
+    * (α = 0.5, β = 0.25 — dyadic, so every smoothing step is EXACT binary
+    * float scaling) over each event type's daily value series: level/trend
+    * recurrences initialized l = y₁, b = y₂ − y₁, folded over
+    * observations 3..n, reporting final level/trend, h = 1 and h = 3
+    * forecasts, and the one-step-ahead SSE (the model-selection number a
+    * forecasting pipeline compares against the L18 seasonal-naive MAE).
+    *
+    * Determinism: the daily inputs are 6-dp-rounded sums; the fold is a
+    * SEQUENTIAL recurrence evaluated in identical order on both engines —
+    * Spark as an `aggregate()` higher-order fold over the sorted per-type
+    * array, DuckDB as a recursive CTE — with identical IEEE expression
+    * trees, so the unrounded states agree bit-for-bit. Scale: the
+    * recurrence is inherently sequential PER SERIES (published fact, not
+    * a Spark limitation); series are parallel across types, and each
+    * type's daily array is bounded by the calendar, not the corpus.
+    */
+  def tsHoltLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("sr"))
+      .where(size(col("sr")) >= 3)
+      .withColumn("ys", expr("transform(sr, x -> x.y)"))
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(ys, 3, size(ys) - 2),
+          |  named_struct('l', ys[0], 'b', ys[1] - ys[0], 'sse', 0.0D),
+          |  (acc, y) -> named_struct(
+          |    'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+          |    'b', 0.25D * ((0.5D * y + 0.5D * (acc.l + acc.b)) - acc.l)
+          |         + 0.75D * acc.b,
+          |    'sse', acc.sse + (y - (acc.l + acc.b)) * (y - (acc.l + acc.b))))
+          |""".stripMargin))
+      .select(col("event_type"),
+        size(col("ys")).cast("long").as("n_days"),
+        (round(col("st.l"), 6) + lit(0.0)).as("level"),
+        (round(col("st.b"), 6) + lit(0.0)).as("trend"),
+        (round(col("st.l") + col("st.b"), 6) + lit(0.0)).as("forecast_1"),
+        (round(col("st.l") + lit(3.0) * col("st.b"), 6) + lit(0.0)).as("forecast_3"),
+        (round(col("st.sse"), 6) + lit(0.0)).as("sse_1step"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -591,4 +591,53 @@ object DataQuality {
         col("n_outlier_days"))
       .orderBy(col("event_type"))
   }
+
+  /** N15 dq_schema_drift — cross-version profile drift on the event
+    * stream: the corpus split into two "dataset versions" at the midpoint
+    * of the observed ts range (pure integer microsecond arithmetic — no
+    * global rank needed), each half profiled on the checks a schema
+    * registry diff runs (row volume, null fraction per nullable column,
+    * distinct cardinalities, value mean), emitted as one row per metric
+    * with both sides and the absolute delta — the alert feed a nightly
+    * contract check pages on.
+    *
+    * Determinism: fractions are one double division of exact longs, 6-dp;
+    * the mean is a 6-dp-rounded double sum (the N2 precedent). Scale: two
+    * single-pass whole-relation aggregates (one per half, partial-combined)
+    * and a constant-width unpivot — no joins, no windows.
+    */
+  def dqSchemaDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    // integer `div`, not `/`: float midpoints cast differently across
+    // engines (Spark truncates, DuckDB rounds) on odd sums
+    val mid = ev.agg(expr("(MIN(ts_us) + MAX(ts_us)) div 2").as("mid"))
+    val prof = ev.crossJoin(broadcast(mid))
+      .withColumn("period", when(col("ts_us") < col("mid"), lit("v1"))
+        .otherwise(lit("v2")))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_type")).as("d_event_type"),
+        countDistinct(col("user_id")).as("d_user_id"),
+        round(sum(when(col("value").isNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("null_frac_value"),
+        round(sum(when(col("props").isNull || col("props") === "", 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("empty_frac_props"),
+        round(avg(col("value")), 6).as("mean_value"))
+      .withColumn("m", expr(
+        """map('n_rows', CAST(n_rows AS DOUBLE),
+          |    'd_event_type', CAST(d_event_type AS DOUBLE),
+          |    'd_user_id', CAST(d_user_id AS DOUBLE),
+          |    'null_frac_value', null_frac_value,
+          |    'empty_frac_props', empty_frac_props,
+          |    'mean_value', mean_value)""".stripMargin))
+      .select(col("period"), explode(col("m")).as(Seq("metric", "x")))
+    prof.groupBy(col("metric"))
+      .agg(max(when(col("period") === "v1", col("x"))).as("v1"),
+        max(when(col("period") === "v2", col("x"))).as("v2"))
+      .select(col("metric"),
+        (col("v1") + lit(0.0)).as("v1"), (col("v2") + lit(0.0)).as("v2"),
+        (round(abs(col("v2") - col("v1")), 6) + lit(0.0)).as("abs_delta"))
+      .orderBy(col("metric"))
+  }
 }

@@ -928,4 +928,54 @@ object Dedup {
         (col("n_shared") > 0).as("dup_flag"))
       .orderBy(col("doc_id"))
   }
+
+  /** M118 dedup_multi_signal — SIGNAL-FUSION dedup: every LSH candidate
+    * pair (the M28 band-collision generator) scored on BOTH available
+    * modalities — exact shingle Jaccard (text) and embedding cosine
+    * (vec_id ≡ doc_id across the corpus tables) — with independent
+    * agreement flags (Jaccard ≥ 0.5, cosine ≥ 0.2). The practice this
+    * encodes: text near-dup detectors and semantic near-dup detectors
+    * disagree systematically (boilerplate inflates shingle overlap;
+    * paraphrase defeats it), so a curation pipeline keeps both verdicts
+    * per pair and routes disagreements to different policies instead of
+    * trusting either signal alone.
+    *
+    * Scale: candidates come from the banded self-join (never pairwise);
+    * each signal attaches by key — shingle intersection via the two-sided
+    * semi-join count, cosine via two broadcast-friendly embedding lookups
+    * on the codegen'd dot kernel. Thresholds are fixture-calibrated and
+    * interpolated into the oracle.
+    */
+  def multiSignal(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val sh = shingles(spark, sfDir, 200).cache()
+    val sig = signatures(sh).lineageCut(true)
+    val band = sig.select(col("doc_id"), unhex(md5(concat(col("s0"), col("s1")))).as("b"))
+      .unionAll(sig.select(col("doc_id"), unhex(md5(concat(col("s2"), col("s3")))).as("b")))
+    val cand = band.as("x").join(band.as("y"),
+        col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("ni"))
+    val e = Tables.embeddings(spark, sfDir)
+    cand
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .withColumn("jaccard", round(coalesce(col("ni"), lit(0L)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("ni"), lit(0L))), 4) + lit(0.0))
+      .withColumn("cosine", round(expr("graft_dot(a_emb, b_emb)"), 4) + lit(0.0))
+      .select(col("a_id"), col("b_id"), col("jaccard"), col("cosine"),
+        (col("jaccard") >= 0.5).as("text_dup"),
+        (col("cosine") >= 0.2).as("embed_dup"),
+        ((col("jaccard") >= 0.5) =!= (col("cosine") >= 0.2))
+          .as("signals_disagree"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -2241,4 +2241,110 @@ object Similarity {
       .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("dist"))
   }
+
+  /** J34 ann_multitable_topk — MULTI-TABLE routing (the LSH-forest /
+    * multi-index idea): each vector joins the inverted lists of its TWO
+    * nearest cells (table 1 = argmax cell, table 2 = runner-up cell, both
+    * against the standing store's frozen quantizer), and a query's
+    * candidates are every vector sharing ANY of its cells in EITHER table.
+    * Reported as the J30-style harness: per bounded query (vec_id < 8),
+    * candidate count, recall@8 vs exact ground truth.
+    *
+    * Why this exists (the round-13 amplification study, BASELINE.md): on
+    * this fixture, second-TABLE routing is the only scheme measured to
+    * penetrate the whole-cell capture ceiling at sf0.001 (0.583 vs the
+    * 3-whole-cell 0.510) — window widening buys recall only INSIDE probed
+    * cells; a second table reaches neighbors whose assignments disagree
+    * with the query's in both rankings. This op is that lever kept
+    * serving-ready and measured, so the day the shortlist's recall bar
+    * moves past what windows can buy, the replacement is a measured
+    * artifact swap, not a research task.
+    *
+    * Scale: membership is 2n rows keyed by cell; the candidate join is
+    * cell-keyed (never pairwise); queries are bounded, so the rerank is
+    * |candidates|-sized with the exact codegen'd dot kernel.
+    */
+  def annMultitableTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val cent = IndexStore.read(spark, sfDir, "ivf_centroids")
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
+    val m = e.crossJoin(broadcast(cent))
+      .withColumn("d", centDotExpr)
+      .select(col("vec_id"), col("cell"), col("d"))
+      .withColumn("crn", row_number().over(wAssign))
+      .where(col("crn") <= 2)
+      .select(col("vec_id"), col("cell"))
+      .lineageCut(true) // query and membership sides both read it
+    val cand = m.where(col("vec_id") < 8).select(col("vec_id").as("a_id"), col("cell"))
+      .join(m.select(col("vec_id").as("b_id"), col("cell")), Seq("cell"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val nCand = cand.groupBy(col("a_id")).agg(count(lit(1)).as("n_cand"))
+    val wTop = Window.partitionBy(col("a_id")).orderBy(desc("dot"), asc("b_id"))
+    val approx = dotPairs(e, cand)
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 8)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val exact = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .join(broadcast(q))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("sim_raw", expr("graft_dot(a_emb, b_emb)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(desc("sim_raw"), asc("b_id"))))
+      .where(col("rn") <= 8)
+      .select(col("a_id"), col("b_id"))
+    exact.join(approx, Seq("a_id", "b_id"), "left")
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_exact"), coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .join(nCand, Seq("a_id"), "left")
+      .select(col("a_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("a_id"))
+  }
+
+  /** M117 graph_hits_full — HITS (hubs & authorities) over the full-corpus
+    * mutual-8NN graph, edges DIRECTED low→high id (the same orientation
+    * every mutual-edge consumer uses), 4 static power-iteration rounds in
+    * the EXACT INTEGER domain: scores start at 1 and each round computes
+    * a ← Σ h(in-neighbors) then h ← Σ a(out-neighbors) with the fresh a —
+    * unnormalized, so every score is a path count (bounded by degree⁸ ≤
+    * 8⁸, far inside LONG) and both engines agree bit-for-bit with no
+    * float-normalization fold anywhere. Top-20 by (authority, hub, node).
+    *
+    * Scale: each half-round is one keyed join + keyed sum over an |E|-row
+    * relation with degree ≤ 8 — the Pregel shape of M102/M114 — and the
+    * loop is statically bounded (no driver-side convergence reads at
+    * all). Oracle = 8 unrolled aggregate stages on the shared mutual-edge
+    * CTEs.
+    */
+  def graphHitsFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val me = mutualKnnFullEdges(spark, sfDir).lineageCut(true)
+    val nodes = me.select(col("u").as("node"))
+      .unionAll(me.select(col("v").as("node")))
+      .distinct().lineageCut(true)
+    var h = nodes.select(col("node"), lit(1L).as("h"))
+    var a = nodes.select(col("node"), lit(1L).as("a"))
+    for (_ <- 1 to 4) {
+      a = nodes.join(
+        me.join(h.withColumnRenamed("node", "u"), Seq("u"))
+          .groupBy(col("v").as("node")).agg(sum(col("h")).as("s")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
+        .lineageCut(true)
+      h = nodes.join(
+        me.join(a.withColumnRenamed("node", "v"), Seq("v"))
+          .groupBy(col("u").as("node")).agg(sum(col("a")).as("s")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
+        .lineageCut(true)
+    }
+    nodes.join(a, Seq("node")).join(h, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+      .orderBy(desc("authority"), desc("hub"), asc("node"))
+      .limit(20)
+  }
 }

@@ -1181,4 +1181,73 @@ object TextAnalysis {
         sum(col("rn") * col("doc_id")).as("perm_checksum"))
       .orderBy(col("shard"))
   }
+
+  /** M115 pipeline_softdedup_weights — soft deduplication: instead of
+    * DROPPING duplicates (M27/M33), keep every copy but weight each doc by
+    * 1/|its exact-duplicate cluster| so a document's total training mass is
+    * independent of how many times it was crawled (the published
+    * alternative when dropping loses provenance or dup-count signal).
+    * Clusters = exact text-hash groups (the M27 key); the report is the
+    * per-source audit a mixing stage consumes: raw docs, distinct clusters
+    * touched, effective docs (Σ weights — what the corpus "really" holds),
+    * raw vs effective token mass, and the deflation ratio.
+    *
+    * Determinism: weights are small-denominator rationals (1/cluster_size);
+    * a 6-dp-rounded double sum of such terms cannot sit at a rounding
+    * midpoint (midpoints are odd/2·10⁶; the sums' reduced denominators are
+    * cluster-size lcms ≪ that), so engine fold order cannot flip the
+    * rounding. Scale: one text-hash agg (map-side combined), the size
+    * joined back on the hash key, one source agg — three keyed shuffles,
+    * nothing pairwise, nothing global.
+    */
+  def softdedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    val cl = d.groupBy(col("h")).agg(count(lit(1)).as("csize"))
+    d.join(cl, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_clusters"),
+        round(sum(lit(1.0) / col("csize")), 6).as("effective_docs"),
+        sum(col("tokens")).as("tokens_raw"),
+        round(sum(col("tokens").cast("double") / col("csize")), 6)
+          .as("tokens_effective"))
+      .select(col("source"), col("n_docs"), col("n_clusters"),
+        col("effective_docs"), col("tokens_raw"), col("tokens_effective"),
+        (round(col("tokens_effective") / col("tokens_raw"), 6) + lit(0.0))
+          .as("retention"))
+      .orderBy(col("source"))
+  }
+
+  /** M116 pipeline_domain_mix_kl — domain-mix audit against a uniform
+    * target: each source's token share p vs the uniform target q = 1/K,
+    * the per-domain KL contribution p·ln(p/q) (Σ = KL(p‖q), the standard
+    * "how far is this crawl from the mix we want" number), and the
+    * importance-resampling factor min(q/p, 5) a reweighting stage would
+    * apply (capped at 5× so no tail domain explodes its duplication
+    * count — the published epoch-repetition guardrail).
+    *
+    * Determinism: shares are one double division of exact long token
+    * sums; ln / division trees are identical expressions on both engines,
+    * 6-dp rounded. Scale: one keyed agg to ~K rows, the grand total
+    * broadcast back — the M52 shape.
+    */
+  def domainMixKl(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tokens"))
+      .groupBy(col("source")).agg(sum(col("tokens")).as("src_tokens"))
+    val g = st.agg(sum(col("src_tokens")).as("total_tokens"),
+      count(lit(1)).as("k"))
+    st.crossJoin(broadcast(g))
+      .withColumn("p", col("src_tokens").cast("double") / col("total_tokens"))
+      .withColumn("q", lit(1.0) / col("k"))
+      .select(col("source"), col("src_tokens"),
+        (round(col("p"), 6) + lit(0.0)).as("share"),
+        (round(col("p") * log(col("p") / col("q")), 6) + lit(0.0)).as("kl_term"),
+        (round(least(col("q") / col("p"), lit(5.0)), 6) + lit(0.0))
+          .as("resample_factor"))
+      .orderBy(col("source"))
+  }
 }

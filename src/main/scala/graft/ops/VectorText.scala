@@ -454,4 +454,46 @@ object VectorText {
       .select(col("a_id"), col("b_id"), col("hamming"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
   }
+
+  /** J35 vec_dim_variance_prune — variance-based dimension pruning (the
+    * cheap one-pass alternative to the J22 PCA when the basis must stay
+    * axis-aligned, e.g. pruning a stored index's dimensions in place):
+    * per-dimension mean/variance from EXACT 2^20 fixed-point component
+    * sums and sums-of-squares (both LONG — order-independent by
+    * construction, the J13 protocol extended to second moments), dims
+    * ranked by variance, the top 16 flagged `keep`, plus each rank's
+    * cumulative share of total variance — the "how much signal do 16 of
+    * 64 dims retain" curve a Matryoshka-style truncation (J25) is judged
+    * against.
+    *
+    * Scale: ONE corpus pass (posexplode + keyed agg to 64 rows); the
+    * ranking/cumsum windows run on the 64-row dimension relation — global
+    * windows over dimension-sized data are the documented exception.
+    */
+  def vecDimVariancePrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val fixed = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .select(col("dim"),
+        expr("CAST(round(CAST(comp AS DOUBLE) * 1048576) AS BIGINT)").as("f"))
+    val st = fixed.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("f")).as("s"),
+        sum(col("f") * col("f")).as("q"))
+      .withColumn("mean", col("s").cast("double") / (col("n") * lit(1048576.0)))
+      .withColumn("variance",
+        col("q").cast("double") / (col("n") * lit(1048576.0) * lit(1048576.0))
+          - col("mean") * col("mean"))
+    val tot = st.agg(sum(col("variance")).as("tv"))
+    val wRank = Window.orderBy(desc("variance"), asc("dim"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cum_var_frac",
+        round(sum(col("variance")).over(wCum) / col("tv"), 6) + lit(0.0))
+      .select(col("dim"), col("n"),
+        (round(col("mean"), 6) + lit(0.0)).as("mean"),
+        (round(col("variance"), 6) + lit(0.0)).as("variance"),
+        col("rn"), col("cum_var_frac"),
+        (col("rn") <= 16).as("keep"))
+      .orderBy(col("rn"))
+  }
 }

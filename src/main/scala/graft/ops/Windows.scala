@@ -416,4 +416,70 @@ object Windows {
         (col("peak") - col("balance")).cast("double").as("drawdown"))
       .orderBy(col("day"))
   }
+
+  /** L27 win_event_paths — session path mining: the top 15 three-step
+    * event-type paths users walk inside a 30-minute-gap session (the
+    * clickstream n-gram every product-analytics engine ships as "path
+    * analysis"). Sessions are lag-islands per user (gap > 30 min starts a
+    * new island — the F14 idiom on the L9 gap contract); paths are
+    * lead-pairs INSIDE a session (the lead window carries the session id,
+    * and a path is kept only when all three steps share it).
+    *
+    * Determinism: total order inside a user is (ts_us, event_id); path
+    * counts are exact; ranking keys (n desc, path) — no floats anywhere.
+    * Scale: two windows over the SAME (user_id → ts) shuffle (Catalyst
+    * reuses the exchange), one keyed count, global top-15 via
+    * TakeOrderedAndProject — never a global sort of the full path relation.
+    */
+  def winEventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 30L * 60L * 1000000L
+    val sess = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wU) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess
+      .withColumn("e2", lead(col("event_type"), 1).over(wU))
+      .withColumn("s2", lead(col("sess_id"), 1).over(wU))
+      .withColumn("e3", lead(col("event_type"), 2).over(wU))
+      .withColumn("s3", lead(col("sess_id"), 2).over(wU))
+      .where(col("s2") === col("sess_id") && col("s3") === col("sess_id"))
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(15)
+  }
+
+  /** L28 win_conversion_lag — time-to-convert distribution: for every
+    * purchase, the lag to the user's most recent PRECEDING view (the
+    * running-max-when window — an as-of match without a join), summarized
+    * as exact interpolated lag quantiles (the E10 percentile protocol on
+    * INTEGER microseconds — interpolation is one fixed double expression
+    * per quantile), conversion count, and unconverted-purchase count. The
+    * product-analytics twin of the L-series funnels: those count stage
+    * reach; this prices the latency between stages.
+    *
+    * Scale: one per-user window (running max over a keyed shuffle), then
+    * a single whole-relation aggregate; at 100 TB the exact percentile
+    * swaps for the E9 mergeable sketch (documented trade, same shape).
+    */
+  def winConversionLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("ts_us"))).over(wU))
+      .where(col("event_type") === "purchase")
+      .select((col("ts_us") - col("last_view_us")).as("lag_us"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("lag_us")).as("n_converted"),
+        (count(lit(1)) - count(col("lag_us"))).as("n_unconverted"),
+        (round(expr("percentile(lag_us, 0.25)"), 6) + lit(0.0)).as("p25_lag_us"),
+        (round(expr("percentile(lag_us, 0.5)"), 6) + lit(0.0)).as("p50_lag_us"),
+        (round(expr("percentile(lag_us, 0.9)"), 6) + lit(0.0)).as("p90_lag_us"))
+  }
 }

@@ -3216,6 +3216,215 @@ object OracleSql {
         |FROM nodes n LEFT JOIN dist d ON d.node = n.node
         |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
 
+    // E29: CMS d=4 × w=64, pairwise hashes ((a_j·u + b_j) mod (2^31−1))
+    // mod 64 — pure integer arithmetic on both engines; estimate = min
+    // over rows; overestimate ≥ 0 is the one-sided CMS certificate
+    "agg_countmin_sketch" ->
+      """WITH hj AS (SELECT unnest([0,1,2,3]) AS j),
+        |hc AS (SELECT j, CASE j WHEN 0 THEN 131 WHEN 1 THEN 137 WHEN 2 THEN 139 ELSE 149 END AS a,
+        |CASE j WHEN 0 THEN 17 WHEN 1 THEN 29 WHEN 2 THEN 43 ELSE 59 END AS b FROM hj),
+        |cells AS (SELECT hc.j, ((hc.a * e.user_id + hc.b) % 2147483647) % 64 AS bucket,
+        |CAST(COUNT(*) AS BIGINT) AS cell FROM events e CROSS JOIN hc GROUP BY 1, 2),
+        |probes AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events
+        |WHERE user_id < 20 GROUP BY user_id),
+        |pb AS (SELECT p.user_id, p.exact_n, hc.j,
+        |((hc.a * p.user_id + hc.b) % 2147483647) % 64 AS bucket FROM probes p CROSS JOIN hc),
+        |est AS (SELECT pb.user_id, MAX(pb.exact_n) AS exact_n, MIN(c.cell) AS cms_est
+        |FROM pb JOIN cells c ON c.j = pb.j AND c.bucket = pb.bucket GROUP BY pb.user_id)
+        |SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overestimate
+        |FROM est ORDER BY user_id""".stripMargin.replace("\n", " "),
+
+    // L26: Holt's linear trend, α=1/2 β=1/4 (dyadic — exact binary float
+    // steps); the sequential recurrence runs as a recursive CTE here and
+    // as an aggregate() HOF fold in Spark, with IDENTICAL IEEE trees
+    "ts_holt_linear" ->
+      ("WITH RECURSIVE " + EV.stripPrefix("WITH ") +
+        """, d AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |round(SUM(value), 6) AS y FROM ev WHERE value IS NOT NULL GROUP BY 1, 2),
+        |i AS (SELECT event_type, y, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t FROM d),
+        |nn AS (SELECT event_type, MAX(t) AS n FROM i GROUP BY 1),
+        |rec AS (
+        |SELECT i1.event_type, CAST(2 AS BIGINT) AS t, i1.y AS l, i2.y - i1.y AS b, CAST(0.0 AS DOUBLE) AS sse
+        |FROM i i1 JOIN i i2 ON i2.event_type = i1.event_type AND i2.t = 2 WHERE i1.t = 1
+        |UNION ALL
+        |SELECT r.event_type, r.t + 1,
+        |CAST(0.5 AS DOUBLE) * i.y + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS l,
+        |CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * i.y + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+        |+ CAST(0.75 AS DOUBLE) * r.b AS b,
+        |r.sse + (i.y - (r.l + r.b)) * (i.y - (r.l + r.b)) AS sse
+        |FROM rec r JOIN i ON i.event_type = r.event_type AND i.t = r.t + 1)
+        |SELECT r.event_type, CAST(nn.n AS BIGINT) AS n_days,
+        |round(r.l, 6) + 0.0 AS level, round(r.b, 6) + 0.0 AS trend,
+        |round(r.l + r.b, 6) + 0.0 AS forecast_1,
+        |round(r.l + CAST(3.0 AS DOUBLE) * r.b, 6) + 0.0 AS forecast_3,
+        |round(r.sse, 6) + 0.0 AS sse_1step
+        |FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.t = nn.n
+        |WHERE nn.n >= 3 ORDER BY r.event_type""".stripMargin.replace("\n", " ")),
+
+    // L27: 30-min lag-islands sessions, lead 3-grams fenced to one session
+    "win_event_paths" ->
+      (EV + """, s AS (SELECT user_id, event_id, ts_us, event_type,
+        |CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |t AS (SELECT user_id, event_id, ts_us, event_type,
+        |SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM s),
+        |p AS (SELECT event_type || '>' || LEAD(event_type, 1) OVER w2 || '>' || LEAD(event_type, 2) OVER w2 AS path,
+        |sess_id, LEAD(sess_id, 1) OVER w2 AS s2, LEAD(sess_id, 2) OVER w2 AS s3
+        |FROM t WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p
+        |WHERE s2 = sess_id AND s3 = sess_id
+        |GROUP BY path ORDER BY n DESC, path LIMIT 15""".stripMargin.replace("\n", " ")),
+
+    // N15: two time-halves profiled on registry-diff checks; midpoint via
+    // integer // (Spark `div`) — float midpoints CAST differently
+    "dq_schema_drift" ->
+      (EV + """, mm AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev),
+        |pp AS (SELECT CASE WHEN ts_us < mm.mid THEN 'v1' ELSE 'v2' END AS period,
+        |event_type, user_id, value, props FROM ev, mm),
+        |prof AS (SELECT period, CAST(COUNT(*) AS DOUBLE) AS n_rows,
+        |CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS d_event_type,
+        |CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS d_user_id,
+        |round(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS null_frac_value,
+        |round(CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS empty_frac_props,
+        |round(AVG(value), 6) AS mean_value FROM pp GROUP BY period),
+        |u AS (SELECT period, 'n_rows' AS metric, n_rows AS x FROM prof
+        |UNION ALL SELECT period, 'd_event_type', d_event_type FROM prof
+        |UNION ALL SELECT period, 'd_user_id', d_user_id FROM prof
+        |UNION ALL SELECT period, 'null_frac_value', null_frac_value FROM prof
+        |UNION ALL SELECT period, 'empty_frac_props', empty_frac_props FROM prof
+        |UNION ALL SELECT period, 'mean_value', mean_value FROM prof)
+        |SELECT metric, MAX(CASE WHEN period = 'v1' THEN x END) + 0.0 AS v1,
+        |MAX(CASE WHEN period = 'v2' THEN x END) + 0.0 AS v2,
+        |round(abs(MAX(CASE WHEN period = 'v2' THEN x END) - MAX(CASE WHEN period = 'v1' THEN x END)), 6) + 0.0 AS abs_delta
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin.replace("\n", " ")),
+
+    // M115: soft dedup — weight 1/|exact-text cluster|, per-source audit
+    "pipeline_softdedup_weights" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        |cl AS (SELECT h, COUNT(*) AS csize FROM d GROUP BY h),
+        |j AS (SELECT d.source, d.h, d.tokens, cl.csize FROM d JOIN cl ON cl.h = d.h)
+        |SELECT source, COUNT(*) AS n_docs, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_clusters,
+        |round(SUM(CAST(1.0 AS DOUBLE) / csize), 6) + 0.0 AS effective_docs,
+        |CAST(SUM(tokens) AS BIGINT) AS tokens_raw,
+        |round(SUM(CAST(tokens AS DOUBLE) / csize), 6) + 0.0 AS tokens_effective,
+        |round(round(SUM(CAST(tokens AS DOUBLE) / csize), 6) / SUM(tokens), 6) + 0.0 AS retention
+        |FROM j GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+
+    // M116: token-share vs uniform target — KL terms + capped resample factors
+    "pipeline_domain_mix_kl" ->
+      """WITH st AS (SELECT source, CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS src_tokens
+        |FROM documents GROUP BY source),
+        |g AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS k FROM st),
+        |x AS (SELECT source, src_tokens, CAST(src_tokens AS DOUBLE) / total_tokens AS p,
+        |CAST(1.0 AS DOUBLE) / k AS q FROM st, g)
+        |SELECT source, src_tokens, round(p, 6) + 0.0 AS share,
+        |round(p * ln(p / q), 6) + 0.0 AS kl_term,
+        |round(least(q / p, CAST(5.0 AS DOUBLE)), 6) + 0.0 AS resample_factor
+        |FROM x ORDER BY source""".stripMargin.replace("\n", " "),
+
+    // J34: two-table routing (crn ≤ 2 memberships of the frozen
+    // quantizer), cell-keyed candidate union, exact rerank, recall@8
+    "ann_multitable_topk" ->
+      """WITH ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |fcc AS (SELECT label, CAST(i - 1 AS INT) AS dim, round(CAST(SUM(CAST(round(CAST(embedding AS DOUBLE[])[CAST(i AS INT)] * 1048576, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0), 6) AS c FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |fcent AS (SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM fcc GROUP BY label),
+        |fdots AS (SELECT ef.vec_id, c.cell, list_dot_product(ef.emb, c.cvec) AS d FROM ef CROSS JOIN fcent c),
+        |m AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS crn FROM fdots) WHERE crn <= 2),
+        |cand AS MATERIALIZED (SELECT DISTINCT q.vec_id AS a_id, b.vec_id AS b_id FROM m q
+        |JOIN m b ON b.cell = q.cell AND b.vec_id <> q.vec_id WHERE q.vec_id < 8),
+        |nc AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY a_id),
+        |ad AS (SELECT c.a_id, c.b_id, list_dot_product(ae.emb, be.emb) AS dot
+        |FROM cand c JOIN ef ae ON ae.vec_id = c.a_id JOIN ef be ON be.vec_id = c.b_id),
+        |ap AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM ad) WHERE rn <= 8),
+        |q AS (SELECT vec_id AS a_id, emb AS a_emb FROM ef WHERE vec_id < 8),
+        |exd AS (SELECT q.a_id, ef.vec_id AS b_id, list_dot_product(q.a_emb, ef.emb) AS dot
+        |FROM q JOIN ef ON ef.vec_id <> q.a_id),
+        |ex AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+        |ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM exd) WHERE rn <= 8)
+        |SELECT ex.a_id, COALESCE(MAX(nc.n_cand), 0) AS n_cand, COUNT(*) AS n_exact,
+        |CAST(COUNT(ap.b_id) AS BIGINT) AS n_hit,
+        |CAST(COUNT(ap.b_id) AS DOUBLE) / COUNT(*) AS recall
+        |FROM ex LEFT JOIN ap ON ap.a_id = ex.a_id AND ap.b_id = ex.b_id
+        |LEFT JOIN nc ON nc.a_id = ex.a_id
+        |GROUP BY ex.a_id ORDER BY ex.a_id""".stripMargin.replace("\n", " "),
+
+    // M118: LSH candidates scored on BOTH modalities — exact shingle
+    // Jaccard + embedding cosine (vec_id ≡ doc_id), independent flags
+    "dedup_multi_signal" ->
+      ("WITH " + lshPairChain +
+        """, ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sc AS (SELECT c.a_id, c.b_id,
+        |round(CAST(COALESCE(i.ni, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.ni, 0)), 4) + 0.0 AS jaccard,
+        |round(list_dot_product(ea.emb, eb.emb), 4) + 0.0 AS cosine
+        |FROM cand c LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+        |JOIN cnt na ON na.doc_id = c.a_id JOIN cnt nb ON nb.doc_id = c.b_id
+        |JOIN ee ea ON ea.vec_id = c.a_id JOIN ee eb ON eb.vec_id = c.b_id)
+        |SELECT a_id, b_id, jaccard, cosine,
+        |jaccard >= 0.5 AS text_dup, cosine >= 0.2 AS embed_dup,
+        |(jaccard >= 0.5) <> (cosine >= 0.2) AS signals_disagree
+        |FROM sc ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")),
+
+    // J35: per-dim mean/variance from exact 2^20 fixed-point first and
+    // second moments; top-16 keep flags + cumulative variance shares
+    "vec_dim_variance_prune" ->
+      """WITH d AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576, 0) AS BIGINT) AS f
+        |FROM embeddings, range(1, 65) t(i)),
+        |st AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(f) AS BIGINT) AS s,
+        |CAST(SUM(f * f) AS BIGINT) AS q FROM d GROUP BY dim),
+        |v AS (SELECT dim, n, CAST(s AS DOUBLE) / (n * 1048576.0) AS mean,
+        |CAST(q AS DOUBLE) / (n * 1048576.0 * 1048576.0)
+        |- (CAST(s AS DOUBLE) / (n * 1048576.0)) * (CAST(s AS DOUBLE) / (n * 1048576.0)) AS variance
+        |FROM st),
+        |tot AS (SELECT SUM(variance) AS tv FROM v),
+        |r AS (SELECT v.*, ROW_NUMBER() OVER (ORDER BY variance DESC, dim) AS rn,
+        |SUM(variance) OVER (ORDER BY variance DESC, dim
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_var FROM v)
+        |SELECT dim, n, round(mean, 6) + 0.0 AS mean, round(variance, 6) + 0.0 AS variance,
+        |rn, round(cum_var / tot.tv, 6) + 0.0 AS cum_var_frac, rn <= 16 AS keep
+        |FROM r, tot ORDER BY rn""".stripMargin.replace("\n", " "),
+
+    // L28: as-of view→purchase lag via running max-when, exact
+    // interpolated quantiles on integer microseconds
+    "win_conversion_lag" ->
+      (EV + """, lv AS (SELECT event_id, event_type,
+        |ts_us - MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER
+        |(PARTITION BY user_id ORDER BY ts_us, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lag_us
+        |FROM ev)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |CAST(COUNT(lag_us) AS BIGINT) AS n_converted,
+        |CAST(COUNT(*) - COUNT(lag_us) AS BIGINT) AS n_unconverted,
+        |round(quantile_cont(lag_us, 0.25), 6) + 0.0 AS p25_lag_us,
+        |round(quantile_cont(lag_us, 0.5), 6) + 0.0 AS p50_lag_us,
+        |round(quantile_cont(lag_us, 0.9), 6) + 0.0 AS p90_lag_us
+        |FROM lv WHERE event_type = 'purchase'""".stripMargin.replace("\n", " ")),
+
+    // M117: HITS, 4 unrolled integer rounds over the mutual-8NN edges
+    // (directed low→high); a ← Σ h(in), then h ← Σ a(out) with the fresh a
+    "graph_hits_full" ->
+      ("WITH " + knnFullChain +
+        s""", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF),
+        |me AS MATERIALIZED (SELECT a.a_id AS u, a.b_id AS v FROM knn a
+        |JOIN knn b ON b.a_id = a.b_id AND b.b_id = a.a_id WHERE a.a_id < a.b_id),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT u AS node FROM me UNION ALL SELECT v FROM me)),
+        |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),""".stripMargin +
+        (1 to 4).map { r =>
+          s""" a$r AS MATERIALIZED (SELECT n.node, CAST(COALESCE(SUM(h.h), 0) AS BIGINT) AS a
+          |FROM nodes n LEFT JOIN me e ON e.v = n.node LEFT JOIN h${r - 1} h ON h.node = e.u GROUP BY n.node),
+          |h$r AS MATERIALIZED (SELECT n.node, CAST(COALESCE(SUM(a.a), 0) AS BIGINT) AS h
+          |FROM nodes n LEFT JOIN me e ON e.u = n.node LEFT JOIN a$r a ON a.node = e.v GROUP BY n.node),""".stripMargin
+        }.mkString +
+        """ fin AS (SELECT n.node, h4.h AS hub, a4.a AS authority
+        |FROM nodes n JOIN a4 ON a4.node = n.node JOIN h4 ON h4.node = n.node)
+        |SELECT node, hub, authority FROM fin
+        |ORDER BY authority DESC, hub DESC, node LIMIT 20""".stripMargin)
+        .replace("\n", " "),
+
     "pq_recall_at_k" ->
       (pqChain +
         """, lut AS (SELECT vec_id AS a_id, s, c, d2 FROM enc WHERE vec_id < 8),

@@ -244,8 +244,12 @@ class PlanSpec extends SparkSpec {
       "pq_recall_at_k",           // 8 broadcast query LUTs/vectors (J3/ADC patterns)
       "vec_ivf_recall_sweep",     // 10 broadcast query vectors + 3-row nprobe grid
       "vec_probe_adaptive",       // 10 broadcast query vectors + 1-row corpus floor
-      "vec_pq_residual")          // 8 broadcast query vectors (exact-GT side) +
+      "vec_pq_residual",          // 8 broadcast query vectors (exact-GT side) +
                                   // 8×10 broadcast per-cell LUTs (J3/ADC patterns)
+      "dq_schema_drift",          // broadcast 1-row ts-range midpoint
+      "pipeline_domain_mix_kl",   // broadcast 1-row total-token/K aggregate
+      "ann_multitable_topk",      // 8 broadcast query vectors (exact-GT side, J3)
+      "vec_dim_variance_prune")   // broadcast 1-row total-variance aggregate
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

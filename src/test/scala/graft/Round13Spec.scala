@@ -187,4 +187,181 @@ class Round13Spec extends SparkSpec {
     assert(out.map(_.getLong(1)).forall(_ > 0))
     assert(dists.contains(0L), "seed level present")
   }
+
+  test("agg_countmin_sketch: estimates obey the one-sided CMS guarantee and recover exact counts where rows agree") {
+    val out = run("agg_countmin_sketch").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"user ${r.getLong(0)}: CMS underestimated")
+      assert(r.getLong(2) === r.getLong(1) + r.getLong(3))
+    }
+  }
+
+  test("ts_holt_linear: the fold matches a direct Scala recurrence on the same daily series") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = Tables.events(spark, sf).where(col("value").isNotNull)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("y"))
+      .orderBy(col("event_type"), col("day")).collect()
+    val series = daily.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(2)).toVector).toMap
+    val out = run("ts_holt_linear").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ys = series(r.getString(0))
+      assert(r.getLong(1) === ys.length.toLong)
+      var l = ys(0); var b = ys(1) - ys(0); var sse = 0.0
+      ys.drop(2).foreach { y =>
+        val f = l + b; val e = y - f; sse += e * e
+        val ln = 0.5 * y + 0.5 * (l + b)
+        b = 0.25 * (ln - l) + 0.75 * b; l = ln
+      }
+      assert(math.abs(r.getDouble(2) - r6(l)) < 1e-9, "level")
+      assert(math.abs(r.getDouble(4) - r6(l + b)) < 1e-9, "forecast_1")
+      assert(r.getDouble(6) >= 0.0, "sse")
+    }
+  }
+
+  test("win_event_paths: every counted path is reproducible from a brute-force session walk") {
+    val out = run("win_event_paths").collect()
+    assert(out.nonEmpty && out.length <= 15)
+    // brute force on the collected event stream
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = scala.collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var sid = 0L
+      val tagged = sorted.zipWithIndex.map { case (r, i) =>
+        if (i > 0 && r._2 - sorted(i - 1)._2 > 1800000000L) sid += 1
+        (sid, r._4)
+      }
+      tagged.toSeq.sliding(3).foreach {
+        case Seq((s1, e1), (s2, e2), (s3, e3)) if s1 == s2 && s2 == s3 =>
+          val p = s"$e1>$e2>$e3"
+          paths(p) = paths.getOrElse(p, 0L) + 1
+        case _ =>
+      }
+    }
+    out.foreach { r =>
+      assert(paths.get(r.getString(0)).contains(r.getLong(1)), s"path ${r.getString(0)}")
+    }
+    val expectedTop = paths.toSeq.sortBy { case (p, n) => (-n, p) }.take(out.length)
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === expectedTop)
+  }
+
+  test("dq_schema_drift: both versions profiled, deltas consistent, volumes partition the stream") {
+    val out = run("dq_schema_drift").collect()
+    assert(out.length === 6, "six metrics")
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        math.rint(math.abs(r.getDouble(2) - r.getDouble(1)) * 1e6) / 1e6) < 1e-9)
+    }
+    val nRows = out.find(_.getString(0) == "n_rows").get
+    val total = Tables.events(spark, sf).count()
+    assert((nRows.getDouble(1) + nRows.getDouble(2)).toLong === total,
+      "halves partition the stream")
+  }
+
+  test("pipeline_softdedup_weights: effective mass is bounded by raw mass and cluster counts") {
+    val out = run("pipeline_softdedup_weights").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) <= r.getLong(1).toDouble + 1e-6, "effective_docs <= n_docs")
+      assert(r.getDouble(3) >= 1.0 - 1e-6)
+      assert(r.getDouble(5) <= r.getLong(4).toDouble + 1e-6, "effective <= raw tokens")
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0 + 1e-9, "retention in (0,1]")
+    }
+    // Σ effective_docs across sources == number of distinct text clusters
+    val totalEff = out.map(_.getDouble(3)).sum
+    val nClusters = Tables.documents(spark, sf)
+      .select(md5(col("text"))).distinct().count()
+    assert(math.abs(totalEff - nClusters.toDouble) < 1e-3,
+      s"sum of weights $totalEff must equal cluster count $nClusters")
+  }
+
+  test("pipeline_domain_mix_kl: shares sum to 1, KL terms sum >= 0, factors capped") {
+    val out = run("pipeline_domain_mix_kl").collect()
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-4, "shares sum to 1")
+    assert(out.map(_.getDouble(3)).sum >= -1e-6, "KL(p||q) >= 0 (Gibbs)")
+    out.foreach(r => assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 5.0 + 1e-9))
+  }
+
+  test("ann_multitable_topk: second-table candidates reach across argmax cells and recall is sane") {
+    val out = run("ann_multitable_topk").collect()
+    assert(out.length === 8)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0L, "candidates found")
+      assert(r.getLong(2) === 8L, "8 exact truths per query")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 8L)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // two-table candidate lists must be wider than a single argmax cell's
+    // share of the corpus alone would give: with 10 cells and crn <= 2
+    // membership, each query reaches ~2 cells of members on each table —
+    // n_cand must exceed the largest single inverted list
+    val asg = ops.IndexStore.read(spark, sf, "ivf_assigned")
+    val maxList = asg.groupBy(col("cell")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(out.exists(_.getLong(1) > maxList),
+      "some query's two-table candidates exceed the largest single cell")
+    val recalls = out.map(_.getDouble(4))
+    assert(recalls.sum / recalls.length > 0.0, "nonzero mean recall on the fixture")
+  }
+
+  test("dedup_multi_signal: both signals bounded, flags reproduce their thresholds, pairs canonical") {
+    val out = run("dedup_multi_signal").collect()
+    assert(out.nonEmpty, "LSH candidates exist on the fixture")
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "a < b canonical")
+      val j = r.getDouble(2); val c = r.getDouble(3)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getBoolean(4) === (j >= 0.5))
+      assert(r.getBoolean(5) === (c >= 0.2))
+      assert(r.getBoolean(6) === (r.getBoolean(4) != r.getBoolean(5)))
+    }
+  }
+
+  test("vec_dim_variance_prune: a full ranked partition of the dims with a monotone variance curve") {
+    val out = run("vec_dim_variance_prune").collect()
+    assert(out.length === 64, "all 64 dims audited")
+    assert(out.map(r => r.getInt(4)).toSeq === (1 to 64), "rank is a permutation")
+    assert(out.count(_.getBoolean(6)) === 16, "exactly 16 kept")
+    val vars = out.map(_.getDouble(3))
+    vars.foreach(v => assert(v >= -1e-9, "variance nonnegative"))
+    assert(vars.toSeq === vars.sortBy(-_).toSeq, "ranked by variance desc")
+    val cum = out.map(_.getDouble(5))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a - 1e-9 }, "cum frac monotone")
+    assert(math.abs(cum.last - 1.0) < 1e-6, "cumulative fraction ends at 1")
+  }
+
+  test("win_conversion_lag: counts partition the purchases and quantiles are ordered") {
+    val out = run("win_conversion_lag").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === r.getLong(1) + r.getLong(2), "converted + unconverted = purchases")
+    if (r.getLong(1) > 0) {
+      assert(r.getDouble(3) >= 0.0, "lags nonnegative")
+      assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5),
+        "p25 <= p50 <= p90")
+    }
+  }
+
+  test("graph_hits_full: integer HITS scores are exact path counts bounded by degree^rounds") {
+    val out = run("graph_hits_full").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val maxAuth = math.pow(8, 7).toLong
+    val maxHub = math.pow(8, 8).toLong
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= maxHub, "hub bounded")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= maxAuth, "authority bounded")
+    }
+    // ranked by authority desc
+    val auths = out.map(_.getLong(2)).toSeq
+    assert(auths === auths.sorted.reverse)
+  }
 }

@@ -1,6 +1,6 @@
 #!/bin/bash
 # Round-13 closing evidence battery: tri-SF + 8-shard full preflights,
-# the sf1 FULL-surface oracle gate (323 keys — no longer a subset), then
+# the sf1 FULL-surface oracle gate (338 keys — no longer a subset), then
 # the four-layout bench. Sequential on purpose — benches and gates must
 # not contend (the round-10 ambient-drift lesson).
 set -x
@@ -22,11 +22,11 @@ SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify target/fixtures/sf0.1x8 /tm
 python3 tools/preflight.py target/fixtures/sf0.1x8 /tmp/vr13_x8 > bench/PREFLIGHT_r13_sf0.1x8.txt 2>&1
 tail -1 bench/PREFLIGHT_r13_sf0.1x8.txt
 
-# sf1 gate: the FULL oracle surface (VERDICT r12 #4 — 139 -> 323 keys,
+# sf1 gate: the FULL oracle surface (VERDICT r12 #4 — 139 -> 338 keys,
 # i.e. every oracle-bearing key; list recorded in tools/sf1_subset_keys.txt)
 SUBSET=$(cat tools/sf1_subset_keys.txt)
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify target/fixtures/sf1 /tmp/vr13_sf1 $SUBSET" 2>&1 | grep "\[verify\]"
-{ echo "# round-13 sf1 oracle gate = the FULL oracle surface (323 keys, recorded):"
+{ echo "# round-13 sf1 oracle gate = the FULL oracle surface (338 keys, recorded):"
   echo "# $SUBSET"
   python3 tools/preflight.py target/fixtures/sf1 /tmp/vr13_sf1 "$SUBSET" 2>&1
 } > bench/PREFLIGHT_r13_sf1_subset.txt
