@@ -462,5 +462,7 @@ object Queries {
     "dedup_multi_signal"        -> (Dedup.multiSignal _),
     "vec_dim_variance_prune"    -> (VectorText.vecDimVariancePrune _),
     "win_conversion_lag"        -> (Windows.winConversionLag _),
+    "text_bpe_merge_round"      -> (TextAnalysis.bpeMergeRound _),
+    "graph_random_walks"        -> (Similarity.graphRandomWalks _),
   )
 }

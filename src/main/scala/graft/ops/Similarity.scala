@@ -2347,4 +2347,45 @@ object Similarity {
       .orderBy(desc("authority"), desc("hub"), asc("node"))
       .limit(20)
   }
+
+  /** M120 graph_random_walks — the DeepWalk/node2vec SAMPLING primitive
+    * over the full-corpus mutual-8NN graph: one 3-step walk per seed
+    * (nodes ≡ 0 mod 100), each step choosing the neighbor that minimizes
+    * md5(walk_id|step|neighbor) — a SEEDED choice, so the "random" walk
+    * is replayable from (seed, step) alone with no stored RNG state
+    * (the M70 epoch-shuffle determinism idiom applied to graph
+    * traversal; both engines compute the identical digests). Walks never
+    * die: every graph node has ≥ 1 mutual edge by construction. Output:
+    * top-20 endpoints by visit count with a seed-set membership flag —
+    * the corpus-expansion audit (do short walks escape the seed set?).
+    *
+    * Scale: each step is one keyed join (degree ≤ 8 fanout) + one
+    * per-walk top-1 cut — |seeds|-sized state, statically bounded loop,
+    * the exact shape a billion-walk embedding sampler runs per epoch.
+    */
+  def graphRandomWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    val me = mutualKnnFullEdges(spark, sfDir).lineageCut(true)
+    val ed = me.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(me.select(col("v").as("src"), col("u").as("dst")))
+      .lineageCut(true)
+    val nodes = ed.select(col("src").as("node")).distinct()
+    var walk = nodes.where(col("node") % 100 === 0)
+      .select(col("node").as("walk_id"), col("node").as("cur"))
+    for (step <- 1 to 3) {
+      val wTop = Window.partitionBy(col("walk_id")).orderBy(col("h"), col("dst"))
+      walk = walk.join(ed, col("cur") === col("src"))
+        .withColumn("h", md5(concat(col("walk_id").cast("string"),
+          lit(s"|$step|"), col("dst").cast("string"))))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") === 1)
+        .select(col("walk_id"), col("dst").as("cur"))
+        .lineageCut(true)
+    }
+    walk.groupBy(col("cur").as("endpoint"))
+      .agg(count(lit(1)).as("n_walks"))
+      .select(col("endpoint"), col("n_walks"),
+        (col("endpoint") % 100 === 0).as("is_seed"))
+      .orderBy(desc("n_walks"), asc("endpoint"))
+      .limit(20)
+  }
 }

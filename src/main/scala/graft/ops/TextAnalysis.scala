@@ -1221,6 +1221,81 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** M119 text_bpe_merge_round — one full BPE TRAINING STEP at corpus
+    * scale: find the most frequent adjacent character pair (the M96
+    * census), APPLY that merge to every word with exact leftmost-first
+    * greedy semantics, and emit the post-merge pair census — the inner
+    * loop of byte-pair-encoding tokenizer training, distributed.
+    *
+    * The hard part is overlap: in "aaaa" the merge (a,a) must produce
+    * (aa)(aa), not three overlapping candidates. Leftmost-first is a
+    * SEQUENTIAL rule, but it factors into set-based arithmetic: merge
+    * candidates at adjacent positions only occur when the pair is a
+    * doubled character, so candidate runs are gaps-and-islands over
+    * flagged positions, and the winners are exactly the EVEN OFFSETS
+    * from each island's start (position parity — the published trick
+    * for parallel greedy pairing). Three windows, all over the same
+    * (doc, word) keyed shuffle; no recursion, no per-row loops.
+    *
+    * Output: the top-10 post-merge pairs as (left, right) token tuples
+    * with counts, plus the applied merge and its corpus application
+    * count as constant audit columns. 100 TB: linear in corpus chars —
+    * one position explode, keyed windows, two keyed aggregates.
+    */
+  def bpeMergeRound(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+      .where(length(col("w")) >= 2)
+      .select(col("doc_id"), col("wpos"), col("w"), length(col("w")).as("len"))
+    val top = words
+      .select(explode(expr(
+        "transform(sequence(1, len - 1), i -> substring(w, CAST(i AS INT), 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair")).limit(1)
+      .select(col("pair").as("mpair"), col("n").as("mpair_n"))
+    val wWin = Window.partitionBy(col("doc_id"), col("wpos")).orderBy(col("p"))
+    val pos = words
+      .select(col("doc_id"), col("wpos"), col("w"), col("len"),
+        explode(expr("sequence(1, len)")).as("p"))
+      .crossJoin(broadcast(top))
+      .withColumn("flag",
+        col("p") < col("len") &&
+          expr("substring(w, CAST(p AS INT), 2)") === col("mpair"))
+    // leftmost-first winners: islands of consecutive flagged positions
+    // (only doubled-char pairs produce runs), even offsets win
+    val fl = pos.where(col("flag"))
+      .withColumn("rnf", row_number().over(wWin))
+      .withColumn("grp", col("p") - col("rnf"))
+    val isl = fl.groupBy(col("doc_id"), col("wpos"), col("grp"))
+      .agg(min(col("p")).as("isl_start"))
+    val taken = fl.join(isl, Seq("doc_id", "wpos", "grp"))
+      .where((col("p") - col("isl_start")) % 2 === 0)
+      .select(col("doc_id"), col("wpos"), col("p"), lit(true).as("taken"))
+    val merged = pos
+      .join(taken, Seq("doc_id", "wpos", "p"), "left")
+      .withColumn("taken", coalesce(col("taken"), lit(false)))
+      .withColumn("taken_prev",
+        coalesce(lag(col("taken"), 1).over(wWin), lit(false)))
+      .where(!col("taken_prev")) // token starts: not consumed by a merge
+      .withColumn("token",
+        when(col("taken"), expr("substring(w, CAST(p AS INT), 2)"))
+          .otherwise(expr("substring(w, CAST(p AS INT), 1)")))
+    val nApplied = taken.agg(count(lit(1)).as("n_applied"))
+    merged
+      .withColumn("next_token", lead(col("token"), 1).over(wWin))
+      .where(col("next_token").isNotNull)
+      .groupBy(col("token").as("left_tok"), col("next_token").as("right_tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("left_tok"), asc("right_tok")).limit(10)
+      .crossJoin(broadcast(top))
+      .crossJoin(broadcast(nApplied))
+      .select(col("left_tok"), col("right_tok"), col("n"),
+        col("mpair").as("applied_pair"), col("n_applied"))
+      .orderBy(desc("n"), asc("left_tok"), asc("right_tok"))
+  }
+
   /** M116 pipeline_domain_mix_kl — domain-mix audit against a uniform
     * target: each source's token share p vs the uniform target q = 1/K,
     * the per-domain KL contribution p·ln(p/q) (Σ = KL(p‖q), the standard

@@ -3404,6 +3404,55 @@ object OracleSql {
         |round(quantile_cont(lag_us, 0.9), 6) + 0.0 AS p90_lag_us
         |FROM lv WHERE event_type = 'purchase'""".stripMargin.replace("\n", " ")),
 
+    // M119: one BPE training step — top pair census, exact leftmost-first
+    // merge application via parity gaps-and-islands, post-merge census
+    "text_bpe_merge_round" ->
+      """WITH wd AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |w AS (SELECT doc_id, wpos, w, length(w) AS len FROM wd WHERE length(w) >= 2),
+        |pr AS (SELECT substring(w, CAST(i AS INT), 2) AS pair FROM w, unnest(range(1, len)) t(i)),
+        |top AS (SELECT pair AS mpair, CAST(COUNT(*) AS BIGINT) AS mpair_n FROM pr
+        |GROUP BY pair ORDER BY mpair_n DESC, pair LIMIT 1),
+        |pos AS (SELECT doc_id, wpos, w, len, unnest(range(1, len + 1)) AS p FROM w),
+        |fp AS MATERIALIZED (SELECT pos.*, (p < len AND substring(w, CAST(p AS INT), 2) = top.mpair) AS flag FROM pos, top),
+        |fl AS (SELECT doc_id, wpos, p,
+        |p - ROW_NUMBER() OVER (PARTITION BY doc_id, wpos ORDER BY p) AS grp FROM fp WHERE flag),
+        |isl AS (SELECT doc_id, wpos, grp, MIN(p) AS isl_start FROM fl GROUP BY 1, 2, 3),
+        |tk AS MATERIALIZED (SELECT fl.doc_id, fl.wpos, fl.p FROM fl JOIN isl USING (doc_id, wpos, grp)
+        |WHERE (fl.p - isl.isl_start) % 2 = 0),
+        |mg AS (SELECT fp.doc_id, fp.wpos, fp.p, fp.w, (tk.p IS NOT NULL) AS taken,
+        |COALESCE(LAG(tk.p IS NOT NULL) OVER (PARTITION BY fp.doc_id, fp.wpos ORDER BY fp.p), FALSE) AS taken_prev
+        |FROM fp LEFT JOIN tk ON tk.doc_id = fp.doc_id AND tk.wpos = fp.wpos AND tk.p = fp.p),
+        |st AS (SELECT doc_id, wpos, p,
+        |CASE WHEN taken THEN substring(w, CAST(p AS INT), 2) ELSE substring(w, CAST(p AS INT), 1) END AS token
+        |FROM mg WHERE NOT taken_prev),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_applied FROM tk),
+        |pairs AS (SELECT token AS left_tok, LEAD(token) OVER (PARTITION BY doc_id, wpos ORDER BY p) AS right_tok FROM st),
+        |topp AS (SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+        |WHERE right_tok IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, left_tok, right_tok LIMIT 10)
+        |SELECT left_tok, right_tok, n, top.mpair AS applied_pair, np.n_applied
+        |FROM topp, top, np ORDER BY n DESC, left_tok, right_tok""".stripMargin.replace("\n", " "),
+
+    // M120: seeded 3-step walks — next = argmin md5(walk|step|neighbor)
+    "graph_random_walks" ->
+      ("WITH " + knnFullChain +
+        s""", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF),
+        |me AS MATERIALIZED (SELECT a.a_id AS u, a.b_id AS v FROM knn a
+        |JOIN knn b ON b.a_id = a.b_id AND b.b_id = a.a_id WHERE a.a_id < a.b_id),
+        |ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM me UNION ALL SELECT v, u FROM me),
+        |nodes AS (SELECT DISTINCT src AS node FROM ed),
+        |w0 AS (SELECT node AS walk_id, node AS cur FROM nodes WHERE node % 100 = 0),""".stripMargin +
+        (1 to 3).map { s =>
+          s""" w$s AS (SELECT walk_id, dst AS cur FROM (SELECT w.walk_id, e.dst,
+          |ROW_NUMBER() OVER (PARTITION BY w.walk_id ORDER BY
+          |md5(CAST(w.walk_id AS VARCHAR) || '|$s|' || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+          |FROM w${s - 1} w JOIN ed e ON e.src = w.cur) WHERE rn = 1),""".stripMargin
+        }.mkString +
+        """ fin AS (SELECT cur AS endpoint, CAST(COUNT(*) AS BIGINT) AS n_walks FROM w3 GROUP BY cur)
+        |SELECT endpoint, n_walks, endpoint % 100 = 0 AS is_seed FROM fin
+        |ORDER BY n_walks DESC, endpoint LIMIT 20""".stripMargin)
+        .replace("\n", " "),
+
     // M117: HITS, 4 unrolled integer rounds over the mutual-8NN edges
     // (directed low→high); a ← Σ h(in), then h ← Σ a(out) with the fresh a
     "graph_hits_full" ->

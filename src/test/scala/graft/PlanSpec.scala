@@ -249,7 +249,8 @@ class PlanSpec extends SparkSpec {
       "dq_schema_drift",          // broadcast 1-row ts-range midpoint
       "pipeline_domain_mix_kl",   // broadcast 1-row total-token/K aggregate
       "ann_multitable_topk",      // 8 broadcast query vectors (exact-GT side, J3)
-      "vec_dim_variance_prune")   // broadcast 1-row total-variance aggregate
+      "vec_dim_variance_prune",   // broadcast 1-row total-variance aggregate
+      "text_bpe_merge_round")     // broadcast 1-row top-pair + applied-count aggs
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

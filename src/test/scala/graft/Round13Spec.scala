@@ -351,6 +351,73 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("text_bpe_merge_round: the parity-island merge matches a sequential greedy reference") {
+    val out = run("text_bpe_merge_round").collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val pair = out.head.getString(3)
+    assert(pair.length === 2)
+    val nApplied = out.head.getLong(4)
+    // sequential greedy leftmost-first reference over the collected words
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2).collect().map(_.getString(0))
+    var applied = 0L
+    val postPairs = scala.collection.mutable.Map.empty[(String, String), Long]
+    words.foreach { w =>
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w.substring(i, i + 2) == pair) {
+          toks += pair; applied += 1; i += 2
+        } else { toks += w.substring(i, i + 1); i += 1 }
+      }
+      toks.sliding(2).foreach {
+        case scala.collection.mutable.ArrayBuffer(a, b) =>
+          postPairs((a, b)) = postPairs.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    assert(nApplied === applied, "merge application count matches sequential greedy")
+    out.foreach { r =>
+      assert(postPairs.get((r.getString(0), r.getString(1))).contains(r.getLong(2)),
+        s"post-merge pair (${r.getString(0)}, ${r.getString(1)})")
+    }
+    val expectedTop = postPairs.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(out.length)
+      .map { case ((a, b), n) => (a, b, n) }
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq === expectedTop)
+  }
+
+  test("graph_random_walks: walks are replayable from the seed and stay on graph edges") {
+    val out = run("graph_random_walks").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.getBoolean(2) === (r.getLong(0) % 100 == 0))
+    }
+    // replay one walk by hand over the same mutual edge set
+    val me = ops.Similarity.mutualKnnFullEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (me.map(e => e._1 -> e._2) ++ me.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keySet.filter(_ % 100 == 0)
+    assert(seeds.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val endpoints = seeds.toSeq.map { seed =>
+      var cur = seed
+      for (step <- 1 to 3)
+        cur = adj(cur).toSeq.map(d => (md5hex(s"$seed|$step|$d"), d)).min._2
+      cur
+    }
+    val expected = endpoints.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      assert(expected.get(r.getLong(0)).contains(r.getLong(1)),
+        s"endpoint ${r.getLong(0)} replays")
+    }
+  }
+
   test("graph_hits_full: integer HITS scores are exact path counts bounded by degree^rounds") {
     val out = run("graph_hits_full").collect()
     assert(out.nonEmpty && out.length <= 20)
