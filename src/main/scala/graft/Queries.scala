@@ -464,5 +464,6 @@ object Queries {
     "win_conversion_lag"        -> (Windows.winConversionLag _),
     "text_bpe_merge_round"      -> (TextAnalysis.bpeMergeRound _),
     "graph_random_walks"        -> (Similarity.graphRandomWalks _),
+    "pipeline_dedup_funnel"     -> (TextAnalysis.dedupFunnel _),
   )
 }

@@ -1221,6 +1221,87 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** M121 pipeline_dedup_funnel — the dedup IMPACT report: the corpus run
+    * through three escalating doc-level dedup signals in pipeline order —
+    * exact text hash (keep-first), majority-duplicated sentences (> 50%
+    * of a doc's segments already owned by earlier text, the M68 protocol
+    * at doc granularity, integer 2·kept < total comparison), shared
+    * 50-char verbatim windows (the M113 protocol) — attributing each
+    * removed doc to the FIRST stage that catches it. Per stage:
+    * docs flagged by the signal at all, docs newly removed, token mass
+    * removed, cumulative docs/tokens surviving, running retention. This
+    * is the artifact a curation review actually reads: not whether dedup
+    * fires, but how much each escalation buys on top of the previous.
+    *
+    * Scale: the three signals are the existing linear corpus passes
+    * (text-hash agg, segment-fingerprint window, window-hash agg); the
+    * funnel itself is one whole-relation aggregate + constant-width
+    * unpivot. All counts exact integers; retention is one rounded
+    * division per stage.
+    */
+  def dedupFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    val ex = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val exOwn = ex.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+    val f1 = ex.join(exOwn, Seq("h"))
+      .select(col("doc_id"), (col("owner") < col("doc_id")).as("flag1"))
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("pos", "seg")))
+      .where(length(col("seg")) > 0)
+      .withColumn("fp", md5(col("seg")))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))
+    val f2 = segs.withColumn("rk", row_number().over(wFp))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), (col("n_kept") * 2 < col("n_segs")).as("flag2"))
+    val win = Tables.documents(spark, sfDir)
+      .where(length(col("text")) >= 50)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 49, 25)")).as("o"), col("text"))
+      .select(col("doc_id"), md5(expr("substring(text, CAST(o AS INT), 50)")).as("wh"))
+    val winOwn = win.groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
+    val f3 = win.join(winOwn, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("ns"))
+      .select(col("doc_id"), (col("ns") > 0).as("flag3"))
+    val flagged = d
+      .join(f1, Seq("doc_id"))
+      .join(f2, Seq("doc_id"), "left")
+      .join(f3, Seq("doc_id"), "left")
+      .withColumn("flag2", coalesce(col("flag2"), lit(false)))
+      .withColumn("flag3", coalesce(col("flag3"), lit(false)))
+      .withColumn("removed_at",
+        when(col("flag1"), 1).when(col("flag2"), 2).when(col("flag3"), 3)
+          .otherwise(0))
+    val agg = flagged.agg(
+      count(lit(1)).as("total_docs"), sum(col("tokens")).as("total_tokens"),
+      sum(when(col("flag1"), 1L).otherwise(0L)).as("fl1"),
+      sum(when(col("flag2"), 1L).otherwise(0L)).as("fl2"),
+      sum(when(col("flag3"), 1L).otherwise(0L)).as("fl3"),
+      sum(when(col("removed_at") === 1, 1L).otherwise(0L)).as("rm1"),
+      sum(when(col("removed_at") === 2, 1L).otherwise(0L)).as("rm2"),
+      sum(when(col("removed_at") === 3, 1L).otherwise(0L)).as("rm3"),
+      sum(when(col("removed_at") === 1, col("tokens")).otherwise(0L)).as("tk1"),
+      sum(when(col("removed_at") === 2, col("tokens")).otherwise(0L)).as("tk2"),
+      sum(when(col("removed_at") === 3, col("tokens")).otherwise(0L)).as("tk3"))
+    agg.select(expr(
+      """stack(3,
+        |  'exact',     fl1, rm1, tk1, total_docs - rm1,             total_tokens - tk1,
+        |  'paragraph', fl2, rm2, tk2, total_docs - rm1 - rm2,       total_tokens - tk1 - tk2,
+        |  'substring', fl3, rm3, tk3, total_docs - rm1 - rm2 - rm3, total_tokens - tk1 - tk2 - tk3)
+        |AS (stage, n_flagged, n_removed, tokens_removed, docs_kept, tokens_kept)"""
+        .stripMargin), col("total_tokens"))
+      .select(col("stage"), col("n_flagged"), col("n_removed"),
+        col("tokens_removed"), col("docs_kept"), col("tokens_kept"),
+        (round(col("tokens_kept").cast("double") / col("total_tokens"), 6)
+          + lit(0.0)).as("retention"))
+      .orderBy(col("stage"))
+  }
+
   /** M119 text_bpe_merge_round — one full BPE TRAINING STEP at corpus
     * scale: find the most frequent adjacent character pair (the M96
     * census), APPLY that merge to every word with exact leftmost-first

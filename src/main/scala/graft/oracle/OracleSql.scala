@@ -3404,6 +3404,45 @@ object OracleSql {
         |round(quantile_cont(lag_us, 0.9), 6) + 0.0 AS p90_lag_us
         |FROM lv WHERE event_type = 'purchase'""".stripMargin.replace("\n", " ")),
 
+    // M121: three escalating doc-level dedup signals in pipeline order,
+    // each removed doc attributed to the FIRST stage that catches it
+    "pipeline_dedup_funnel" ->
+      """WITH d AS (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        |e AS (SELECT doc_id, md5(text) AS h FROM d),
+        |eo AS (SELECT h, MIN(doc_id) AS owner FROM e GROUP BY h),
+        |f1 AS (SELECT e.doc_id, (eo.owner < e.doc_id) AS flag1 FROM e JOIN eo USING (h)),
+        |segs0 AS (SELECT doc_id, generate_subscripts(p, 1) - 1 AS pos, unnest(p) AS seg
+        |FROM (SELECT doc_id, string_split(text, '. ') AS p FROM documents) t),
+        |segs AS (SELECT doc_id, pos, seg, md5(seg) AS fp FROM segs0 WHERE len(seg) > 0),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk FROM segs),
+        |f2 AS (SELECT doc_id, (2 * SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) < COUNT(*)) AS flag2 FROM rk GROUP BY doc_id),
+        |wn0 AS (SELECT doc_id, text, unnest(range(1, length(text) - 48, 25)) AS o FROM documents WHERE length(text) >= 50),
+        |wn AS (SELECT doc_id, md5(substring(text, CAST(o AS INT), 50)) AS wh FROM wn0),
+        |wo AS (SELECT wh, MIN(doc_id) AS owner FROM wn GROUP BY wh),
+        |f3 AS (SELECT wn.doc_id, (SUM(CASE WHEN wo.owner < wn.doc_id THEN 1 ELSE 0 END) > 0) AS flag3
+        |FROM wn JOIN wo USING (wh) GROUP BY wn.doc_id),
+        |fx AS (SELECT d.doc_id, d.tokens, f1.flag1, COALESCE(f2.flag2, FALSE) AS flag2,
+        |COALESCE(f3.flag3, FALSE) AS flag3
+        |FROM d JOIN f1 USING (doc_id) LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)),
+        |fr AS (SELECT *, CASE WHEN flag1 THEN 1 WHEN flag2 THEN 2 WHEN flag3 THEN 3 ELSE 0 END AS removed_at FROM fx),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+        |CAST(SUM(CASE WHEN flag1 THEN 1 ELSE 0 END) AS BIGINT) AS fl1,
+        |CAST(SUM(CASE WHEN flag2 THEN 1 ELSE 0 END) AS BIGINT) AS fl2,
+        |CAST(SUM(CASE WHEN flag3 THEN 1 ELSE 0 END) AS BIGINT) AS fl3,
+        |CAST(SUM(CASE WHEN removed_at = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rm1,
+        |CAST(SUM(CASE WHEN removed_at = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rm2,
+        |CAST(SUM(CASE WHEN removed_at = 3 THEN 1 ELSE 0 END) AS BIGINT) AS rm3,
+        |CAST(SUM(CASE WHEN removed_at = 1 THEN tokens ELSE 0 END) AS BIGINT) AS tk1,
+        |CAST(SUM(CASE WHEN removed_at = 2 THEN tokens ELSE 0 END) AS BIGINT) AS tk2,
+        |CAST(SUM(CASE WHEN removed_at = 3 THEN tokens ELSE 0 END) AS BIGINT) AS tk3 FROM fr),
+        |u AS (SELECT 'exact' AS stage, fl1 AS n_flagged, rm1 AS n_removed, tk1 AS tokens_removed,
+        |total_docs - rm1 AS docs_kept, total_tokens - tk1 AS tokens_kept, total_tokens FROM a
+        |UNION ALL SELECT 'paragraph', fl2, rm2, tk2, total_docs - rm1 - rm2, total_tokens - tk1 - tk2, total_tokens FROM a
+        |UNION ALL SELECT 'substring', fl3, rm3, tk3, total_docs - rm1 - rm2 - rm3, total_tokens - tk1 - tk2 - tk3, total_tokens FROM a)
+        |SELECT stage, n_flagged, n_removed, tokens_removed, docs_kept, tokens_kept,
+        |round(CAST(tokens_kept AS DOUBLE) / total_tokens, 6) + 0.0 AS retention
+        |FROM u ORDER BY stage""".stripMargin.replace("\n", " "),
+
     // M119: one BPE training step — top pair census, exact leftmost-first
     // merge application via parity gaps-and-islands, post-merge census
     "text_bpe_merge_round" ->

@@ -351,6 +351,22 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("pipeline_dedup_funnel: stages partition the removals and the funnel is monotone") {
+    val out = run("pipeline_dedup_funnel").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("exact", "paragraph", "substring"))
+    val total = Tables.documents(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "newly removed <= flagged")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= total)
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0 + 1e-9)
+    }
+    val kept = out.map(_.getLong(4))
+    assert(kept.zip(kept.tail).forall { case (a, b) => b <= a }, "docs_kept monotone")
+    val rets = out.map(_.getDouble(6))
+    assert(rets.zip(rets.tail).forall { case (a, b) => b <= a + 1e-9 }, "retention monotone")
+    assert(kept.head === total - out.head.getLong(2), "exact stage arithmetic")
+  }
+
   test("text_bpe_merge_round: the parity-island merge matches a sequential greedy reference") {
     val out = run("text_bpe_merge_round").collect()
     assert(out.nonEmpty && out.length <= 10)
