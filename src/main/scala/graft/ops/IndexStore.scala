@@ -339,12 +339,7 @@ object IndexStore {
     // Persisted as the top-K shortlist per vector (see [[KnnFullTopK]]):
     // the raw candidate relation is build-time-only working set.
     val storedAssigned = spark.read.parquet(s"$dir/ivf_assigned")
-    val wFullTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
-    write(Similarity.knnCandidatesFull(e, storedAssigned, cent)
-        .withColumn("rn", row_number().over(wFullTop))
-        .where(col("rn") <= KnnFullTopK)
-        .drop("rn"),
+    write(Similarity.knnShortlistFull(e, storedAssigned, cent, KnnFullTopK),
       s"$dir/knn_candidates_full")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(marker(dir),
@@ -637,13 +632,13 @@ object IndexStore {
         // from-scratch comparison pins it).
         val baseMemB = routing.select(col("vec_id"), col("cell"), col("bucket"))
         val probes2B = spark.read.parquet(s"$tmp/knn_probes_alt")
-        val wTop = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
-        write(Similarity.dotPairs(base,
-            Similarity.knnPairIds(baseMemB.unionByName(probes2B), baseMemB))
-            .withColumn("rn", row_number().over(wTop))
-            .where(col("rn") <= KnnFullTopK)
-            .drop("rn"),
+        // the frozen routing's own sub-bucket count, read back from the
+        // artifact (one O(1) max action) — sizes the probe-window clip
+        val mBase = routing.agg(max(col("bucket"))).head.getLong(0) + 1L
+        write(Similarity.knnShortlistCut(
+            Similarity.knnKeyedDots(base,
+              baseMemB.unionByName(probes2B), baseMemB, mBase),
+            KnnFullTopK),
           s"$tmp/knn_candidates_full")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
         java.nio.file.Files.write(marker(tmp),

@@ -513,27 +513,122 @@ object Similarity {
     */
   private[graft] def knnCandidatesFull(e: DataFrame, assigned: DataFrame,
       cent: DataFrame): DataFrame = {
-    val routed = knnRouting(assigned)
-      .lineageCut(true) // probe side, membership side, boundaries all read it
-    val bounds = knnBounds(routed)
-    val mapped = mapByBounds(probeCells(e, cent), bounds)
+    val (probes, routed, m) = knnFullSides(e, assigned, cent)
+    knnKeyedDots(e, probes, routed, m)
+      .select(col("a_id"), col("b_id"), col("dot"))
+  }
+
+  /** The probe side, membership side, and sub-bucket count of the
+    * full-corpus candidate join — the routing is computed ONCE and
+    * lineage-cut because the probe relation, the membership relation, and
+    * the boundary relation all read it. Factored out (round 14) so the
+    * shortlist builder and the raw-relation form share one definition.
+    */
+  private[graft] def knnFullSides(e: DataFrame, assigned: DataFrame,
+      cent: DataFrame): (DataFrame, DataFrame, Long) = {
+    val m = subBuckets(assigned)
+    val routed = knnRouting(assigned, m).lineageCut(true)
+    val mapped = mapByBounds(probeCells(e, cent), knnBounds(routed))
     val probes = routed.select(col("vec_id"), col("cell"), col("bucket"))
       .unionByName(mapped.select(col("vec_id"), col("cell"), col("bucket")))
-    val b = routed
+    (probes, routed, m)
+  }
+
+  /** The KEYED candidate relation (cell, bucket, a_id, b_id, dot): probe
+    * centers widened ±W, clipped to the routing's [0, m) bucket domain,
+    * both embeddings attached, equi-joined on the composite (cell, bucket)
+    * key, scored with the codegen'd exact dot. Factored out of
+    * [[knnCandidatesFull]] (round 14) with two scale fixes:
+    *
+    *   - the CLIP: an exploded probe row whose bucket falls outside
+    *     [0, m) can never join (the routing's buckets are exactly 0..m−1),
+    *     but before the clip those dead rows — ~44% of the a side at the
+    *     sf0.1 fixture, where ±4 spans 9 slots over m = 5 buckets — were
+    *     shuffled through the embedding attach and the candidate join
+    *     carrying a 64-float array each. The clip is corpus-RELATIVE (m
+    *     is the routing's own sub-bucket count), so the explode width is
+    *     effectively min(2W+1, window ∩ cell) at every scale.
+    *   - keeping (cell, bucket) on the output lets [[knnShortlistCut]]'s
+    *     per-bucket pre-cut reuse the join's hash partitioning — see there.
+    */
+  private[graft] def knnKeyedDots(e: DataFrame, probes: DataFrame,
+      membership: DataFrame, m: Long): DataFrame = {
+    // The candidate join EXPLODES: ~√n membership rows per (cell, bucket)
+    // key × the probe windows landing on it. AQE sizes the join's shuffle
+    // from the PRE-explosion input bytes (a few MB of skinny keyed rows)
+    // and coalesces it to 1-2 partitions — then each task fans out into
+    // tens of millions of scored rows (measured round 14 at sf1: a 2-task
+    // 56s-CPU stage with 2.3 GB of sort spill, 80% of the build's wall
+    // clock). An EXPLICIT fixed-count repartition on the join key pins the
+    // parallelism — AQE never coalesces a user-specified partition count —
+    // which is also the correct cluster-scale shape: output size, not
+    // input size, must set the task count of an exploding join.
+    val parts = e.sparkSession.sessionState.conf.numShufflePartitions
+    val b = membership
       .select(col("vec_id").as("b_id"), col("cell"), col("bucket"))
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
         Seq("b_id"))
+      .repartition(parts, col("cell"), col("bucket"))
     val a = probes
       .select(col("vec_id").as("a_id"), col("cell"), col("bucket"),
         explode(windowDeltas).as("dlt"))
       .select(col("a_id"), col("cell"), (col("bucket") + col("dlt")).as("bucket"))
+      .where(col("bucket").between(0, m - 1))
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
         Seq("a_id"))
+      .repartition(parts, col("cell"), col("bucket"))
     a.join(b, Seq("cell", "bucket"))
       .where(col("a_id") =!= col("b_id"))
       // codegen'd kernel; IEEE-identical to the HOF form (see DotProduct)
       .withColumn("dot", expr("graft_dot(a_emb, b_emb)"))
+      .select(col("cell"), col("bucket"), col("a_id"), col("b_id"), col("dot"))
+  }
+
+  /** Top-k shortlist cut of a KEYED candidate relation, in two stages:
+    *
+    *   1. top-k per (cell, bucket, a_id) — a window whose required
+    *      distribution is already satisfied by the candidate join's
+    *      output partitioning (hash on (cell, bucket) after a shuffled
+    *      join, hash on a_id after a broadcast join; both are subsets of
+    *      the window keys), so Spark inserts only a LOCAL sort, no
+    *      exchange;
+    *   2. the global top-k per a_id over the survivors.
+    *
+    * Row-identical to the single global window by the standard top-k
+    * decomposition: a row in the global top-k has < k rows ahead of it
+    * under the (dot desc, b_id asc) total order, hence < k ahead of it
+    * within its own (cell, bucket) group, hence survives stage 1; and
+    * the order is STRICT within an a_id (each directed pair is produced
+    * at most once, so b_id breaks every dot tie deterministically).
+    *
+    * The point is the shuffle volume at 100 TB: stage 2's exchange moves
+    * ≤ P·(2W+1)·k rows per vector (27·8 = 216 at the shipping params)
+    * instead of the raw Θ(√n) candidates per vector — at the sf1 fixture
+    * that is 4.3M rows instead of 60.2M (measured round 14), and the gap
+    * widens as √n outgrows the constant.
+    */
+  private[graft] def knnShortlistCut(keyed: DataFrame, k: Int): DataFrame = {
+    val wPre = Window.partitionBy(col("cell"), col("bucket"), col("a_id"))
+      .orderBy(desc("dot"), asc("b_id"))
+    val wTop = Window.partitionBy(col("a_id")).orderBy(desc("dot"), asc("b_id"))
+    keyed
+      .withColumn("prn", row_number().over(wPre))
+      .where(col("prn") <= k)
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("dot"))
+  }
+
+  /** The persisted form of the full-corpus candidate relation: the
+    * top-[[IndexStore.KnnFullTopK]]-per-vector shortlist, built with the
+    * pre-cut pipeline above — row-identical to cutting the raw
+    * [[knnCandidatesFull]] with one global window (Round14Spec pins the
+    * equivalence), at a fraction of the shuffle volume.
+    */
+  private[graft] def knnShortlistFull(e: DataFrame, assigned: DataFrame,
+      cent: DataFrame, k: Int): DataFrame = {
+    val (probes, routed, m) = knnFullSides(e, assigned, cent)
+    knnShortlistCut(knnKeyedDots(e, probes, routed, m), k)
   }
 
   /** The full-corpus routing table (vec_id, cell, d, bucket): each cell's
@@ -546,9 +641,20 @@ object Similarity {
     * driver-side count sizes m (an O(1)-byte action, the documented
     * loop-control pattern).
     */
-  private[graft] def knnRouting(assigned: DataFrame): DataFrame = {
+  private[graft] def knnRouting(assigned: DataFrame): DataFrame =
+    knnRouting(assigned, subBuckets(assigned))
+
+  /** The √n-scaled sub-bucket count m = ⌈√n / 10⌉ — the single
+    * driver-side count that sizes the routing (an O(1)-byte action, the
+    * documented loop-control pattern). Exposed separately (round 14) so
+    * callers that also need m for the probe-window clip size it once.
+    */
+  private[graft] def subBuckets(assigned: DataFrame): Long = {
     val n = assigned.count()
-    val m = math.max(1L, math.ceil(math.sqrt(n.toDouble) / 10.0).toLong)
+    math.max(1L, math.ceil(math.sqrt(n.toDouble) / 10.0).toLong)
+  }
+
+  private[graft] def knnRouting(assigned: DataFrame, m: Long): DataFrame = {
     val wCell = Window.partitionBy(col("cell")).orderBy(desc("d"), asc("vec_id"))
     assigned
       .withColumn("rn", row_number().over(wCell))
@@ -616,15 +722,22 @@ object Similarity {
     * ±[[IndexStore.KnnFullProbeWidth]] buckets; (a, b) is produced at most
     * once because a vector has at most one probe center per cell.
     */
-  private[graft] def knnPairIds(probes: DataFrame, membership: DataFrame): DataFrame =
+  private[graft] def knnPairIds(probes: DataFrame, membership: DataFrame): DataFrame = {
+    // explicit fixed-count repartition for the same reason as
+    // [[knnKeyedDots]]: the (cell, bucket) join explodes, and AQE would
+    // coalesce it to a couple of tasks from its few-MB skinny inputs
+    val parts = probes.sparkSession.sessionState.conf.numShufflePartitions
     probes
       .select(col("vec_id").as("a_id"), col("cell"), col("bucket"),
         explode(windowDeltas).as("dlt"))
       .select(col("a_id"), col("cell"), (col("bucket") + col("dlt")).as("bucket"))
-      .join(membership.select(col("vec_id").as("b_id"), col("cell"), col("bucket")),
+      .repartition(parts, col("cell"), col("bucket"))
+      .join(membership.select(col("vec_id").as("b_id"), col("cell"), col("bucket"))
+        .repartition(parts, col("cell"), col("bucket")),
         Seq("cell", "bucket"))
       .where(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
+  }
 
   /** Attach both embeddings to a skinny pair relation and score it with
     * the codegen'd exact dot — IEEE-identical to the [[knnCandidatesFull]]
