@@ -1793,6 +1793,23 @@ object Similarity {
     */
   private[graft] val PolicyDeltaRetrain = 0.25
 
+  /** Reroute threshold on per-cell centroid drift (round 14, VERDICT r13
+    * #5): in the (reroute, retrain] band the frozen quantizer still
+    * represents the cell, but its centroid has moved enough that the
+    * single-axis sub-bucket routing is mis-centered — and WINDOW WIDENING
+    * cannot buy the recall back, because the probe amplification study
+    * (BASELINE.md round 13) measured every window scheme on the same
+    * ~2×-concentration frontier and W = ±4 already covers each probed
+    * cell fully up to m = 9 sub-buckets. The one measured scheme that
+    * penetrates the cell-capture ceiling is the second routing TABLE
+    * (`ann_multitable_topk`, J34) — so the policy's bridge action is
+    * `reroute`: serve the affected corpus through the two-table
+    * membership until the next retrain window. 0.04 sits inside the
+    * fixtures' 0.03–0.06 per-cell drift spread, so the decision table
+    * exercises the band (and its oracle hash) at every fixture size.
+    */
+  private[graft] val PolicyDriftReroute = 0.04
+
   /** index_policy_vecsearch (round 13, VERDICT r12 #2) — the operator that
     * turns the drift AUDIT into the serve/update/retrain DECISION a lake
     * deployment runs nightly. Per cell (plus an overall summary row,
@@ -1820,7 +1837,29 @@ object Similarity {
     */
   def indexPolicyVecsearch(spark: SparkSession, sfDir: String): DataFrame = {
     val (baseCent, nowCent, nBase, nNow) = driftInputs(spark, sfDir)
-    val perCell = driftAudit(baseCent, nowCent, nBase, nNow)
+    policyDecisions(driftAudit(baseCent, nowCent, nBase, nNow))
+  }
+
+  /** The four-way decision table over an audit relation (cell, n_base,
+    * n_now, l2_drift, untrained) — factored out of
+    * [[indexPolicyVecsearch]] (round 14) so the spec fixture can drive
+    * every action through the exact serving logic. Severity order:
+    *
+    *   3 `retrain` — untrained / vanished / drift > [[PolicyDriftRetrain]]
+    *     / delta fraction > [[PolicyDeltaRetrain]]: the quantizer no
+    *     longer represents the cell, rebuild globally
+    *   2 `reroute` — drift in ([[PolicyDriftReroute]], retrain]: the
+    *     routing is mis-centered but window widening is frontier-bound
+    *     (see the constant's comment) — serve through the second-table
+    *     membership (`ann_multitable_topk`) until the retrain window
+    *   1 `update`  — delta members arrived: run the incremental path
+    *   0 `serve`   — the standing store is current
+    *
+    * A NULL drift (untrained or vanished cell) always lands in the
+    * severity-3 arm first, so the reroute comparison never sees it.
+    */
+  private[graft] def policyDecisions(audit: DataFrame): DataFrame = {
+    val perCell = audit
       .withColumn("delta_frac",
         when(col("n_now") > 0, round((col("n_now") - col("n_base"))
           .cast("double") / col("n_now").cast("double"), 6) + lit(0.0))
@@ -1828,7 +1867,8 @@ object Similarity {
       .withColumn("sev",
         when(col("untrained") === 1 || col("n_now") === 0 ||
           col("l2_drift") > PolicyDriftRetrain ||
-          col("delta_frac") > PolicyDeltaRetrain, lit(2))
+          col("delta_frac") > PolicyDeltaRetrain, lit(3))
+          .when(col("l2_drift") > PolicyDriftReroute, lit(2))
           .when(col("delta_frac") > 0.0, lit(1))
           .otherwise(lit(0)))
       .select(col("cell").cast("int").as("cell"), col("n_base"), col("n_now"),
@@ -1846,7 +1886,8 @@ object Similarity {
     val decided = perCell.unionByName(overall)
       .select(col("cell"), col("n_base"), col("n_now"), col("delta_frac"),
         col("l2_drift"), col("untrained"),
-        when(col("sev") === 2, lit("retrain"))
+        when(col("sev") === 3, lit("retrain"))
+          .when(col("sev") === 2, lit("reroute"))
           .when(col("sev") === 1, lit("update"))
           .otherwise(lit("serve")).as("decision"))
     decided.orderBy(col("cell"))

@@ -3025,14 +3025,14 @@ object OracleSql {
       s""", per AS (SELECT cell, n_base, n_now,
         |CASE WHEN n_now > 0 THEN round((n_now - n_base) / CAST(n_now AS DOUBLE), 6) + 0.0 ELSE 0.0 END AS delta_frac,
         |l2_drift, untrained FROM aud),
-        |sv AS (SELECT *, CASE WHEN untrained = 1 OR n_now = 0 OR l2_drift > ${graft.ops.Similarity.PolicyDriftRetrain} OR delta_frac > ${graft.ops.Similarity.PolicyDeltaRetrain} THEN 2 WHEN delta_frac > 0.0 THEN 1 ELSE 0 END AS s FROM per),
+        |sv AS (SELECT *, CASE WHEN untrained = 1 OR n_now = 0 OR l2_drift > ${graft.ops.Similarity.PolicyDriftRetrain} OR delta_frac > ${graft.ops.Similarity.PolicyDeltaRetrain} THEN 3 WHEN l2_drift > ${graft.ops.Similarity.PolicyDriftReroute} THEN 2 WHEN delta_frac > 0.0 THEN 1 ELSE 0 END AS s FROM per),
         |ovr AS (SELECT -1 AS cell, CAST(SUM(n_base) AS BIGINT) AS n_base, CAST(SUM(n_now) AS BIGINT) AS n_now, MAX(l2_drift) AS l2_drift, MAX(untrained) AS untrained, MAX(s) AS s FROM sv),
         |uni AS (SELECT cell, n_base, n_now, delta_frac, l2_drift, untrained, s FROM sv
         |UNION ALL SELECT cell, n_base, n_now,
         |CASE WHEN n_now > 0 THEN round((n_now - n_base) / CAST(n_now AS DOUBLE), 6) + 0.0 ELSE 0.0 END,
         |l2_drift, untrained, s FROM ovr)
         |SELECT cell, n_base, n_now, delta_frac, l2_drift, untrained,
-        |CASE WHEN s = 2 THEN 'retrain' WHEN s = 1 THEN 'update' ELSE 'serve' END AS decision
+        |CASE WHEN s = 3 THEN 'retrain' WHEN s = 2 THEN 'reroute' WHEN s = 1 THEN 'update' ELSE 'serve' END AS decision
         |FROM uni ORDER BY cell""".stripMargin.replace("\n", " ")),
 
     // J31 (round 12) vec_ivf_recall_sweep — the recall/cost curve: one

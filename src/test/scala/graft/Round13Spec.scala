@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 class Round13Spec extends SparkSpec {
 
   private def sev(d: String): Int =
-    d match { case "retrain" => 2; case "update" => 1; case "serve" => 0
+    d match { case "retrain" => 3; case "reroute" => 2; case "update" => 1
+      case "serve" => 0
       case other => fail(s"unknown decision '$other'") }
 
   test("index_policy_vecsearch: per-cell decisions reproduce the threshold table and the overall row is worst-cell-wins") {
@@ -23,9 +24,12 @@ class Round13Spec extends SparkSpec {
       val nBase = r.getLong(1); val nNow = r.getLong(2)
       val deltaFrac = r.getDouble(3)
       val driftHigh = !r.isNullAt(4) && r.getDouble(4) > ops.Similarity.PolicyDriftRetrain
+      val driftReroute =
+        !r.isNullAt(4) && r.getDouble(4) > ops.Similarity.PolicyDriftReroute
       val expected =
         if (r.getInt(5) == 1 || nNow == 0 || driftHigh ||
           deltaFrac > ops.Similarity.PolicyDeltaRetrain) "retrain"
+        else if (driftReroute) "reroute"
         else if (deltaFrac > 0.0) "update"
         else "serve"
       assert(r.getString(6) === expected, s"cell ${r.getInt(0)}")
@@ -41,7 +45,8 @@ class Round13Spec extends SparkSpec {
     // threshold: both actions present, so the oracle hash pins both
     // branches at every fixture size
     val decs = cells.map(_.getString(6)).toSet
-    assert(decs.contains("retrain") && decs.contains("update"),
+    assert(decs.contains("retrain") && decs.contains("update") &&
+      decs.contains("reroute"),
       s"decision table lost its mixed fixture: $decs")
   }
 

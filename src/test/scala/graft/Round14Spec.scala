@@ -46,6 +46,49 @@ class Round14Spec extends SparkSpec {
     assert(dom.getLong(0) >= 0L && dom.getLong(1) <= m - 1)
   }
 
+  test("ann_recall_full at the synthetic sf1 fixture holds the measured 0.30 fence (VERDICT r13 #2)") {
+    // The OFFICIAL-harness recall point at the largest fixture, fenced at
+    // the round-14 measured value (mean recall@8 = 0.325 over the 10-query
+    // sample; the 50-query study harness had priced the W=4 scheme at
+    // 0.298 there). 0.325 >= the ~0.30 adoption bar, so the second-TABLE
+    // channel (ann_multitable_topk) stays an ESCAPE HATCH wired into
+    // index_policy_vecsearch's reroute action rather than being folded
+    // into the build. The fixture is synthetic and deterministic
+    // (tools/make_sf1.py, seeded), so the measured value is exact — any
+    // drop below 0.30 is a scheme regression, not noise.
+    val sf1 = "target/fixtures/sf1"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sf1)),
+      "synthetic sf1 fixture not generated (tools/make_sf1.py)")
+    val rows = SparkEntry.queries("ann_recall_full")(spark, sf1).collect()
+    assert(rows.length === 10)
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.30, f"sf1 mean recall@8 $mean%.3f fell below the 0.30 gate")
+  }
+
+  test("policyDecisions: a synthetic audit drives all FOUR actions through the serving logic (VERDICT r13 #5)") {
+    val ss = spark
+    import ss.implicits._
+    // (cell, n_base, n_now, l2_drift, untrained):
+    //   10 — drift above the retrain bar            -> retrain
+    //   11 — drift in the (reroute, retrain] band   -> reroute
+    //   12 — fresh members, drift below both bars   -> update
+    //   13 — unchanged cell                         -> serve
+    val audit = Seq(
+      (10L, 90L, 100L, Some(0.06), 0),
+      (11L, 90L, 100L, Some(0.045), 0),
+      (12L, 90L, 100L, Some(0.02), 0),
+      (13L, 100L, 100L, Some(0.0), 0))
+      .toDF("cell", "n_base", "n_now", "l2_drift", "untrained")
+    val out = ops.Similarity.policyDecisions(audit).collect()
+      .map(r => r.getInt(0) -> r.getString(6)).toMap
+    assert(out(10) === "retrain")
+    assert(out(11) === "reroute")
+    assert(out(12) === "update")
+    assert(out(13) === "serve")
+    // worst-cell-wins overall
+    assert(out(-1) === "retrain")
+  }
+
   test("a forced fresh build produces the artifacts the serving queries read (marker + row counts)") {
     graft.functions.DotProduct.register(spark)
     // rebuild through the NEW shortlist pipeline and check the manifest
