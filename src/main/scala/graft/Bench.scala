@@ -20,6 +20,13 @@ import org.apache.spark.sql.SparkSession
   * run-to-run spread for identical code under warm2 (SURVEY §7.5c), so a
   * single warm sample cannot flag <2× regressions; the median of three is
   * robust to one GC/scheduler outlier in either direction.
+  *
+  * warm-median3-mad5sub (round 14, VERDICT r13 #3): sub-0.5 s keys get
+  * five warm reps, and every key records its warm-run MAD in the `mad`
+  * map. Adjudication rule (also in BASELINE.md): a cross-round per-key
+  * delta is a REAL regression only if it exceeds 3 × max(MAD_then,
+  * MAD_now) in both of two consecutive benches; otherwise it is inside
+  * the key's own measured noise and needs no investigation.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,6 +68,19 @@ object Bench {
     // cross-round per-query comparisons can flag genuine <2× regressions.
     // Cold times are kept in a separate map for the curious.
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "3").toInt
+    // Noise-floor protocol (round 14, VERDICT r13 #3): keys cheaper than
+    // ~0.5 s warm sit at the scheduler/GC noise floor, where a median of
+    // three still flips tens of ms round-over-round and reads as a fake
+    // "regression". Two levers: (a) sub-0.5 s keys get FIVE warm reps
+    // (they are cheap by definition — the extra two runs cost ~1 s across
+    // the whole surface per 100 such keys); (b) every key records its MAD
+    // (median absolute deviation of the warm runs) so a cross-round delta
+    // self-adjudicates: it is a real regression only if it exceeds
+    // 3 × max(MAD_then, MAD_now) in BOTH of two consecutive benches —
+    // the rule is written into BASELINE.md's protocol section.
+    val subHalfSecReps =
+      sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS_SUBHALF", "5").toInt
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -71,17 +91,24 @@ object Bench {
         }
       }
       val cold = once()
-      val warms = if (cold.isDefined)
+      val warms0 = if (cold.isDefined)
         Seq.fill(warmRuns)(once()).flatten else Seq.empty
-      val warm = if (warms.nonEmpty) Some(warms.sorted.apply(warms.size / 2))
-        else None
+      // sub-0.5 s keys: top up to the higher rep count (median5)
+      val warms =
+        if (warms0.nonEmpty && median(warms0) < 0.5 && subHalfSecReps > warmRuns)
+          warms0 ++ Seq.fill(subHalfSecReps - warmRuns)(once()).flatten
+        else warms0
+      val warm = if (warms.nonEmpty) Some(median(warms)) else None
       // variance fence (VERDICT r7 #7): keep the warm spread per query so
       // a single-sample outlier in a cross-round comparison self-diagnoses
       // — read rule: trust `queries` (the median); if max/min > ~2 the
       // query's round-over-round delta is noise until re-measured.
       val spread =
         if (warms.nonEmpty) (warms.min, warms.max) else (0.0, 0.0)
-      (name, cold.getOrElse(0.0), warm.getOrElse(cold.getOrElse(0.0)), spread)
+      val mad = warm.map(w => median(warms.map(x => math.abs(x - w))))
+        .getOrElse(0.0)
+      (name, cold.getOrElse(0.0), warm.getOrElse(cold.getOrElse(0.0)), spread,
+        mad)
     }
     // full JSON string escape: failure messages can carry newlines/tabs,
     // which would split the one-line record and break the driver's parse
@@ -94,18 +121,21 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val ok = results.filterNot { case (n, _, _, _) => failures.exists(_._1 == n) }
-    val qs = ok.map { case (k, _, w, _) => s"${jstr(k)}:$w" }.mkString("{", ",", "}")
-    val cs = ok.map { case (k, c, _, _) => s"${jstr(k)}:$c" }.mkString("{", ",", "}")
-    val sp = ok.map { case (k, _, _, (lo, hi)) => s"${jstr(k)}:[$lo,$hi]" }
+    val ok = results.filterNot { case (n, _, _, _, _) => failures.exists(_._1 == n) }
+    val qs = ok.map { case (k, _, w, _, _) => s"${jstr(k)}:$w" }.mkString("{", ",", "}")
+    val cs = ok.map { case (k, c, _, _, _) => s"${jstr(k)}:$c" }.mkString("{", ",", "}")
+    val sp = ok.map { case (k, _, _, (lo, hi), _) => s"${jstr(k)}:[$lo,$hi]" }
+      .mkString("{", ",", "}")
+    val md = ok.map { case (k, _, _, _, m) => s"${jstr(k)}:$m" }
       .mkString("{", ",", "}")
     val fs = failures.reverse.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._3).sum
+    val proto = "warm-median3-mad5sub"
     val perQuery =
-      s"""{"metric":"per_query","protocol":"warm-median3","queries":$qs,"cold":$cs,"spread":$sp,"failures":$fs}"""
+      s"""{"metric":"per_query","protocol":"$proto","queries":$qs,"cold":$cs,"spread":$sp,"mad":$md,"failures":$fs}"""
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"warm-median3","n_queries":${ok.size},"n_failed":${failures.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$proto","n_queries":${ok.size},"n_failed":${failures.size},"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"),
       s"$perQuery\n$totalLine\n")
     println(perQuery)

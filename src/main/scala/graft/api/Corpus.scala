@@ -115,6 +115,9 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def chunkSplit(): DataFrame = TextAnalysis.chunkSplit(spark, dir)
     /** Per-doc top TF-IDF keywords. */
     def keywords(): DataFrame = TextAnalysis.keywordsPerDoc(spark, dir)
+    /** One distributed BPE training step: top-pair census, exact
+      * leftmost-first merge, post-merge census (round 13). */
+    def bpeMergeRound(): DataFrame = TextAnalysis.bpeMergeRound(spark, dir)
     /** Corpus token frequencies (the wordcount). */
     def wordcount(): DataFrame = VectorText.textWordcount(spark, dir)
     /** Sparse TF-IDF cosine top-k doc pairs via inverted index. */
@@ -129,6 +132,25 @@ final class Corpus(val spark: SparkSession, val dir: String) {
 
   /** Reproducible per-epoch shuffle manifests (pure function of epoch+id). */
   def epochShuffle(): DataFrame = TextAnalysis.epochShuffle(spark, dir)
+
+  /** Per-domain KL terms vs a uniform target + capped resampling factors
+    * — the corpus-mix rebalancing report (round 13). */
+  def domainMixKl(): DataFrame = TextAnalysis.domainMixKl(spark, dir)
+
+  /** Count-min sketch (d=4 × w=64) of the event stream with a probe-set
+    * overestimate audit (round 13). */
+  def countminSketch(): DataFrame = Aggregates.aggCountminSketch(spark, dir)
+
+  /** Holt linear (double-exponential) smoothing of the daily revenue
+    * series, dyadic α/β, cross-engine-pinned recurrence (round 13). */
+  def holtLinear(): DataFrame = Aggregates.tsHoltLinear(spark, dir)
+
+  /** Top-15 session 3-step event paths (round 13). */
+  def eventPaths(): DataFrame = Windows.winEventPaths(spark, dir)
+
+  /** As-of view→purchase conversion lag with exact interpolated
+    * quantiles (round 13). */
+  def conversionLag(): DataFrame = Windows.winConversionLag(spark, dir)
 
   /** Deduplication pipelines over the documents table. */
   object dedup {
@@ -165,6 +187,15 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def bandTuningSweep(): DataFrame = Dedup.bandTuningSweep(spark, dir)
     /** Benchmark decontamination at the published 13-gram standard. */
     def decontaminate13gram(): DataFrame = Dedup.decontaminate13gram(spark, dir)
+    /** LSH candidates scored on BOTH modalities (shingle Jaccard +
+      * embedding cosine) with agreement flags (round 13). */
+    def multiSignal(): DataFrame = Dedup.multiSignal(spark, dir)
+    /** The dedup impact funnel: exact → paragraph-majority → verbatim-
+      * window stages, removals attributed to the first catching stage,
+      * per-stage token-mass retention (round 13). */
+    def funnel(): DataFrame = TextAnalysis.dedupFunnel(spark, dir)
+    /** 1/cluster-size soft-dedup training weights (round 13). */
+    def softWeights(): DataFrame = TextAnalysis.softdedupWeights(spark, dir)
   }
 
   /** Similarity search over the embeddings table. */
@@ -249,6 +280,25 @@ final class Corpus(val spark: SparkSession, val dir: String) {
       * emit the merged manifest — row-identical to a from-scratch build
       * under the frozen routing (round 12). */
     def indexUpdate(): DataFrame = IndexStore.indexUpdateVecsearch(spark, dir)
+    /** The serve/update/reroute/retrain decision table over the drift
+      * audit — the nightly index-maintenance policy (rounds 13–14). */
+    def indexPolicy(): DataFrame = Similarity.indexPolicyVecsearch(spark, dir)
+    /** Second-routing-table ANN: candidates from BOTH the standing store
+      * and a cross-axis rebucketing — the scheme that penetrates the
+      * cell-capture ceiling (round 13; the indexPolicy reroute target). */
+    def multitableTopk(): DataFrame = Similarity.annMultitableTopk(spark, dir)
+    /** Per-query ADAPTIVE probe depth: cells probed until the candidate
+      * floor is reached; recall + cost vs the fixed-nprobe grid. */
+    def probeAdaptive(): DataFrame = Similarity.vecProbeAdaptive(spark, dir)
+    /** Variance-ranked dimension pruning with the cumulative
+      * variance-share curve (round 13). */
+    def dimVariancePrune(): DataFrame = VectorText.vecDimVariancePrune(spark, dir)
+    /** Integer-exact HITS hubs/authorities over the full-corpus mutual
+      * 8-NN graph (round 13). */
+    def hitsFull(): DataFrame = Similarity.graphHitsFull(spark, dir)
+    /** Seeded deterministic 3-step random walks over the mutual-8NN
+      * graph — the DeepWalk/node2vec sampling primitive (round 13). */
+    def randomWalks(): DataFrame = Similarity.graphRandomWalks(spark, dir)
   }
 
   /** Data-quality checks. */
@@ -267,6 +317,8 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def rollingZscore(): DataFrame = DataQuality.dqRollingZscore(spark, dir)
     /** Two-sample Kolmogorov-Smirnov drift statistic, exact-integer sup. */
     def ksTest(): DataFrame = DataQuality.dqKsTest(spark, dir)
+    /** Registry-diff schema drift between the two time halves (round 13). */
+    def schemaDrift(): DataFrame = DataQuality.dqSchemaDrift(spark, dir)
   }
 
   /** Multimodal (opaque binary) columns. */
@@ -294,6 +346,117 @@ final class Corpus(val spark: SparkSession, val dir: String) {
       * delta-sized cost (round 11). */
     def indexUpdate(): DataFrame = IndexStore.indexUpdateMediasig(spark, dir)
   }
+
+  /** The facade-coverage table (round 14, VERDICT r13 #6): registry key →
+    * the typed facade call that serves it. CorpusApiSpec gates this the
+    * way GoldenPlanSpec gates plans: every entry's analyzed plan must be
+    * identical to the registry query's (the facade can never silently
+    * drift onto a different implementation), every key here must exist in
+    * the registry, and every registry key must be EITHER here or in the
+    * checked-in escape-hatch list (`facade-escape-hatch.txt`) — so a new
+    * operator fails the suite until it is consciously triaged into a
+    * typed wrapper or the [[query]] escape hatch.
+    */
+  lazy val typed: Map[String, () => DataFrame] = Map(
+    "dq_profile_table" -> (() => profile()),
+    "dq_profile_approx" -> (() => profileApprox()),
+    "pipeline_dataset_card" -> (() => datasetCard()),
+    "pipeline_training_emit" -> (() => trainingEmit()),
+    "pipeline_split_train_eval" -> (() => splitTrainEval()),
+    "pipeline_eval_holdout" -> (() => evalHoldout()),
+    "agg_heavy_hitters" -> (() => heavyHitters()),
+    "agg_heavy_hitters_grouped" -> (() => heavyHittersGrouped()),
+    "pipeline_pack_sequences" -> (() => packSequences()),
+    "pipeline_token_budget_mix" -> (() => tokenBudgetMix()),
+    "pipeline_curriculum_phases" -> (() => curriculumPhases()),
+    "text_novelty_frac" -> (() => noveltyFrac()),
+    "pipeline_quality_weighted_sample" -> (() => qualityWeightedSample()),
+    "pipeline_epoch_shuffle" -> (() => epochShuffle()),
+    "pipeline_domain_mix_kl" -> (() => domainMixKl()),
+    "agg_countmin_sketch" -> (() => countminSketch()),
+    "ts_holt_linear" -> (() => holtLinear()),
+    "win_event_paths" -> (() => eventPaths()),
+    "win_conversion_lag" -> (() => conversionLag()),
+    "text_normalize" -> (() => text.normalize()),
+    "text_quality_score" -> (() => text.quality()),
+    "text_lang_id" -> (() => text.langId()),
+    "text_token_count" -> (() => text.tokenCount()),
+    "text_fingerprint" -> (() => text.fingerprint()),
+    "text_pii_redact" -> (() => text.piiRedact()),
+    "text_chunk_split" -> (() => text.chunkSplit()),
+    "text_keywords_per_doc" -> (() => text.keywords()),
+    "text_bpe_merge_round" -> (() => text.bpeMergeRound()),
+    "text_wordcount" -> (() => text.wordcount()),
+    "text_sparse_cosine_topk" -> (() => text.sparseCosineTopk()),
+    "dedup_exact_keep_first" -> (() => dedup.exact()),
+    "dedup_minhash_sig" -> (() => dedup.minhashSignatures()),
+    "dedup_minhash_pairs" -> (() => dedup.minhashPairs()),
+    "dedup_simhash" -> (() => dedup.simhash()),
+    "dedup_connected_components_v2" -> (() => dedup.clusters()),
+    "dedup_cluster_canonical" -> (() => dedup.canonical()),
+    "dedup_semantic_clusters" -> (() => dedup.semanticClusters()),
+    "text_decontaminate_overlap" -> (() => dedup.decontaminate()),
+    "dedup_ngram_corpus_frac" -> (() => dedup.ngramCorpusFrac()),
+    "dedup_shingle_containment" -> (() => dedup.shingleContainment()),
+    "dedup_bloom_prefilter" -> (() => dedup.bloomPrefilter()),
+    "dedup_bloom_partitioned" -> (() => dedup.bloomPartitioned()),
+    "dedup_band_tuning_sweep" -> (() => dedup.bandTuningSweep()),
+    "text_decontaminate_13gram" -> (() => dedup.decontaminate13gram()),
+    "dedup_multi_signal" -> (() => dedup.multiSignal()),
+    "pipeline_dedup_funnel" -> (() => dedup.funnel()),
+    "pipeline_softdedup_weights" -> (() => dedup.softWeights()),
+    "vec_knn_topk" -> (() => vectors.knnTopk()),
+    "ann_ivf_topk" -> (() => vectors.ivfTopk()),
+    "ann_lsh_bucket" -> (() => vectors.lshBuckets()),
+    "ann_recall_at_k" -> (() => vectors.recallAtK()),
+    "vec_centroid_by_label" -> (() => vectors.centroids()),
+    "vec_quantize_int8" -> (() => vectors.quantizeInt8()),
+    "vec_norm_stats" -> (() => vectors.normStats()),
+    "graph_pagerank_knn" -> (() => vectors.pagerankHubs()),
+    "vec_pca_power_iter" -> (() => vectors.pcaTopDirection()),
+    "vec_kmeans_lloyd" -> (() => vectors.kmeansClusters()),
+    "graph_knn_jaccard" -> (() => vectors.knnJaccard()),
+    "vec_hard_negatives" -> (() => vectors.hardNegatives()),
+    "ann_ivf_pq_topk" -> (() => vectors.ivfPqTopk()),
+    "vec_pq_rerank" -> (() => vectors.pqRerank()),
+    "ann_graph_expand_topk" -> (() => vectors.graphExpandTopk()),
+    "search_hybrid_rrf" -> (() => vectors.hybridRrf()),
+    "vec_matryoshka_eval" -> (() => vectors.matryoshkaEval()),
+    "graph_kcore_full" -> (() => vectors.kcoreFull()),
+    "vec_knn_join_full" -> (() => vectors.knnJoinFull()),
+    "graph_cc_full" -> (() => vectors.ccFull()),
+    "graph_pagerank_full" -> (() => vectors.pagerankFull()),
+    "ann_recall_full" -> (() => vectors.recallFull()),
+    "graph_labelprop_full" -> (() => vectors.labelPropFull()),
+    "graph_jaccard_full" -> (() => vectors.jaccardFull()),
+    "pq_recall_at_k" -> (() => vectors.pqRecall()),
+    "index_build_vecsearch" -> (() => vectors.indexBuild()),
+    "vec_ivf_recall_sweep" -> (() => vectors.ivfRecallSweep()),
+    "vec_centroid_drift" -> (() => vectors.centroidDrift()),
+    "index_update_vecsearch" -> (() => vectors.indexUpdate()),
+    "index_policy_vecsearch" -> (() => vectors.indexPolicy()),
+    "ann_multitable_topk" -> (() => vectors.multitableTopk()),
+    "vec_probe_adaptive" -> (() => vectors.probeAdaptive()),
+    "vec_dim_variance_prune" -> (() => vectors.dimVariancePrune()),
+    "graph_hits_full" -> (() => vectors.hitsFull()),
+    "graph_random_walks" -> (() => vectors.randomWalks()),
+    "dq_rule_violations" -> (() => quality.ruleViolations()),
+    "dq_anomaly_mad" -> (() => quality.anomalies()),
+    "dq_distribution_drift" -> (() => quality.distributionDrift()),
+    "dq_referential_integrity" -> (() => quality.referentialIntegrity()),
+    "dq_benford_first_digit" -> (() => quality.benfordScreen()),
+    "dq_rolling_zscore" -> (() => quality.rollingZscore()),
+    "dq_ks_test" -> (() => quality.ksTest()),
+    "dq_schema_drift" -> (() => quality.schemaDrift()),
+    "mm_binary_stats" -> (() => media.binaryStats()),
+    "mm_decode_features" -> (() => media.decodeFeatures()),
+    "mm_frame_sample" -> (() => media.frameSample()),
+    "mm_chunk_dedup" -> (() => media.chunkDedup()),
+    "source_binaryfile_ingest" -> (() => media.ingestBinary()),
+    "mm_phash_hamming" -> (() => media.phashPairs()),
+    "mm_phash_clusters" -> (() => media.phashClusters()),
+    "index_build_mediasig" -> (() => media.indexBuild()),
+    "index_update_mediasig" -> (() => media.indexUpdate()))
 }
 
 object Corpus {

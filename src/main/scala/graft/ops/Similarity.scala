@@ -2481,7 +2481,10 @@ object Similarity {
       .unionAll(me.select(col("v").as("node")))
       .distinct().lineageCut(true)
     var h = nodes.select(col("node"), lit(1L).as("h"))
-    var a = nodes.select(col("node"), lit(1L).as("a"))
+    // only the HUB side needs an initial relation: each round recomputes
+    // authorities from hubs before hubs are recomputed from them (ADVICE
+    // r13 #3 — an initial `a` would be dead, misrepresenting the init)
+    var a: DataFrame = null
     for (_ <- 1 to 4) {
       a = nodes.join(
         me.join(h.withColumnRenamed("node", "u"), Seq("u"))

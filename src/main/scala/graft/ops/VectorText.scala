@@ -459,8 +459,15 @@ object VectorText {
     * cheap one-pass alternative to the J22 PCA when the basis must stay
     * axis-aligned, e.g. pruning a stored index's dimensions in place):
     * per-dimension mean/variance from EXACT 2^20 fixed-point component
-    * sums and sums-of-squares (both LONG — order-independent by
-    * construction, the J13 protocol extended to second moments), dims
+    * sums and sums-of-squares — order-independent by construction, the
+    * J13 protocol extended to second moments. The first moment stays
+    * LONG (s ≤ n·2^20 — safe to n ≈ 2^43 vectors); the SECOND moment
+    * accumulates in DECIMAL(38,0) on both engines (ADVICE r13 #1: each
+    * f·f term is ~2^40, so a LONG sum wraps silently past ~2^23 ≈ 8.4M
+    * vectors per dim while DuckDB's HUGEINT does not — the engines would
+    * diverge exactly at scale). Both engines cast the exact integer to
+    * DOUBLE at the end, and nearest-double rounding of the same integer
+    * is identical. Dims are
     * ranked by variance, the top 16 flagged `keep`, plus each rank's
     * cumulative share of total variance — the "how much signal do 16 of
     * 64 dims retain" curve a Matryoshka-style truncation (J25) is judged
@@ -477,7 +484,7 @@ object VectorText {
         expr("CAST(round(CAST(comp AS DOUBLE) * 1048576) AS BIGINT)").as("f"))
     val st = fixed.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("f")).as("s"),
-        sum(col("f") * col("f")).as("q"))
+        sum(expr("CAST(f * f AS DECIMAL(38,0))")).as("q"))
       .withColumn("mean", col("s").cast("double") / (col("n") * lit(1048576.0)))
       .withColumn("variance",
         col("q").cast("double") / (col("n") * lit(1048576.0) * lit(1048576.0))

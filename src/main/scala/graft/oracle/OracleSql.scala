@@ -3375,7 +3375,7 @@ object OracleSql {
         |CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576, 0) AS BIGINT) AS f
         |FROM embeddings, range(1, 65) t(i)),
         |st AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(f) AS BIGINT) AS s,
-        |CAST(SUM(f * f) AS BIGINT) AS q FROM d GROUP BY dim),
+        |SUM(CAST(f * f AS DECIMAL(38,0))) AS q FROM d GROUP BY dim),
         |v AS (SELECT dim, n, CAST(s AS DOUBLE) / (n * 1048576.0) AS mean,
         |CAST(q AS DOUBLE) / (n * 1048576.0 * 1048576.0)
         |- (CAST(s AS DOUBLE) / (n * 1048576.0)) * (CAST(s AS DOUBLE) / (n * 1048576.0)) AS variance

@@ -56,4 +56,63 @@ class CorpusApiSpec extends SparkSpec {
     val df = c.query("agg_pricing_summary")
     assert(df.count() > 0)
   }
+
+  private val escapePath =
+    java.nio.file.Paths.get("src/test/resources/facade-escape-hatch.txt")
+
+  test("facade coverage gate: every registry key is typed or consciously escape-hatched (VERDICT r13 #6)") {
+    // the PLANS.md-gate pattern applied to the API: `Corpus.typed` and the
+    // checked-in escape-hatch list must partition the registry EXACTLY, so
+    // a new operator fails the suite until it is triaged. Regenerate the
+    // escape list (after adding any new typed wrappers) with:
+    //   GRAFT_REGEN_FACADE=1 sbt "testOnly graft.CorpusApiSpec"
+    val registry = Queries.all.keySet
+    val typedKeys = c.typed.keySet
+    val phantom = typedKeys -- registry
+    assert(phantom.isEmpty, s"typed facade entries with no registry key: $phantom")
+    if (sys.env.contains("GRAFT_REGEN_FACADE")) {
+      java.nio.file.Files.createDirectories(escapePath.getParent)
+      java.nio.file.Files.writeString(escapePath,
+        (registry -- typedKeys).toSeq.sorted.mkString("", "\n", "\n"))
+      info(s"regenerated $escapePath (${(registry -- typedKeys).size} keys)")
+    } else {
+      assert(java.nio.file.Files.exists(escapePath),
+        s"$escapePath missing — run GRAFT_REGEN_FACADE=1 sbt 'testOnly graft.CorpusApiSpec'")
+      val escape = java.nio.file.Files.readString(escapePath)
+        .linesIterator.filter(_.nonEmpty).toSet
+      val overlap = typedKeys & escape
+      assert(overlap.isEmpty, s"keys both typed and escape-hatched: $overlap")
+      val untriaged = registry -- typedKeys -- escape
+      val stale = (typedKeys ++ escape) -- registry
+      assert(untriaged.isEmpty && stale.isEmpty,
+        s"facade coverage drifted — untriaged new keys: $untriaged; stale rows: $stale. " +
+          "Add a typed wrapper + Corpus.typed entry, or regenerate: " +
+          "GRAFT_REGEN_FACADE=1 sbt 'testOnly graft.CorpusApiSpec'")
+    }
+  }
+
+  test("every typed facade entry is the SAME computation as its registry key") {
+    // zero-drift proof for the whole coverage table. Plan-level
+    // sameResult decides it for free where it can; operators whose plans
+    // embed materialized lineage cuts (localCheckpoint creates a fresh
+    // RDD per construction, so two builds of the SAME query are never
+    // plan-equal) fall back to exact row equality — slower, but a
+    // stronger-than-schema proof that the facade serves the registry
+    // computation.
+    val rowChecked = scala.collection.mutable.ListBuffer.empty[String]
+    val bad = c.typed.toSeq.sortBy(_._1).filter { case (key, mk) =>
+      val facade = mk()
+      val reg = run(key)
+      if (facade.queryExecution.analyzed.sameResult(reg.queryExecution.analyzed))
+        false
+      else {
+        rowChecked += key
+        facade.schema != reg.schema ||
+          facade.exceptAll(reg).count() != 0 || reg.exceptAll(facade).count() != 0
+      }
+    }.map(_._1)
+    info(s"plan-identical: ${c.typed.size - rowChecked.size}; " +
+      s"row-compared (lineage-cut plans): ${rowChecked.size}")
+    assert(bad.isEmpty, s"typed facade entries that drifted from the registry: $bad")
+  }
 }
