@@ -465,5 +465,17 @@ object Queries {
     "text_bpe_merge_round"      -> (TextAnalysis.bpeMergeRound _),
     "graph_random_walks"        -> (Similarity.graphRandomWalks _),
     "pipeline_dedup_funnel"     -> (TextAnalysis.dedupFunnel _),
+    // round 14: RFM segmentation + cohort LTV (the commerce-analytics
+    // pair), KMV theta sketch with set ops, DSIR importance weights,
+    // per-language OOV audit, exact rank-identity AUC, range similarity
+    // search, resource-allocation link prediction
+    "win_rfm_scores"            -> (Windows.winRfmScores _),
+    "win_cohort_ltv"            -> (Windows.winCohortLtv _),
+    "agg_theta_kmv"             -> (Aggregates.aggThetaKmv _),
+    "pipeline_dsir_weights"     -> (TextAnalysis.dsirWeights _),
+    "text_oov_rate"             -> (TextAnalysis.textOovRate _),
+    "ml_auc_score"              -> (MlFeatures.mlAucScore _),
+    "ann_range_search"          -> (Similarity.annRangeSearch _),
+    "graph_resource_alloc"      -> (Similarity.graphResourceAlloc _),
   )
 }

@@ -118,6 +118,9 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     /** One distributed BPE training step: top-pair census, exact
       * leftmost-first merge, post-merge census (round 13). */
     def bpeMergeRound(): DataFrame = TextAnalysis.bpeMergeRound(spark, dir)
+    /** Per-language out-of-vocabulary rate vs the corpus top-1000
+      * vocabulary — the tokenizer-health audit (round 14). */
+    def oovRate(): DataFrame = TextAnalysis.textOovRate(spark, dir)
     /** Corpus token frequencies (the wordcount). */
     def wordcount(): DataFrame = VectorText.textWordcount(spark, dir)
     /** Sparse TF-IDF cosine top-k doc pairs via inverted index. */
@@ -151,6 +154,21 @@ final class Corpus(val spark: SparkSession, val dir: String) {
   /** As-of view→purchase conversion lag with exact interpolated
     * quantiles (round 13). */
   def conversionLag(): DataFrame = Windows.winConversionLag(spark, dir)
+
+  /** RFM quintile customer segmentation (round 14). */
+  def rfmScores(): DataFrame = Windows.winRfmScores(spark, dir)
+
+  /** Cumulative lifetime value by acquisition cohort (round 14). */
+  def cohortLtv(): DataFrame = Windows.winCohortLtv(spark, dir)
+
+  /** KMV/theta distinct sketch with union + intersection (round 14). */
+  def thetaKmv(): DataFrame = Aggregates.aggThetaKmv(spark, dir)
+
+  /** Exact Mann–Whitney ROC-AUC of a score vs a binary label (round 14). */
+  def aucScore(): DataFrame = MlFeatures.mlAucScore(spark, dir)
+
+  /** DSIR hashed-n-gram importance weights vs the target slice (round 14). */
+  def dsirWeights(): DataFrame = TextAnalysis.dsirWeights(spark, dir)
 
   /** Deduplication pipelines over the documents table. */
   object dedup {
@@ -299,6 +317,12 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     /** Seeded deterministic 3-step random walks over the mutual-8NN
       * graph — the DeepWalk/node2vec sampling primitive (round 13). */
     def randomWalks(): DataFrame = Similarity.graphRandomWalks(spark, dir)
+    /** Range (threshold) similarity search eval: exact ε-ball vs the
+      * standing shortlist at the same τ (round 14). */
+    def rangeSearch(): DataFrame = Similarity.annRangeSearch(spark, dir)
+    /** Resource-allocation link prediction on the mutual-8NN graph
+      * (round 14). */
+    def resourceAlloc(): DataFrame = Similarity.graphResourceAlloc(spark, dir)
   }
 
   /** Data-quality checks. */
@@ -456,7 +480,15 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     "mm_phash_hamming" -> (() => media.phashPairs()),
     "mm_phash_clusters" -> (() => media.phashClusters()),
     "index_build_mediasig" -> (() => media.indexBuild()),
-    "index_update_mediasig" -> (() => media.indexUpdate()))
+    "index_update_mediasig" -> (() => media.indexUpdate()),
+    "win_rfm_scores" -> (() => rfmScores()),
+    "win_cohort_ltv" -> (() => cohortLtv()),
+    "agg_theta_kmv" -> (() => thetaKmv()),
+    "ml_auc_score" -> (() => aucScore()),
+    "pipeline_dsir_weights" -> (() => dsirWeights()),
+    "text_oov_rate" -> (() => text.oovRate()),
+    "ann_range_search" -> (() => vectors.rangeSearch()),
+    "graph_resource_alloc" -> (() => vectors.resourceAlloc()))
 }
 
 object Corpus {

@@ -1140,4 +1140,106 @@ object Aggregates {
         (round(col("st.sse"), 6) + lit(0.0)).as("sse_1step"))
       .orderBy(col("event_type"))
   }
+
+  /** The KMV sketch size (k minimum hash values). Fixture-sized — 8 keeps
+    * the ESTIMATOR branch exercised at every driver fixture (the smallest
+    * has 15 distinct users; a production k is 1024+ and only changes this
+    * constant, which interpolates into the oracle SQL).
+    */
+  private[graft] val ThetaKmvK = 8
+
+  /** The shared uniform-hash expression: the first 8 hex digits of
+    * md5(user_id) decoded to a 32-bit integer by explicit digit
+    * arithmetic (both engines evaluate the IDENTICAL generated formula —
+    * no engine-specific hex-decode builtin), divided by 2^32 into [0, 1).
+    * Column `h` must be in scope. The divisor is written
+    * CAST(... AS DOUBLE), never `4294967296.0`: Spark's SQL parser types
+    * a bare decimal literal as DECIMAL, silently turning the whole
+    * expression into 12-digit decimal division (off the 2^-32 grid by up
+    * to 5e-13 — caught live at sf1 round 14, where (k−1)/u_k amplified
+    * it into the 6th printed digit); DuckDB keeps doubles either way.
+    */
+  private[graft] val KmvUExpr: String = (1 to 8).map { j =>
+    s"CAST(${1L << (4 * (8 - j))} AS BIGINT) * (instr('0123456789abcdef', substring(h, $j, 1)) - 1)"
+  }.mkString("(", " + ", ") / CAST(4294967296 AS DOUBLE)")
+
+  /** E30 agg_theta_kmv (round 14) — the KMV / theta distinct sketch with
+    * SET OPERATIONS, the capability the HLL family (E9/E16) lacks: HLL
+    * unions mergeably but cannot intersect; a KMV sketch (the k minimum
+    * hash values, theta = the k-th minimum) supports union AND
+    * intersection by hash-set algebra under a shared theta — the
+    * theta-sketch construction of the published data-sketches line.
+    * Per event type: exact distinct users, the KMV estimate
+    * (k−1)/u_k (or the exact count when fewer than k hashes exist — the
+    * small-set branch), and the relative error; plus a `__union` row
+    * (sketch over the union of all hash sets) and a `view&purchase`
+    * intersection row (common hashes below the shared theta, divided by
+    * it). The hash is md5-derived and decoded digit-by-digit through the
+    * SAME generated expression on both engines, so every estimate is a
+    * deterministic function of the data — the oracle hashes the
+    * estimates themselves, not just the exact counts.
+    *
+    * 100 TB: a KMV sketch is a bounded top-k-by-hash aggregate — partial
+    * per partition, merged by keeping the k smallest of the union — so
+    * the corpus pass is one keyed shuffle of k-row states; estimates and
+    * set operations run on k-row relations.
+    */
+  def aggThetaKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = ThetaKmvK
+    val d = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .withColumn("u", expr(KmvUExpr))
+      .lineageCut(false) // per-type, union, and intersection all read it
+    // generic KMV over (scope, user_id, u) rows
+    def kmv(rows: DataFrame): DataFrame = {
+      val hashes = rows.select(col("scope"), col("u")).distinct()
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("scope")).orderBy(col("u"))
+      val sk = hashes
+        .withColumn("rn", row_number().over(wS))
+        .groupBy(col("scope"))
+        .agg(count(lit(1)).as("n_hashes"),
+          max(when(col("rn") === k, col("u"))).as("uk"))
+      val exact = rows.groupBy(col("scope"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(sk, Seq("scope"))
+        .select(col("scope"), col("n_exact"),
+          when(col("n_hashes") >= k, lit((k - 1).toDouble) / col("uk"))
+            .otherwise(col("n_hashes").cast("double")).as("est"))
+    }
+    val perType = kmv(d.select(col("event_type").as("scope"), col("user_id"), col("u")))
+    val union = kmv(d.select(lit("__union").as("scope"), col("user_id"), col("u")))
+    // intersection of the view / purchase sketches under the shared theta
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("u"))
+    val sketches = d.where(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("u")).distinct()
+      .withColumn("rn", row_number().over(wT))
+      .where(col("rn") <= k)
+      .lineageCut(false)
+    val theta = sketches.groupBy(col("event_type")).agg(max(col("u")).as("uk"))
+      .agg(min(col("uk")).as("th"))
+    // left join from the 1-row theta so an empty common set still yields
+    // one (th, n_common = 0) row — the intersection row never vanishes
+    val common = theta.join(
+        sketches.groupBy(col("u")).agg(count(lit(1)).as("sides"))
+          .where(col("sides") === 2),
+        col("u") < col("th"), "left")
+      .groupBy(col("th"))
+      .agg(count(col("u")).as("n_common"))
+    val exactBoth = d.where(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id")).agg(countDistinct(col("event_type")).as("nt"))
+      .where(col("nt") === 2)
+      .agg(count(lit(1)).as("n_exact"))
+    val intersect = exactBoth.crossJoin(
+        common.select((col("n_common").cast("double") / col("th")).as("est")))
+      .select(lit("view&purchase").as("scope"), col("n_exact"), col("est"))
+    perType.unionByName(union).unionByName(intersect)
+      .select(col("scope"), col("n_exact"),
+        (round(col("est"), 6) + lit(0.0)).as("kmv_est"),
+        (round(abs(col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 6) + lit(0.0)).as("rel_err"))
+      .orderBy(col("scope"))
+  }
 }

@@ -103,4 +103,40 @@ object MlFeatures {
       .groupBy(col("doc_id"), col("slot"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("doc_id"), col("slot"))
+
+  /** N17 ml_auc_score (round 14) — exact ROC-AUC of a score column
+    * against a binary label via the Mann–Whitney rank identity, the
+    * classifier-eval primitive every model-quality pipeline needs. Here:
+    * does document LENGTH (n_chars) separate English from non-English
+    * docs — the harness shape; any (score, label) pair slots in. Ties get
+    * the average rank, computed EXACTLY in doubled-integer space: group
+    * by score value, 2·avg_rank = 2·(rows before) + (group size) + 1, so
+    * the positive rank sum is one integer aggregate and AUC is a single
+    * final division (6 dp) — no per-row floating ranks, no order
+    * sensitivity.
+    *
+    * 100 TB: one groupBy(score) aggregate (distinct scores ≪ rows), a
+    * window over the distinct-score relation, one scalar aggregate. The
+    * distinct-score window is global but score-count-sized — the
+    * documented global-window exception; a truly high-cardinality score
+    * would use the two-pass range-partitioned rank (win_ntile_scalable).
+    */
+  def mlAucScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val byScore = Tables.documents(spark, sfDir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("before", coalesce(sum(col("n")).over(w), lit(0L)))
+      // Σ over positives of (2 · average tied rank) — exact integers
+      .agg(sum(col("n_pos") * (lit(2L) * col("before") + col("n") + lit(1L)))
+          .as("s2"),
+        sum(col("n_pos")).as("np"), sum(col("n") - col("n_pos")).as("nn"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        (round((col("s2") - col("np") * (col("np") + 1L)).cast("double")
+          / (lit(2.0) * col("np") * col("nn")), 6) + lit(0.0)).as("auc"))
+  }
 }

@@ -2545,4 +2545,91 @@ object Similarity {
       .orderBy(desc("n_walks"), asc("endpoint"))
       .limit(20)
   }
+
+  /** The ε-ball similarity threshold for [[annRangeSearch]]: ball sizes
+    * of 1–7 true neighbors per query at the smallest fixture (measured
+    * round 14), so the eval is non-degenerate at every SF. Interpolates
+    * into the oracle SQL.
+    */
+  private[graft] val RangeSearchTau = 0.30
+
+  /** J36 ann_range_search (round 14) — RANGE (threshold) similarity
+    * search, the second query shape an ANN index serves besides top-k:
+    * "everything more similar than τ", the primitive behind near-dup
+    * blocking and radius-bounded retrieval. Per query (vec_id < 10, the
+    * eval-sample convention): the EXACT ε-ball size (broadcast queries ×
+    * corpus — the bounded ground-truth pass), how many ball members the
+    * standing top-8 shortlist surfaces at the same τ, and the range
+    * recall. A top-K shortlist structurally caps range recall at K/|ball|
+    * — exactly the number this harness reports, so the index's range
+    * serving quality ships measured instead of assumed.
+    *
+    * 100 TB: ground truth is queries×corpus (an EVAL job, the M37/M104
+    * convention); the serving side is one filtered scan of the standing
+    * 8n-row artifact.
+    */
+  def annRangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val truth = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .join(broadcast(q))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("dot", expr("graft_dot(a_emb, b_emb)"))
+      .where(col("dot") >= RangeSearchTau)
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n_true"))
+    val found = knnCandidatesFullStored(spark, sfDir)
+      .where(col("a_id") < 10 && col("dot") >= RangeSearchTau)
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n_found"))
+    q.select(col("a_id"))
+      .join(truth, Seq("a_id"), "left")
+      .join(found, Seq("a_id"), "left")
+      .select(col("a_id"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        when(coalesce(col("n_true"), lit(0L)) > 0,
+          round(coalesce(col("n_found"), lit(0L)).cast("double")
+            / col("n_true"), 6) + lit(0.0))
+          .otherwise(lit(1.0)).as("range_recall"))
+      .orderBy(col("a_id"))
+  }
+
+  /** M123 graph_resource_alloc (round 14) — link prediction by the
+    * resource-allocation index (Zhou/Lü/Zhang): for every NON-edge pair
+    * at distance 2 on the full-corpus mutual-8NN graph, score
+    * Σ_z 1/deg(z) over common neighbors z — the published RA measure
+    * that outperforms plain common-neighbor counts by discounting
+    * promiscuous hubs. The complement of `graph_jaccard_full`'s
+    * neighbor-set overlap: RA weights WHO the common neighbors are. The
+    * score is computed in EXACT integer space — deg ≤ 8 on a mutual-8NN
+    * graph, so Σ 840/deg (840 = lcm 1..8) is a LONG and the double
+    * report is one final division. Top-15 by (score, u, v).
+    *
+    * 100 TB: wedges = one self-join of the adjacency on the center
+    * vertex (fanout ≤ 8), a broadcast-scale degree attach, one keyed
+    * aggregate, an anti-join against the edge list — all linear in |E|
+    * with bounded fanout, never quadratic in vertices.
+    */
+  def graphResourceAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val me = mutualKnnFullEdges(spark, sfDir).lineageCut(true)
+    val adj = me.select(col("u").as("z"), col("v").as("x"))
+      .unionAll(me.select(col("v").as("z"), col("u").as("x")))
+      .lineageCut(true) // wedge self-join reads it twice, degrees once
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dz"))
+    val wedges = adj.select(col("z"), col("x").as("u"))
+      .join(adj.select(col("z"), col("x").as("v")), Seq("z"))
+      .where(col("u") < col("v"))
+    val nonEdge = wedges.join(me, Seq("u", "v"), "left_anti")
+    nonEdge.join(deg, Seq("z"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("840L div dz")).as("ra840"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("ra840"), asc("u"), asc("v"))))
+      .where(col("rk") <= 15)
+      .select(col("u"), col("v"), col("n_common"),
+        (round(col("ra840").cast("double") / 840.0, 6) + lit(0.0)).as("ra_score"))
+      .orderBy(desc("ra_score"), asc("u"), asc("v"))
+  }
 }

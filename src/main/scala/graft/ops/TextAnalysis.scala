@@ -1406,4 +1406,106 @@ object TextAnalysis {
           .as("resample_factor"))
       .orderBy(col("source"))
   }
+
+  /** The DSIR feature-space size: hashed unigram buckets. 512 keeps the
+    * broadcast ratio table trivially small; a production run raises it
+    * (the published method uses 10k hashed n-grams) — only this constant
+    * and the interpolated oracle move.
+    */
+  private[graft] val DsirBuckets = 512
+
+  /** M122 pipeline_dsir_weights (round 14) — Data Selection via
+    * Importance Resampling, the published hashed-n-gram recipe for
+    * "select corpus docs that look like the target distribution": unigram
+    * tokens hash into [[DsirBuckets]] buckets (md5 digit arithmetic — the
+    * agg_theta_kmv decode, mod buckets); the TARGET distribution is the
+    * English slice (lang = 'en' — the stand-in for "high-quality
+    * reference corpus" on this fixture); each bucket's add-one-smoothed
+    * importance RATIO p_target / p_corpus is integerized at 1e6, and a
+    * document's weight is its mean per-token ratio. The paper accumulates
+    * LOG ratios; this implementation deliberately accumulates the ratios
+    * themselves, because the ratio is exact RATIONAL arithmetic (integer
+    * products under 2^53, one correctly-rounded IEEE division —
+    * bit-identical on any engine) while ln is a libm call whose last-ulp
+    * JVM-vs-C differences land on fixed-point rounding boundaries
+    * (measured round 14: one bucket in 512 flipped the 1e6 grid and a
+    * doc's 6-dp weight with it — the M62 protocol survives only because
+    * its values never hit a boundary). Per-bucket monotone in the same
+    * direction as the log form; the cross-doc ranking is the mean-ratio
+    * variant of the published score. Top-20 most-target-like docs
+    * (weight desc, doc_id tiebreak).
+    *
+    * 100 TB: one corpus token pass builds the ≤buckets-row ratio table
+    * (broadcast); one more pass scores docs — the wordcount shape twice,
+    * no global state beyond the broadcast table.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = DsirBuckets
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+      // explicit floor: DuckDB CAST(double AS BIGINT) ROUNDS while Spark
+      // truncates — floor() is the one semantics both engines share
+      .withColumn("bkt", expr(s"CAST(floor((${Aggregates.KmvUExpr}) * $b) AS BIGINT)"))
+      .lineageCut(true) // the corpus pass and the target pass both read it
+    val corpus = toks.groupBy(col("bkt")).agg(count(lit(1)).as("cc"))
+    val target = toks.where(col("lang") === "en")
+      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(count(lit(1)).as("tc"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val ratio = corpus.join(target, Seq("bkt"), "left")
+      .crossJoin(broadcast(totals))
+      // CAST(1 AS DOUBLE), not `1.0`: Spark types bare decimal literals
+      // in SQL text as DECIMAL (see Aggregates.KmvUExpr) — the chain must
+      // stay pure IEEE double on both engines
+      .select(col("bkt"), expr(
+        s"CAST(round((coalesce(ct, 0) + CAST(1 AS DOUBLE)) * (tc + $b) / ((cc + CAST(1 AS DOUBLE)) * (tt + $b)) * 1e6) AS BIGINT)")
+        .as("lr_int"))
+    toks.join(broadcast(ratio), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_int")).as("s"))
+      // the mean is taken by INTEGER division to ppm first: s/(n·1e6)
+      // lands exactly on 6-dp half-boundaries whenever s ≡ n/2 (mod n) —
+      // a 1-in-n event per doc — where Spark's shortest-string HALF_UP
+      // and DuckDB's binary round disagree (the Cols money rule, hit
+      // live at sf0.1 round 14). s div n is exact on both engines and
+      // the resulting ppm/1e6 double sits ON the 6-dp grid, so the final
+      // round is the identity, never a coin flip.
+      .select(col("doc_id"), col("n_tokens"),
+        (round(expr("s div n_tokens").cast("double") / lit(1e6), 6)
+          + lit(0.0)).as("dsir_weight"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("dsir_weight"), asc("doc_id"))))
+      .where(col("rk") <= 20)
+      .orderBy(col("rk"))
+      .drop("rk")
+  }
+
+  /** M124 text_oov_rate (round 14) — tokenizer-health audit: the share of
+    * tokens per language that fall outside the corpus's own top-1000
+    * vocabulary (count desc, token tiebreak — the J9 deterministic rank).
+    * High OOV for a language means the shared vocabulary underserves it —
+    * the number multilingual tokenizer budgets are negotiated over.
+    *
+    * 100 TB: the wordcount pass, a 1000-row broadcast vocabulary, one
+    * more corpus pass with a broadcast anti-lookup — no corpus-sized
+    * shuffle beyond the two keyed counts.
+    */
+  def textOovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("vrank", row_number().over(Window.orderBy(desc("c"), asc("w"))))
+      .where(col("vrank") <= 1000)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        (round(col("n_oov").cast("double") / col("n_tokens"), 6) + lit(0.0))
+          .as("oov_rate"))
+      .orderBy(col("lang"))
+  }
 }

@@ -482,4 +482,80 @@ object Windows {
         (round(expr("percentile(lag_us, 0.5)"), 6) + lit(0.0)).as("p50_lag_us"),
         (round(expr("percentile(lag_us, 0.9)"), 6) + lit(0.0)).as("p90_lag_us"))
   }
+
+  /** L29 win_rfm_scores (round 14) — the RFM (recency / frequency /
+    * monetary) customer segmentation every commerce analytics stack runs:
+    * per customer the last order day (integer epoch days), order count,
+    * and exact-decimal lifetime spend, each scored into quintiles
+    * (ntile 5 with the deterministic (metric, custkey) total order —
+    * §5.3.4; score 5 = most recent / most frequent / highest spend),
+    * summarized one row per populated (r, f, m) segment. Spend stays
+    * exact DECIMAL through every sum; the per-segment mean is one double
+    * division, 6 dp.
+    *
+    * 100 TB: the per-customer aggregate is one keyed shuffle; the three
+    * quintile windows are GLOBAL — the deliberate F5 exception, and at
+    * scale each becomes the two-pass range-partitioned global rank
+    * `win_ntile_scalable` demonstrates; the segment summary is a
+    * ≤125-row aggregate.
+    */
+  def winRfmScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+          .as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(Cols.dec2(col("o_totalprice"))).as("spend"))
+    val scored = per
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(asc("last_day"), asc("o_custkey"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(asc("n_orders"), asc("o_custkey"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(asc("spend"), asc("o_custkey"))))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("segment_spend"),
+        (round(sum(col("spend")).cast("double") / count(lit(1)), 6) + lit(0.0))
+          .as("avg_spend"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** L30 win_cohort_ltv (round 14) — cumulative lifetime value by
+    * acquisition cohort: customers are grouped by their FIRST order month
+    * (integer month index — year·12 + month−1, no DATE on the wire), and
+    * each (cohort, months-since-first) cell reports the cohort's exact
+    * revenue plus the running cumulative revenue per acquired customer —
+    * the LTV curve growth teams read against acquisition cost. The
+    * retention twin (`win_retention_cohort`) counts who comes back; this
+    * prices what they spend. Ages with zero revenue are absent and the
+    * cumulative runs over PRESENT rows (both engines share the
+    * convention). Revenue is exact DECIMAL until the final per-customer
+    * division (6 dp).
+    *
+    * 100 TB: two keyed aggregates (per-customer min month, per-cell sum)
+    * + a per-cohort window over month-count-sized data — no global sort,
+    * no skew risk beyond the cohort key itself.
+    */
+  def winCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("year(o_orderdate) * 12 + (month(o_orderdate) - 1)").as("mo"),
+        Cols.dec2(col("o_totalprice")).as("price2"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("mo")).as("cohort_mo"))
+    val sz = cohort.groupBy(col("cohort_mo")).agg(count(lit(1)).as("cohort_size"))
+    val rev = o.join(cohort, Seq("o_custkey"))
+      .groupBy(col("cohort_mo"), (col("mo") - col("cohort_mo")).as("age_mo"))
+      .agg(sum(col("price2")).as("rev"))
+    val wCum = Window.partitionBy(col("cohort_mo")).orderBy(col("age_mo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sz, Seq("cohort_mo"))
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .select(col("cohort_mo"), col("age_mo"), col("cohort_size"),
+        col("rev").cast("double").as("rev"),
+        (round(col("cum_rev").cast("double") / col("cohort_size"), 6) + lit(0.0))
+          .as("ltv_per_customer"))
+      .orderBy(col("cohort_mo"), col("age_mo"))
+  }
 }

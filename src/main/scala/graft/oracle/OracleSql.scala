@@ -3473,6 +3473,151 @@ object OracleSql {
         |FROM topp, top, np ORDER BY n DESC, left_tok, right_tok""".stripMargin.replace("\n", " "),
 
     // M120: seeded 3-step walks — next = argmin md5(walk|step|neighbor)
+    // L29 (round 14): RFM quintile segmentation — exact decimal spend,
+    // deterministic ntile tiebreaks, one row per populated segment
+    "win_rfm_scores" ->
+      """WITH per AS (SELECT o_custkey, MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend FROM orders GROUP BY o_custkey),
+        |sc AS (SELECT *, NTILE(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
+        |NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+        |NTILE(5) OVER (ORDER BY spend, o_custkey) AS m_score FROM per)
+        |SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |CAST(SUM(spend) AS DOUBLE) AS segment_spend,
+        |round(CAST(SUM(spend) AS DOUBLE) / COUNT(*), 6) + 0.0 AS avg_spend
+        |FROM sc GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin.replace("\n", " "),
+
+    // L30 (round 14): cumulative LTV by acquisition-month cohort —
+    // integer month indices, exact decimal revenue, present-row cumsum
+    "win_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS mo,
+        |CAST(o_totalprice AS DECIMAL(12,2)) AS price2 FROM orders),
+        |ch AS (SELECT o_custkey, MIN(mo) AS cohort_mo FROM o GROUP BY o_custkey),
+        |sz AS (SELECT cohort_mo, COUNT(*) AS cohort_size FROM ch GROUP BY cohort_mo),
+        |rev AS (SELECT ch.cohort_mo, o.mo - ch.cohort_mo AS age_mo, SUM(price2) AS rev
+        |FROM o JOIN ch ON ch.o_custkey = o.o_custkey GROUP BY ch.cohort_mo, o.mo - ch.cohort_mo),
+        |cm AS (SELECT rev.*, SUM(rev) OVER (PARTITION BY cohort_mo ORDER BY age_mo
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev FROM rev)
+        |SELECT cm.cohort_mo, cm.age_mo, sz.cohort_size, CAST(cm.rev AS DOUBLE) AS rev,
+        |round(CAST(cum_rev AS DOUBLE) / sz.cohort_size, 6) + 0.0 AS ltv_per_customer
+        |FROM cm JOIN sz ON sz.cohort_mo = cm.cohort_mo
+        |ORDER BY cm.cohort_mo, cm.age_mo""".stripMargin.replace("\n", " "),
+
+    // E30 (round 14): KMV theta sketch with set operations — the shared
+    // digit-decoded md5 hash and k interpolate from the engine constants
+    "agg_theta_kmv" -> {
+      val k = graft.ops.Aggregates.ThetaKmvK
+      val u = graft.ops.Aggregates.KmvUExpr
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |du AS (SELECT event_type, user_id, $u AS u FROM
+        |(SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM d)),
+        |scp AS (SELECT event_type AS scope, user_id, u FROM du
+        |UNION ALL SELECT '__union', user_id, u FROM du),
+        |hs AS (SELECT DISTINCT scope, u FROM scp),
+        |rk AS (SELECT scope, u, ROW_NUMBER() OVER (PARTITION BY scope ORDER BY u) AS rn FROM hs),
+        |sk AS (SELECT scope, COUNT(*) AS n_hashes, MAX(CASE WHEN rn = $k THEN u END) AS uk FROM rk GROUP BY scope),
+        |ex AS (SELECT scope, COUNT(DISTINCT user_id) AS n_exact FROM scp GROUP BY scope),
+        |base AS (SELECT ex.scope, ex.n_exact,
+        |CASE WHEN sk.n_hashes >= $k THEN ${k - 1}.0 / sk.uk ELSE CAST(sk.n_hashes AS DOUBLE) END AS est
+        |FROM ex JOIN sk ON sk.scope = ex.scope),
+        |vps AS (SELECT event_type, u FROM (SELECT event_type, u,
+        |ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn FROM
+        |(SELECT DISTINCT event_type, u FROM du WHERE event_type IN ('view', 'purchase'))) WHERE rn <= $k),
+        |th AS (SELECT MIN(uk) AS th FROM (SELECT event_type, MAX(u) AS uk FROM vps GROUP BY event_type)),
+        |cm AS (SELECT th.th, COUNT(c.u) AS n_common FROM th LEFT JOIN
+        |(SELECT u FROM vps GROUP BY u HAVING COUNT(*) = 2) c ON c.u < th.th GROUP BY th.th),
+        |exb AS (SELECT COUNT(*) AS n_exact FROM (SELECT user_id FROM du
+        |WHERE event_type IN ('view', 'purchase') GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2)),
+        |ints AS (SELECT 'view&purchase' AS scope, exb.n_exact,
+        |CAST(cm.n_common AS DOUBLE) / cm.th AS est FROM exb, cm),
+        |uni AS (SELECT * FROM base UNION ALL SELECT * FROM ints)
+        |SELECT scope, CAST(n_exact AS BIGINT) AS n_exact, round(est, 6) + 0.0 AS kmv_est,
+        |round(abs(est - n_exact) / n_exact, 6) + 0.0 AS rel_err
+        |FROM uni ORDER BY scope""".stripMargin.replace("\n", " ")
+    },
+
+    // M122 (round 14): DSIR importance weights — hashed unigram buckets,
+    // add-one smoothing, per-bucket ln integerized at 1e6 (M62 protocol)
+    "pipeline_dsir_weights" -> {
+      val b = graft.ops.TextAnalysis.DsirBuckets
+      val u = graft.ops.Aggregates.KmvUExpr
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tb AS (SELECT doc_id, lang, CAST(floor(($u) * $b) AS BIGINT) AS bkt FROM
+        |(SELECT doc_id, lang, md5(w) AS h FROM tok)),
+        |cc AS (SELECT bkt, COUNT(*) AS cc FROM tb GROUP BY bkt),
+        |ct AS (SELECT bkt, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY bkt),
+        |tot AS (SELECT COUNT(*) AS tc, COUNT(*) FILTER (WHERE lang = 'en') AS tt FROM tb),
+        |ratio AS (SELECT cc.bkt,
+        |CAST(round((coalesce(ct.ct, 0) + CAST(1 AS DOUBLE)) * (tot.tc + $b) / ((cc.cc + CAST(1 AS DOUBLE)) * (tot.tt + $b)) * 1e6) AS BIGINT) AS lr_int
+        |FROM cc LEFT JOIN ct ON ct.bkt = cc.bkt, tot),
+        |sc AS (SELECT tb.doc_id, COUNT(*) AS n_tokens, SUM(r.lr_int) AS s
+        |FROM tb JOIN ratio r ON r.bkt = tb.bkt GROUP BY tb.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |round(CAST(s // n_tokens AS DOUBLE) / 1e6, 6) + 0.0 AS dsir_weight
+        |FROM (SELECT *, ROW_NUMBER() OVER
+        |(ORDER BY round(CAST(s // n_tokens AS DOUBLE) / 1e6, 6) + 0.0 DESC, doc_id) AS rk FROM sc)
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin.replace("\n", " ")
+    },
+
+    // M124 (round 14): per-language OOV rate vs the corpus top-1000 vocab
+    "text_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |voc AS (SELECT w FROM (SELECT w, ROW_NUMBER() OVER
+        |(ORDER BY COUNT(*) DESC, w) AS vrank FROM tok GROUP BY w) WHERE vrank <= 1000)
+        |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |CAST(COUNT(*) FILTER (WHERE voc.w IS NULL) AS BIGINT) AS n_oov,
+        |round(CAST(COUNT(*) FILTER (WHERE voc.w IS NULL) AS DOUBLE) / COUNT(*), 6) + 0.0 AS oov_rate
+        |FROM tok LEFT JOIN voc ON voc.w = tok.w
+        |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+
+    // N17 (round 14): exact Mann–Whitney AUC, doubled-integer tied ranks
+    "ml_auc_score" ->
+      """WITH bs AS (SELECT n_chars AS score, COUNT(*) AS n,
+        |COUNT(*) FILTER (WHERE lang = 'en') AS n_pos FROM documents GROUP BY n_chars),
+        |cb AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY score
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM bs),
+        |ag AS (SELECT SUM(n_pos * (2 * before + n + 1)) AS s2,
+        |SUM(n_pos) AS np, SUM(n - n_pos) AS nn FROM cb)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |round(CAST(s2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn), 6) + 0.0 AS auc
+        |FROM ag""".stripMargin.replace("\n", " "),
+
+    // J36 (round 14): range similarity search eval — exact ε-ball vs the
+    // standing shortlist at the same interpolated τ
+    "ann_range_search" ->
+      ("WITH " + knnFullChain +
+        s""", short AS (SELECT a_id, b_id, dot FROM frk WHERE rn <= $KF),
+        |q AS (SELECT vec_id AS a_id, emb FROM ef WHERE vec_id < 10),
+        |tru AS (SELECT q.a_id, COUNT(*) AS n_true FROM q JOIN ef e
+        |ON e.vec_id <> q.a_id AND list_dot_product(q.emb, e.emb) >= ${graft.ops.Similarity.RangeSearchTau} GROUP BY q.a_id),
+        |fnd AS (SELECT a_id, COUNT(*) AS n_found FROM short
+        |WHERE a_id < 10 AND dot >= ${graft.ops.Similarity.RangeSearchTau} GROUP BY a_id)
+        |SELECT q.a_id, COALESCE(tru.n_true, 0) AS n_true, COALESCE(fnd.n_found, 0) AS n_found,
+        |CASE WHEN COALESCE(tru.n_true, 0) > 0
+        |THEN round(CAST(COALESCE(fnd.n_found, 0) AS DOUBLE) / tru.n_true, 6) + 0.0
+        |ELSE 1.0 END AS range_recall
+        |FROM q LEFT JOIN tru ON tru.a_id = q.a_id LEFT JOIN fnd ON fnd.a_id = q.a_id
+        |ORDER BY q.a_id""".stripMargin).replace("\n", " "),
+
+    // M123 (round 14): resource-allocation link prediction on the mutual
+    // 8-NN graph — integer-exact Σ 840/deg over distance-2 non-edges
+    "graph_resource_alloc" ->
+      ("WITH " + knnFullChain +
+        s""", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF),
+        |me AS MATERIALIZED (SELECT a.a_id AS u, a.b_id AS v FROM knn a
+        |JOIN knn b ON b.a_id = a.b_id AND b.b_id = a.a_id WHERE a.a_id < a.b_id),
+        |ad AS MATERIALIZED (SELECT u AS z, v AS x FROM me UNION ALL SELECT v, u FROM me),
+        |dg AS (SELECT z, COUNT(*) AS dz FROM ad GROUP BY z),
+        |wg AS (SELECT a.z, a.x AS u, b.x AS v FROM ad a JOIN ad b ON b.z = a.z AND a.x < b.x),
+        |ne AS (SELECT wg.* FROM wg LEFT JOIN me ON me.u = wg.u AND me.v = wg.v WHERE me.u IS NULL),
+        |sc AS (SELECT ne.u, ne.v, COUNT(*) AS n_common, SUM(840 // dg.dz) AS ra840
+        |FROM ne JOIN dg ON dg.z = ne.z GROUP BY ne.u, ne.v),
+        |rkd AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ra840 DESC, u, v) AS rk FROM sc)
+        |SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+        |round(CAST(ra840 AS DOUBLE) / 840.0, 6) + 0.0 AS ra_score
+        |FROM rkd WHERE rk <= 15 ORDER BY ra_score DESC, u, v""".stripMargin).replace("\n", " "),
+
     "graph_random_walks" ->
       ("WITH " + knnFullChain +
         s""", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF),

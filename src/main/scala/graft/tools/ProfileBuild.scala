@@ -31,6 +31,31 @@ object ProfileBuild {
     def write(df: DataFrame, path: String): Unit =
       df.write.mode("overwrite").parquet(path)
 
+    // one-off: engine-side smallest KMV u values for one event type
+    if (args.length > 1 && args(1) == "kmvcheck") {
+      graft.Tables.events(spark, sfDir)
+        .where(org.apache.spark.sql.functions.col("event_type") === "click")
+        .select(org.apache.spark.sql.functions.col("user_id")).distinct()
+        .selectExpr("user_id", "md5(CAST(user_id AS STRING)) AS h")
+        .selectExpr("user_id", s"${graft.ops.Aggregates.KmvUExpr} AS u")
+        .selectExpr("user_id", "u", "u * 4294967296.0 AS v")
+        .orderBy("u").limit(9)
+        .collect().foreach(println)
+      spark.stop()
+      return
+    }
+    // one-off cross-engine hash parity probe
+    if (args.length > 1 && args(1) == "hashcheck") {
+      import spark.implicits._
+      val sumExpr = graft.ops.Aggregates.KmvUExpr.stripSuffix(" / 4294967296.0")
+      Seq("hello", "world", "the", "a", "12977").toDF("w")
+        .selectExpr("w", "md5(w) AS h")
+        .selectExpr("w", "h", s"$sumExpr AS s", s"typeof($sumExpr) AS t",
+          s"${graft.ops.Aggregates.KmvUExpr} AS u")
+        .collect().foreach(println)
+      spark.stop()
+      return
+    }
     // run any registered query with a per-stage metrics listener
     if (args.length > 1 && args(1) == "query") {
       val lst = new org.apache.spark.scheduler.SparkListener {

@@ -250,7 +250,10 @@ class PlanSpec extends SparkSpec {
       "pipeline_domain_mix_kl",   // broadcast 1-row total-token/K aggregate
       "ann_multitable_topk",      // 8 broadcast query vectors (exact-GT side, J3)
       "vec_dim_variance_prune",   // broadcast 1-row total-variance aggregate
-      "text_bpe_merge_round")     // broadcast 1-row top-pair + applied-count aggs
+      "text_bpe_merge_round",     // broadcast 1-row top-pair + applied-count aggs
+      "pipeline_dsir_weights",    // broadcast 1-row corpus/target token totals
+      "agg_theta_kmv",            // 1-row theta × 1-row exact-intersection joins
+      "ann_range_search")         // 10 broadcast query vectors (J3 pattern)
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
