@@ -477,5 +477,10 @@ object Queries {
     "ml_auc_score"              -> (MlFeatures.mlAucScore _),
     "ann_range_search"          -> (Similarity.annRangeSearch _),
     "graph_resource_alloc"      -> (Similarity.graphResourceAlloc _),
+    // round 14, second batch: local clustering coefficient, PR-curve
+    // operating points, retrain-churn audit
+    "graph_clustering_coeff"    -> (Similarity.graphClusteringCoeff _),
+    "ml_pr_curve"               -> (MlFeatures.mlPrCurve _),
+    "vec_retrain_churn"         -> (Similarity.vecRetrainChurn _),
   )
 }

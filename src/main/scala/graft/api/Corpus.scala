@@ -167,6 +167,10 @@ final class Corpus(val spark: SparkSession, val dir: String) {
   /** Exact Mann–Whitney ROC-AUC of a score vs a binary label (round 14). */
   def aucScore(): DataFrame = MlFeatures.mlAucScore(spark, dir)
 
+  /** Confusion matrix + precision/recall/F1 at five integer thresholds
+    * over the score range (round 14). */
+  def prCurve(): DataFrame = MlFeatures.mlPrCurve(spark, dir)
+
   /** DSIR hashed-n-gram importance weights vs the target slice (round 14). */
   def dsirWeights(): DataFrame = TextAnalysis.dsirWeights(spark, dir)
 
@@ -323,6 +327,11 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     /** Resource-allocation link prediction on the mutual-8NN graph
       * (round 14). */
     def resourceAlloc(): DataFrame = Similarity.graphResourceAlloc(spark, dir)
+    /** Local clustering coefficient per node, top-20 (round 14). */
+    def clusteringCoeff(): DataFrame = Similarity.graphClusteringCoeff(spark, dir)
+    /** Retrain churn: frozen-vs-fresh quantizer cell reassignment of the
+      * current corpus (round 14). */
+    def retrainChurn(): DataFrame = Similarity.vecRetrainChurn(spark, dir)
   }
 
   /** Data-quality checks. */
@@ -488,7 +497,10 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     "pipeline_dsir_weights" -> (() => dsirWeights()),
     "text_oov_rate" -> (() => text.oovRate()),
     "ann_range_search" -> (() => vectors.rangeSearch()),
-    "graph_resource_alloc" -> (() => vectors.resourceAlloc()))
+    "graph_resource_alloc" -> (() => vectors.resourceAlloc()),
+    "graph_clustering_coeff" -> (() => vectors.clusteringCoeff()),
+    "vec_retrain_churn" -> (() => vectors.retrainChurn()),
+    "ml_pr_curve" -> (() => prCurve()))
 }
 
 object Corpus {

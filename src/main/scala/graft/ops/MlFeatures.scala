@@ -139,4 +139,45 @@ object MlFeatures {
         (round((col("s2") - col("np") * (col("np") + 1L)).cast("double")
           / (lit(2.0) * col("np") * col("nn")), 6) + lit(0.0)).as("auc"))
   }
+
+  /** N18 ml_pr_curve (round 14) — the operating-point companion to
+    * [[mlAucScore]]: AUC summarizes ranking quality in one number; a
+    * deployed filter runs at a THRESHOLD, and this reports the full
+    * confusion matrix plus precision / recall / F1 at five integer
+    * thresholds spread evenly across the score range (min + k·(max−min)
+    * div 6, k = 1..5 — data-derived but exact-integer, so both engines
+    * agree by construction). F1 uses the single-fraction identity
+    * 2tp/(2tp+fp+fn); every ratio is ppm-integer-divided before the
+    * final 6-dp round (the round-14 boundary rule).
+    *
+    * 100 TB: counts per (distinct score) once, then a 5-row broadcast
+    * threshold grid × the distinct-score relation — no second corpus
+    * pass per threshold.
+    */
+  def mlPrCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val byScore = Tables.documents(spark, sfDir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val bounds = byScore.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val thresholds = bounds
+      .select(explode(expr("sequence(1, 5)")).as("k"), col("lo"), col("hi"))
+      .select(expr("CAST(lo + (k * (hi - lo)) div 6 AS BIGINT)").as("thr"))
+    byScore.crossJoin(broadcast(thresholds))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("score") >= col("thr"), col("n_pos")).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr"), col("n") - col("n_pos")).otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr"), col("n_pos")).otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("thr"), col("n") - col("n_pos")).otherwise(0L)).as("tn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        (round(expr("(tp * 1000000L) div (tp + fp)").cast("double") / 1e6, 6)
+          + lit(0.0)).as("precision"),
+        (round(expr("(tp * 1000000L) div (tp + fn)").cast("double") / 1e6, 6)
+          + lit(0.0)).as("recall"),
+        (round(expr("(2L * tp * 1000000L) div (2L * tp + fp + fn)").cast("double") / 1e6, 6)
+          + lit(0.0)).as("f1"))
+      .orderBy(col("thr"))
+  }
 }

@@ -2595,6 +2595,84 @@ object Similarity {
       .orderBy(col("a_id"))
   }
 
+  /** M125 graph_clustering_coeff (round 14) — the local clustering
+    * coefficient, the third classic per-node statistic after degree and
+    * coreness: cc(z) = 2·t(z) / (d(z)·(d(z)−1)), where t(z) counts the
+    * closed wedges centered at z on the full-corpus mutual-8NN graph.
+    * High-cc nodes sit inside tight near-dup/topic clusters; low-cc
+    * high-degree nodes are bridges — the signal cluster-quality audits
+    * read next to the component census. All-integer core (wedge counts,
+    * d(d−1)), the ratio integer-divided to ppm BEFORE the final 6-dp
+    * round (the round-14 boundary rule), top-20 by (cc, degree, node).
+    *
+    * 100 TB: wedges = one adjacency self-join with ≤8 fanout; closure =
+    * one semi-join against the edge list; both linear in |E|.
+    */
+  def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    val me = mutualKnnFullEdges(spark, sfDir).lineageCut(true)
+    val adj = me.select(col("u").as("z"), col("v").as("x"))
+      .unionAll(me.select(col("v").as("z"), col("u").as("x")))
+      .lineageCut(true) // degree agg + both wedge sides read it
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("degree"))
+    val closed = adj.select(col("z"), col("x").as("u"))
+      .join(adj.select(col("z"), col("x").as("v")), Seq("z"))
+      .where(col("u") < col("v"))
+      .join(me, Seq("u", "v"), "left_semi")
+      .groupBy(col("z")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(closed, Seq("z"), "left")
+      .select(col("z").as("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .where(col("degree") >= 2)
+      .withColumn("cc_ppm",
+        expr("(2L * n_triangles * 1000000L) div (degree * (degree - 1L))"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("cc_ppm"), desc("degree"), asc("node"))))
+      .where(col("rk") <= 20)
+      .select(col("node"), col("degree"), col("n_triangles"),
+        (round(col("cc_ppm").cast("double") / 1e6, 6) + lit(0.0))
+          .as("clustering"))
+      .orderBy(desc("clustering"), desc("degree"), asc("node"))
+  }
+
+  /** M126 vec_retrain_churn (round 14) — the retrain IMPACT audit
+    * completing the drift family: `vec_centroid_drift` measures how far
+    * the frozen quantizer's centroids moved; this measures what a
+    * retrain would DO — for every (frozen cell → fresh cell) pair, how
+    * many vectors would change cells if the quantizer were retrained on
+    * the current corpus, plus an overall row (cell = −1) with the total
+    * moved count and fraction. A high-drift cell whose members would not
+    * actually move is a cheap retrain; mass migration invalidates every
+    * cell-keyed artifact — the number that prices
+    * `index_policy_vecsearch`'s retrain decision. Both assignments run
+    * against broadcast ≤10-row quantizers; churn fractions are
+    * ppm-integer-divided before the 6-dp round.
+    */
+  def vecRetrainChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val baseDir = IndexStore.ensureVecBase(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+    val baseCent = spark.read.parquet(s"$baseDir/ivf_centroids")
+    val baseAsg = ivfAssignBuild(e, baseCent)
+      .select(col("vec_id"), col("cell").as("base_cell"))
+    val nowAsg = ivfAssignBuild(e, centroidsBuild(e))
+      .select(col("vec_id"), col("cell").as("now_cell"))
+    val joined = baseAsg.join(nowAsg, Seq("vec_id")).lineageCut(false)
+    val total = joined.agg(count(lit(1)).as("n_total"))
+    val moved = joined.where(col("base_cell") =!= col("now_cell"))
+      .groupBy(col("base_cell"), col("now_cell"))
+      .agg(count(lit(1)).as("n_moved"))
+      .lineageCut(false) // the overall row re-aggregates it
+    val overall = moved.agg(coalesce(sum(col("n_moved")), lit(0L)).as("n_moved"))
+      .select(lit(-1L).as("base_cell"), lit(-1L).as("now_cell"), col("n_moved"))
+    moved.select(col("base_cell").cast("long"), col("now_cell").cast("long"),
+        col("n_moved"))
+      .unionByName(overall)
+      .crossJoin(broadcast(total))
+      .select(col("base_cell"), col("now_cell"), col("n_moved"),
+        (round(expr("(n_moved * 1000000L) div n_total").cast("double") / 1e6, 6)
+          + lit(0.0)).as("moved_frac"))
+      .orderBy(col("base_cell"), col("now_cell"))
+  }
+
   /** M123 graph_resource_alloc (round 14) — link prediction by the
     * resource-allocation index (Zhou/Lü/Zhang): for every NON-edge pair
     * at distance 2 on the full-corpus mutual-8NN graph, score

@@ -3618,6 +3618,65 @@ object OracleSql {
         |round(CAST(ra840 AS DOUBLE) / 840.0, 6) + 0.0 AS ra_score
         |FROM rkd WHERE rk <= 15 ORDER BY ra_score DESC, u, v""".stripMargin).replace("\n", " "),
 
+    // M125 (round 14): local clustering coefficient on the mutual-8NN
+    // graph — all-integer wedge/triangle counts, ppm division
+    "graph_clustering_coeff" ->
+      ("WITH " + knnFullChain +
+        s""", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF),
+        |me AS MATERIALIZED (SELECT a.a_id AS u, a.b_id AS v FROM knn a
+        |JOIN knn b ON b.a_id = a.b_id AND b.b_id = a.a_id WHERE a.a_id < a.b_id),
+        |ad AS MATERIALIZED (SELECT u AS z, v AS x FROM me UNION ALL SELECT v, u FROM me),
+        |dg AS (SELECT z, COUNT(*) AS degree FROM ad GROUP BY z),
+        |cw AS (SELECT a.z, COUNT(*) AS n_triangles FROM ad a JOIN ad b ON b.z = a.z AND a.x < b.x
+        |JOIN me ON me.u = a.x AND me.v = b.x GROUP BY a.z),
+        |st AS (SELECT dg.z AS node, dg.degree, COALESCE(cw.n_triangles, 0) AS n_triangles,
+        |(2 * COALESCE(cw.n_triangles, 0) * 1000000) // (dg.degree * (dg.degree - 1)) AS cc_ppm
+        |FROM dg LEFT JOIN cw ON cw.z = dg.z WHERE dg.degree >= 2),
+        |rkd AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cc_ppm DESC, degree DESC, node) AS rk FROM st)
+        |SELECT node, CAST(degree AS BIGINT) AS degree, CAST(n_triangles AS BIGINT) AS n_triangles,
+        |round(CAST(cc_ppm AS DOUBLE) / 1e6, 6) + 0.0 AS clustering
+        |FROM rkd WHERE rk <= 20 ORDER BY clustering DESC, degree DESC, node""".stripMargin)
+        .replace("\n", " "),
+
+    // N18 (round 14): precision/recall/F1 at five exact-integer
+    // thresholds spread over the score range, ppm divisions
+    "ml_pr_curve" ->
+      """WITH bs AS (SELECT n_chars AS score, COUNT(*) AS n,
+        |COUNT(*) FILTER (WHERE lang = 'en') AS n_pos FROM documents GROUP BY n_chars),
+        |bd AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM bs),
+        |th AS (SELECT DISTINCT CAST(lo + (k * (hi - lo)) // 6 AS BIGINT) AS thr FROM bd, range(1, 6) t(k)),
+        |cf AS (SELECT th.thr,
+        |SUM(CASE WHEN score >= thr THEN n_pos ELSE 0 END) AS tp,
+        |SUM(CASE WHEN score >= thr THEN n - n_pos ELSE 0 END) AS fp,
+        |SUM(CASE WHEN score < thr THEN n_pos ELSE 0 END) AS fn,
+        |SUM(CASE WHEN score < thr THEN n - n_pos ELSE 0 END) AS tn
+        |FROM bs, th GROUP BY th.thr)
+        |SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |round(CAST((tp * 1000000) // (tp + fp) AS DOUBLE) / 1e6, 6) + 0.0 AS precision,
+        |round(CAST((tp * 1000000) // (tp + fn) AS DOUBLE) / 1e6, 6) + 0.0 AS recall,
+        |round(CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS DOUBLE) / 1e6, 6) + 0.0 AS f1
+        |FROM cf ORDER BY thr""".stripMargin.replace("\n", " "),
+
+    // M126 (round 14): retrain churn — frozen-quantizer vs
+    // fresh-quantizer cell assignment of the CURRENT corpus; reuses the
+    // two-snapshot chain's base assignment (g2own) and the full chain's
+    // fresh assignment (fasg); unreferenced CTEs are never evaluated
+    "vec_retrain_churn" ->
+      ("WITH " + knnFullChain + ", " + knnTwoSnapChain +
+        """, jn AS (SELECT g.vec_id, g.cell AS base_cell, f.cell AS now_cell
+        |FROM g2own g JOIN fasg f ON f.vec_id = g.vec_id),
+        |tot AS (SELECT COUNT(*) AS n_total FROM jn),
+        |mv AS (SELECT CAST(base_cell AS BIGINT) AS base_cell, CAST(now_cell AS BIGINT) AS now_cell,
+        |COUNT(*) AS n_moved FROM jn WHERE base_cell <> now_cell GROUP BY base_cell, now_cell),
+        |ovr AS (SELECT CAST(-1 AS BIGINT) AS base_cell, CAST(-1 AS BIGINT) AS now_cell,
+        |COALESCE(SUM(n_moved), 0) AS n_moved FROM mv),
+        |uni AS (SELECT * FROM mv UNION ALL SELECT * FROM ovr)
+        |SELECT base_cell, now_cell, CAST(n_moved AS BIGINT) AS n_moved,
+        |round(CAST((n_moved * 1000000) // tot.n_total AS DOUBLE) / 1e6, 6) + 0.0 AS moved_frac
+        |FROM uni, tot ORDER BY base_cell, now_cell""".stripMargin)
+        .replace("\n", " "),
+
     "graph_random_walks" ->
       ("WITH " + knnFullChain +
         s""", knn AS MATERIALIZED (SELECT a_id, b_id FROM frk WHERE rn <= $KF),

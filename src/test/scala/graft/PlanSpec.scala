@@ -253,7 +253,9 @@ class PlanSpec extends SparkSpec {
       "text_bpe_merge_round",     // broadcast 1-row top-pair + applied-count aggs
       "pipeline_dsir_weights",    // broadcast 1-row corpus/target token totals
       "agg_theta_kmv",            // 1-row theta × 1-row exact-intersection joins
-      "ann_range_search")         // 10 broadcast query vectors (J3 pattern)
+      "ann_range_search",         // 10 broadcast query vectors (J3 pattern)
+      "ml_pr_curve",              // 5-row broadcast threshold grid
+      "vec_retrain_churn")        // two 10-row quantizer broadcasts + 1-row total
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
