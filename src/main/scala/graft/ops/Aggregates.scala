@@ -1159,9 +1159,12 @@ object Aggregates {
     * to 5e-13 — caught live at sf1 round 14, where (k−1)/u_k amplified
     * it into the 6th printed digit); DuckDB keeps doubles either way.
     */
-  private[graft] val KmvUExpr: String = (1 to 8).map { j =>
+  private[graft] val KmvSumExpr: String = (1 to 8).map { j =>
     s"CAST(${1L << (4 * (8 - j))} AS BIGINT) * (instr('0123456789abcdef', substring(h, $j, 1)) - 1)"
-  }.mkString("(", " + ", ") / CAST(4294967296 AS DOUBLE)")
+  }.mkString("(", " + ", ")")
+
+  private[graft] val KmvUExpr: String =
+    s"$KmvSumExpr / CAST(4294967296 AS DOUBLE)"
 
   /** E30 agg_theta_kmv (round 14) — the KMV / theta distinct sketch with
     * SET OPERATIONS, the capability the HLL family (E9/E16) lacks: HLL

@@ -161,9 +161,14 @@ object MlFeatures {
       .groupBy(col("score"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
     val bounds = byScore.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    // dropDuplicates matches the oracle's SELECT DISTINCT: on a narrow
+    // score range (hi - lo <= 4) the integer grid collides (e.g. k=3 and
+    // k=4 at hi-lo=4), and a duplicate threshold row would double every
+    // count on the engine side only (ADVICE r14)
     val thresholds = bounds
       .select(explode(expr("sequence(1, 5)")).as("k"), col("lo"), col("hi"))
       .select(expr("CAST(lo + (k * (hi - lo)) div 6 AS BIGINT)").as("thr"))
+      .dropDuplicates("thr")
     byScore.crossJoin(broadcast(thresholds))
       .groupBy(col("thr"))
       .agg(

@@ -3537,7 +3537,9 @@ object OracleSql {
     },
 
     // M122 (round 14): DSIR importance weights — hashed unigram buckets,
-    // add-one smoothing, per-bucket ln integerized at 1e6 (M62 protocol)
+    // add-one smoothing, per-bucket importance RATIO integerized at 1e6
+    // (ratio, not ln — cross-engine libm ln differs in the last ulp; see
+    // TextAnalysis.dsirWeights)
     "pipeline_dsir_weights" -> {
       val b = graft.ops.TextAnalysis.DsirBuckets
       val u = graft.ops.Aggregates.KmvUExpr

@@ -47,7 +47,10 @@ object ProfileBuild {
     // one-off cross-engine hash parity probe
     if (args.length > 1 && args(1) == "hashcheck") {
       import spark.implicits._
-      val sumExpr = graft.ops.Aggregates.KmvUExpr.stripSuffix(" / 4294967296.0")
+      // the raw integer digit sum, taken from its own definition rather
+      // than string-stripping KmvUExpr (ADVICE r14: a stripSuffix of the
+      // wrong literal silently showed the post-division double)
+      val sumExpr = graft.ops.Aggregates.KmvSumExpr
       Seq("hello", "world", "the", "a", "12977").toDF("w")
         .selectExpr("w", "md5(w) AS h")
         .selectExpr("w", "h", s"$sumExpr AS s", s"typeof($sumExpr) AS t",

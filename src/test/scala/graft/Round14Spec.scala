@@ -27,10 +27,12 @@ class Round14Spec extends SparkSpec {
     val fast = ops.Similarity.knnShortlistFull(e, assigned, cent, k).cache()
     try {
       assert(fast.count() === reference.count())
-      // exact set equality, dots included — the pre-cut is a pure
-      // execution-strategy change, never a row change
-      assert(fast.except(reference).count() === 0L)
-      assert(reference.except(fast).count() === 0L)
+      // exact MULTISET equality, dots included — the pre-cut is a pure
+      // execution-strategy change, never a row change; exceptAll (not
+      // except) so compensating multiplicity differences can't cancel
+      // (ADVICE r14)
+      assert(fast.exceptAll(reference).count() === 0L)
+      assert(reference.exceptAll(fast).count() === 0L)
     } finally fast.unpersist()
   }
 
