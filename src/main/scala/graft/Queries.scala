@@ -482,5 +482,14 @@ object Queries {
     "graph_clustering_coeff"    -> (Similarity.graphClusteringCoeff _),
     "ml_pr_curve"               -> (MlFeatures.mlPrCurve _),
     "vec_retrain_churn"         -> (Similarity.vecRetrainChurn _),
+    // round 15: the F5v2 two-pass range-partitioned twin of the RFM
+    // segmentation — same oracle SQL as L29, no global ntile window
+    "win_rfm_scores_scalable"   -> (Windows.winRfmScoresScalable _),
+    // round 15: model-quality operating tables (calibration + lift) on
+    // the N17 fixture, and the CCNet-style per-language rarity terciles —
+    // all three ride the F5v2 two-pass rank, exact-integer hash paths
+    "ml_calibration_bins"       -> (MlFeatures.mlCalibrationBins _),
+    "ml_lift_deciles"           -> (MlFeatures.mlLiftDeciles _),
+    "text_rarity_buckets"       -> (TextAnalysis.rarityBuckets _),
   )
 }

@@ -125,6 +125,42 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def wordcount(): DataFrame = VectorText.textWordcount(spark, dir)
     /** Sparse TF-IDF cosine top-k doc pairs via inverted index. */
     def sparseCosineTopk(): DataFrame = VectorText.sparseCosineTopk(spark, dir)
+    /** Typed facade of `text_bm25_topk` (delegates to [[graft.ops.TextAnalysis.bm25Topk]]). */
+    def bm25Topk(): DataFrame = TextAnalysis.bm25Topk(spark, dir)
+    /** Typed facade of `text_bpe_pair_stats` (delegates to [[graft.ops.TextAnalysis.bpePairStats]]). */
+    def bpePairStats(): DataFrame = TextAnalysis.bpePairStats(spark, dir)
+    /** Typed facade of `text_exact_dedup` (delegates to [[graft.ops.VectorText.textExactDedup]]). */
+    def exactDedup(): DataFrame = VectorText.textExactDedup(spark, dir)
+    /** Typed facade of `text_gopher_gates` (delegates to [[graft.ops.TextAnalysis.gopherGates]]). */
+    def gopherGates(): DataFrame = TextAnalysis.gopherGates(spark, dir)
+    /** Typed facade of `text_jaccard_pairs` (delegates to [[graft.ops.VectorText.textJaccardPairs]]). */
+    def jaccardPairs(): DataFrame = VectorText.textJaccardPairs(spark, dir)
+    /** Typed facade of `text_lang_stats` (delegates to [[graft.ops.VectorText.textLangStats]]). */
+    def langStats(): DataFrame = VectorText.textLangStats(spark, dir)
+    /** Typed facade of `text_levenshtein_pairs` (delegates to [[graft.ops.TextAnalysis.levenshteinPairs]]). */
+    def levenshteinPairs(): DataFrame = TextAnalysis.levenshteinPairs(spark, dir)
+    /** Typed facade of `text_ngram_topk` (delegates to [[graft.ops.TextAnalysis.ngramTopk]]). */
+    def ngramTopk(): DataFrame = TextAnalysis.ngramTopk(spark, dir)
+    /** Typed facade of `text_paragraph_dedup` (delegates to [[graft.ops.Dedup.paragraphDedup]]). */
+    def paragraphDedup(): DataFrame = Dedup.paragraphDedup(spark, dir)
+    /** Typed facade of `text_perplexity_proxy` (delegates to [[graft.ops.TextAnalysis.perplexityProxy]]). */
+    def perplexityProxy(): DataFrame = TextAnalysis.perplexityProxy(spark, dir)
+    /** Typed facade of `text_repetition_stats` (delegates to [[graft.ops.TextAnalysis.repetitionStats]]). */
+    def repetitionStats(): DataFrame = TextAnalysis.repetitionStats(spark, dir)
+    /** Typed facade of `text_shingle_generate` (delegates to [[graft.ops.TextAnalysis.shingleGenerate]]). */
+    def shingleGenerate(): DataFrame = TextAnalysis.shingleGenerate(spark, dir)
+    /** Typed facade of `text_source_entropy` (delegates to [[graft.ops.TextAnalysis.sourceEntropy]]). */
+    def sourceEntropy(): DataFrame = TextAnalysis.sourceEntropy(spark, dir)
+    /** Typed facade of `text_tfidf_top` (delegates to [[graft.ops.VectorText.textTfidfTop]]). */
+    def tfidfTop(): DataFrame = VectorText.textTfidfTop(spark, dir)
+    /** Typed facade of `text_token_explode` (delegates to [[graft.ops.VectorText.textTokenExplode]]). */
+    def tokenExplode(): DataFrame = VectorText.textTokenExplode(spark, dir)
+    /** Typed facade of `text_vocab_chao1` (delegates to [[graft.ops.TextAnalysis.vocabChao1]]). */
+    def vocabChao1(): DataFrame = TextAnalysis.vocabChao1(spark, dir)
+    /** Typed facade of `text_zipf_slope` (delegates to [[graft.ops.TextAnalysis.textZipfSlope]]). */
+    def zipfSlope(): DataFrame = TextAnalysis.textZipfSlope(spark, dir)
+    /** CCNet-style per-language head/middle/tail rarity terciles. */
+    def rarityBuckets(): DataFrame = TextAnalysis.rarityBuckets(spark, dir)
   }
 
   /** Per-doc novelty of 5-grams in ingest order (crawl-dup early warning). */
@@ -158,6 +194,11 @@ final class Corpus(val spark: SparkSession, val dir: String) {
   /** RFM quintile customer segmentation (round 14). */
   def rfmScores(): DataFrame = Windows.winRfmScores(spark, dir)
 
+  /** The F5v2 two-pass range-partitioned twin of [[rfmScores]] — same
+    * segments, no single-partition global window (the 100 TB path).
+    */
+  def rfmScoresScalable(): DataFrame = Windows.winRfmScoresScalable(spark, dir)
+
   /** Cumulative lifetime value by acquisition cohort (round 14). */
   def cohortLtv(): DataFrame = Windows.winCohortLtv(spark, dir)
 
@@ -170,6 +211,14 @@ final class Corpus(val spark: SparkSession, val dir: String) {
   /** Confusion matrix + precision/recall/F1 at five integer thresholds
     * over the score range (round 14). */
   def prCurve(): DataFrame = MlFeatures.mlPrCurve(spark, dir)
+
+  /** Decile calibration (reliability) table on the AUC fixture — two-pass
+    * range-partitioned deciles, exact-integer cells.
+    */
+  def calibrationBins(): DataFrame = MlFeatures.mlCalibrationBins(spark, dir)
+
+  /** Cumulative-gains / lift table (score-descending deciles). */
+  def liftDeciles(): DataFrame = MlFeatures.mlLiftDeciles(spark, dir)
 
   /** DSIR hashed-n-gram importance weights vs the target slice (round 14). */
   def dsirWeights(): DataFrame = TextAnalysis.dsirWeights(spark, dir)
@@ -352,6 +401,18 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def ksTest(): DataFrame = DataQuality.dqKsTest(spark, dir)
     /** Registry-diff schema drift between the two time halves (round 13). */
     def schemaDrift(): DataFrame = DataQuality.dqSchemaDrift(spark, dir)
+    /** Typed facade of `dq_ab_ttest` (delegates to [[graft.ops.DataQuality.dqAbTtest]]). */
+    def abTtest(): DataFrame = DataQuality.dqAbTtest(spark, dir)
+    /** Typed facade of `dq_freshness_lag` (delegates to [[graft.ops.DataQuality.dqFreshnessLag]]). */
+    def freshnessLag(): DataFrame = DataQuality.dqFreshnessLag(spark, dir)
+    /** Typed facade of `dq_incident_islands` (delegates to [[graft.ops.DataQuality.dqIncidentIslands]]). */
+    def incidentIslands(): DataFrame = DataQuality.dqIncidentIslands(spark, dir)
+    /** Typed facade of `dq_outlier_tukey` (delegates to [[graft.ops.DataQuality.dqOutlierTukey]]). */
+    def outlierTukey(): DataFrame = DataQuality.dqOutlierTukey(spark, dir)
+    /** Typed facade of `dq_pk_uniqueness` (delegates to [[graft.ops.DataQuality.dqPkUniqueness]]). */
+    def pkUniqueness(): DataFrame = DataQuality.dqPkUniqueness(spark, dir)
+    /** Typed facade of `dq_profile_drift` (delegates to [[graft.ops.DataQuality.dqProfileDrift]]). */
+    def profileDrift(): DataFrame = DataQuality.dqProfileDrift(spark, dir)
   }
 
   /** Multimodal (opaque binary) columns. */
@@ -378,6 +439,184 @@ final class Corpus(val spark: SparkSession, val dir: String) {
       * slice, merge pair relations — row-identical to a full rebuild at
       * delta-sized cost (round 11). */
     def indexUpdate(): DataFrame = IndexStore.indexUpdateMediasig(spark, dir)
+  }
+
+  /** The relational/commerce workload battery (the wk_* contract family). */
+  object workload {
+    /** Typed facade of `wk_q10_returns` (delegates to [[graft.ops.Workload.q10Returns]]). */
+    def q10Returns(): DataFrame = Workload.q10Returns(spark, dir)
+    /** Typed facade of `wk_q11_important_stock` (delegates to [[graft.ops.Workload.q11ImportantStock]]). */
+    def q11ImportantStock(): DataFrame = Workload.q11ImportantStock(spark, dir)
+    /** Typed facade of `wk_q12_lag_priority` (delegates to [[graft.ops.Workload.q12LagPriority]]). */
+    def q12LagPriority(): DataFrame = Workload.q12LagPriority(spark, dir)
+    /** Typed facade of `wk_q13_order_count_dist` (delegates to [[graft.ops.Workload.q13OrderCountDist]]). */
+    def q13OrderCountDist(): DataFrame = Workload.q13OrderCountDist(spark, dir)
+    /** Typed facade of `wk_q14_promo_share` (delegates to [[graft.ops.Workload.q14PromoShare]]). */
+    def q14PromoShare(): DataFrame = Workload.q14PromoShare(spark, dir)
+    /** Typed facade of `wk_q15_top_supplier` (delegates to [[graft.ops.Workload.q15TopSupplier]]). */
+    def q15TopSupplier(): DataFrame = Workload.q15TopSupplier(spark, dir)
+    /** Typed facade of `wk_q16_supplier_cnt` (delegates to [[graft.ops.Workload.q16SupplierCnt]]). */
+    def q16SupplierCnt(): DataFrame = Workload.q16SupplierCnt(spark, dir)
+    /** Typed facade of `wk_q17_small_qty_revenue` (delegates to [[graft.ops.Workload.q17SmallQtyRevenue]]). */
+    def q17SmallQtyRevenue(): DataFrame = Workload.q17SmallQtyRevenue(spark, dir)
+    /** Typed facade of `wk_q18_large_orders` (delegates to [[graft.ops.Workload.q18LargeOrders]]). */
+    def q18LargeOrders(): DataFrame = Workload.q18LargeOrders(spark, dir)
+    /** Typed facade of `wk_q19_brand_discounts` (delegates to [[graft.ops.Workload.q19BrandDiscounts]]). */
+    def q19BrandDiscounts(): DataFrame = Workload.q19BrandDiscounts(spark, dir)
+    /** Typed facade of `wk_q20_excess_stock` (delegates to [[graft.ops.Workload.q20ExcessStock]]). */
+    def q20ExcessStock(): DataFrame = Workload.q20ExcessStock(spark, dir)
+    /** Typed facade of `wk_q21_late_supplier` (delegates to [[graft.ops.Workload.q21LateSupplier]]). */
+    def q21LateSupplier(): DataFrame = Workload.q21LateSupplier(spark, dir)
+    /** Typed facade of `wk_q22_lapsed_customers` (delegates to [[graft.ops.Workload.q22LapsedCustomers]]). */
+    def q22LapsedCustomers(): DataFrame = Workload.q22LapsedCustomers(spark, dir)
+    /** Typed facade of `wk_q2_min_cost_supplier` (delegates to [[graft.ops.Workload.q2MinCostSupplier]]). */
+    def q2MinCostSupplier(): DataFrame = Workload.q2MinCostSupplier(spark, dir)
+    /** Typed facade of `wk_q3_shipping_priority` (delegates to [[graft.ops.Workload.q3ShippingPriority]]). */
+    def q3ShippingPriority(): DataFrame = Workload.q3ShippingPriority(spark, dir)
+    /** Typed facade of `wk_q4_order_priority` (delegates to [[graft.ops.Workload.q4OrderPriority]]). */
+    def q4OrderPriority(): DataFrame = Workload.q4OrderPriority(spark, dir)
+    /** Typed facade of `wk_q5_region_volume` (delegates to [[graft.ops.Workload.q5RegionVolume]]). */
+    def q5RegionVolume(): DataFrame = Workload.q5RegionVolume(spark, dir)
+    /** Typed facade of `wk_q6_discount_revenue` (delegates to [[graft.ops.Workload.q6DiscountRevenue]]). */
+    def q6DiscountRevenue(): DataFrame = Workload.q6DiscountRevenue(spark, dir)
+    /** Typed facade of `wk_q7_region_trade` (delegates to [[graft.ops.Workload.q7RegionTrade]]). */
+    def q7RegionTrade(): DataFrame = Workload.q7RegionTrade(spark, dir)
+    /** Typed facade of `wk_q8_market_share` (delegates to [[graft.ops.Workload.q8MarketShare]]). */
+    def q8MarketShare(): DataFrame = Workload.q8MarketShare(spark, dir)
+    /** Typed facade of `wk_q9_product_profit` (delegates to [[graft.ops.Workload.q9ProductProfit]]). */
+    def q9ProductProfit(): DataFrame = Workload.q9ProductProfit(spark, dir)
+  }
+
+  /** Time-series analytics over the events stream (the ts_* family). */
+  object timeseries {
+    /** Typed facade of `ts_autocorr_hourly` (delegates to [[graft.ops.Aggregates.tsAutocorrHourly]]). */
+    def autocorrHourly(): DataFrame = Aggregates.tsAutocorrHourly(spark, dir)
+    /** Typed facade of `ts_changepoint_cusum` (delegates to [[graft.ops.Aggregates.tsChangepointCusum]]). */
+    def changepointCusum(): DataFrame = Aggregates.tsChangepointCusum(spark, dir)
+    /** Typed facade of `ts_downsample_ohlc` (delegates to [[graft.ops.Aggregates.tsDownsampleOhlc]]). */
+    def downsampleOhlc(): DataFrame = Aggregates.tsDownsampleOhlc(spark, dir)
+    /** Typed facade of `ts_forecast_baseline_mae` (delegates to [[graft.ops.Aggregates.tsForecastBaselineMae]]). */
+    def forecastBaselineMae(): DataFrame = Aggregates.tsForecastBaselineMae(spark, dir)
+    /** Typed facade of `ts_gapfill_hourly` (delegates to [[graft.ops.Aggregates.gapfillHourly]]). */
+    def gapfillHourly(): DataFrame = Aggregates.gapfillHourly(spark, dir)
+    /** Typed facade of `ts_hourofday_profile` (delegates to [[graft.ops.Aggregates.tsHourOfDayProfile]]). */
+    def hourofdayProfile(): DataFrame = Aggregates.tsHourOfDayProfile(spark, dir)
+    /** Typed facade of `ts_interval_union` (delegates to [[graft.ops.Windows.tsIntervalUnion]]). */
+    def intervalUnion(): DataFrame = Windows.tsIntervalUnion(spark, dir)
+    /** Typed facade of `ts_resample_interp_5m` (delegates to [[graft.ops.Aggregates.tsResampleInterp5m]]). */
+    def resampleInterp5m(): DataFrame = Aggregates.tsResampleInterp5m(spark, dir)
+    /** Typed facade of `ts_seasonal_anova` (delegates to [[graft.ops.Aggregates.tsSeasonalAnova]]). */
+    def seasonalAnova(): DataFrame = Aggregates.tsSeasonalAnova(spark, dir)
+    /** Typed facade of `ts_seasonal_decompose` (delegates to [[graft.ops.Aggregates.tsSeasonalDecompose]]). */
+    def seasonalDecompose(): DataFrame = Aggregates.tsSeasonalDecompose(spark, dir)
+  }
+
+  /** Window/sequence analytics (the win_* family). */
+  object windows {
+    /** Typed facade of `win_cume_dist_pct` (delegates to [[graft.ops.Windows.winCumeDistPct]]). */
+    def cumeDistPct(): DataFrame = Windows.winCumeDistPct(spark, dir)
+    /** Typed facade of `win_cumulative_distinct` (delegates to [[graft.ops.Streaming.winCumulativeDistinct]]). */
+    def cumulativeDistinct(): DataFrame = Streaming.winCumulativeDistinct(spark, dir)
+    /** Typed facade of `win_drawdown` (delegates to [[graft.ops.Windows.winDrawdown]]). */
+    def drawdown(): DataFrame = Windows.winDrawdown(spark, dir)
+    /** Typed facade of `win_ewma` (delegates to [[graft.ops.Windows.winEwma]]). */
+    def ewma(): DataFrame = Windows.winEwma(spark, dir)
+    /** Typed facade of `win_first_last` (delegates to [[graft.ops.Windows.winFirstLast]]). */
+    def firstLast(): DataFrame = Windows.winFirstLast(spark, dir)
+    /** Typed facade of `win_lead_lag` (delegates to [[graft.ops.Windows.winLeadLag]]). */
+    def leadLag(): DataFrame = Windows.winLeadLag(spark, dir)
+    /** Typed facade of `win_nth_value` (delegates to [[graft.ops.Windows.winNthValue]]). */
+    def nthValue(): DataFrame = Windows.winNthValue(spark, dir)
+    /** Typed facade of `win_ntile_pct` (delegates to [[graft.ops.Windows.winNtilePct]]). */
+    def ntilePct(): DataFrame = Windows.winNtilePct(spark, dir)
+    /** Typed facade of `win_ntile_scalable` (delegates to [[graft.ops.Windows.winNtileScalable]]). */
+    def ntileScalable(): DataFrame = Windows.winNtileScalable(spark, dir)
+    /** Typed facade of `win_pattern_match` (delegates to [[graft.ops.Windows.winPatternMatch]]). */
+    def patternMatch(): DataFrame = Windows.winPatternMatch(spark, dir)
+    /** Typed facade of `win_period_over_period` (delegates to [[graft.ops.Aggregates.winPeriodOverPeriod]]). */
+    def periodOverPeriod(): DataFrame = Aggregates.winPeriodOverPeriod(spark, dir)
+    /** Typed facade of `win_range_frame` (delegates to [[graft.ops.Windows.winRangeFrame]]). */
+    def rangeFrame(): DataFrame = Windows.winRangeFrame(spark, dir)
+    /** Typed facade of `win_rank_topn` (delegates to [[graft.ops.Windows.winRankTopn]]). */
+    def rankTopn(): DataFrame = Windows.winRankTopn(spark, dir)
+    /** Typed facade of `win_ratio_to_report` (delegates to [[graft.ops.Windows.winRatioToReport]]). */
+    def ratioToReport(): DataFrame = Windows.winRatioToReport(spark, dir)
+    /** Typed facade of `win_retention_cohort` (delegates to [[graft.ops.Streaming.retentionCohort]]). */
+    def retentionCohort(): DataFrame = Streaming.retentionCohort(spark, dir)
+    /** Typed facade of `win_rolling_7d` (delegates to [[graft.ops.Windows.winRolling7d]]). */
+    def rolling7d(): DataFrame = Windows.winRolling7d(spark, dir)
+    /** Typed facade of `win_rolling_median` (delegates to [[graft.ops.Windows.winRollingMedian]]). */
+    def rollingMedian(): DataFrame = Windows.winRollingMedian(spark, dir)
+    /** Typed facade of `win_running_total` (delegates to [[graft.ops.Windows.winRunningTotal]]). */
+    def runningTotal(): DataFrame = Windows.winRunningTotal(spark, dir)
+    /** Typed facade of `win_streak_islands` (delegates to [[graft.ops.Windows.winStreakIslands]]). */
+    def streakIslands(): DataFrame = Windows.winStreakIslands(spark, dir)
+  }
+
+  /** Aggregation analytics — sketches, stats, OLAP rollups (agg_*). */
+  object analytics {
+    /** Typed facade of `agg_approx_hll` (delegates to [[graft.ops.Aggregates.aggApproxHll]]). */
+    def approxHll(): DataFrame = Aggregates.aggApproxHll(spark, dir)
+    /** Typed facade of `agg_bitmap_distinct` (delegates to [[graft.ops.Aggregates.aggBitmapDistinct]]). */
+    def bitmapDistinct(): DataFrame = Aggregates.aggBitmapDistinct(spark, dir)
+    /** Typed facade of `agg_bool` (delegates to [[graft.ops.Relational.aggBool]]). */
+    def bool(): DataFrame = Relational.aggBool(spark, dir)
+    /** Typed facade of `agg_collect_sorted` (delegates to [[graft.ops.Aggregates.aggCollectSorted]]). */
+    def collectSorted(): DataFrame = Aggregates.aggCollectSorted(spark, dir)
+    /** Typed facade of `agg_corr_pairs` (delegates to [[graft.ops.Aggregates.aggCorrPairs]]). */
+    def corrPairs(): DataFrame = Aggregates.aggCorrPairs(spark, dir)
+    /** Typed facade of `agg_count_distinct` (delegates to [[graft.ops.Aggregates.aggCountDistinct]]). */
+    def countDistinct(): DataFrame = Aggregates.aggCountDistinct(spark, dir)
+    /** Typed facade of `agg_cube` (delegates to [[graft.ops.Aggregates.aggCube]]). */
+    def cube(): DataFrame = Aggregates.aggCube(spark, dir)
+    /** Typed facade of `agg_decay_halflife` (delegates to [[graft.ops.Aggregates.aggDecayHalflife]]). */
+    def decayHalflife(): DataFrame = Aggregates.aggDecayHalflife(spark, dir)
+    /** Typed facade of `agg_filter_clause` (delegates to [[graft.ops.Relational.aggFilterClause]]). */
+    def filterClause(): DataFrame = Relational.aggFilterClause(spark, dir)
+    /** Typed facade of `agg_gini_revenue` (delegates to [[graft.ops.Aggregates.aggGiniRevenue]]). */
+    def giniRevenue(): DataFrame = Aggregates.aggGiniRevenue(spark, dir)
+    /** Typed facade of `agg_group_by_all` (delegates to [[graft.ops.Relational.aggGroupByAll]]). */
+    def groupByAll(): DataFrame = Relational.aggGroupByAll(spark, dir)
+    /** Typed facade of `agg_grouping_id` (delegates to [[graft.ops.Aggregates.aggGroupingId]]). */
+    def groupingId(): DataFrame = Aggregates.aggGroupingId(spark, dir)
+    /** Typed facade of `agg_grouping_sets` (delegates to [[graft.ops.Aggregates.aggGroupingSets]]). */
+    def groupingSets(): DataFrame = Aggregates.aggGroupingSets(spark, dir)
+    /** Typed facade of `agg_histogram` (delegates to [[graft.ops.Aggregates.aggHistogram]]). */
+    def histogram(): DataFrame = Aggregates.aggHistogram(spark, dir)
+    /** Typed facade of `agg_histogram_equidepth` (delegates to [[graft.ops.Aggregates.aggHistogramEquidepth]]). */
+    def histogramEquidepth(): DataFrame = Aggregates.aggHistogramEquidepth(spark, dir)
+    /** Typed facade of `agg_hll_sketch_union` (delegates to [[graft.ops.Aggregates.aggHllSketchUnion]]). */
+    def hllSketchUnion(): DataFrame = Aggregates.aggHllSketchUnion(spark, dir)
+    /** Typed facade of `agg_incremental_merge` (delegates to [[graft.ops.Aggregates.aggIncrementalMerge]]). */
+    def incrementalMerge(): DataFrame = Aggregates.aggIncrementalMerge(spark, dir)
+    /** Typed facade of `agg_min_max_by` (delegates to [[graft.ops.Aggregates.aggMinMaxBy]]). */
+    def minMaxBy(): DataFrame = Aggregates.aggMinMaxBy(spark, dir)
+    /** Typed facade of `agg_mode_deterministic` (delegates to [[graft.ops.Aggregates.aggModeDeterministic]]). */
+    def modeDeterministic(): DataFrame = Aggregates.aggModeDeterministic(spark, dir)
+    /** Typed facade of `agg_multi_distinct` (delegates to [[graft.ops.Aggregates.aggMultiDistinct]]). */
+    def multiDistinct(): DataFrame = Aggregates.aggMultiDistinct(spark, dir)
+    /** Typed facade of `agg_percentile_approx` (delegates to [[graft.ops.Aggregates.aggPercentileApprox]]). */
+    def percentileApprox(): DataFrame = Aggregates.aggPercentileApprox(spark, dir)
+    /** Typed facade of `agg_percentiles` (delegates to [[graft.ops.Aggregates.aggPercentiles]]). */
+    def percentiles(): DataFrame = Aggregates.aggPercentiles(spark, dir)
+    /** Typed facade of `agg_pricing_summary` (delegates to [[graft.ops.Aggregates.aggPricingSummary]]). */
+    def pricingSummary(): DataFrame = Aggregates.aggPricingSummary(spark, dir)
+    /** Typed facade of `agg_regression` (delegates to [[graft.ops.Aggregates.aggRegression]]). */
+    def regression(): DataFrame = Aggregates.aggRegression(spark, dir)
+    /** Typed facade of `agg_robust_stats` (delegates to [[graft.ops.Aggregates.aggRobustStats]]). */
+    def robustStats(): DataFrame = Aggregates.aggRobustStats(spark, dir)
+    /** Typed facade of `agg_rollup` (delegates to [[graft.ops.Aggregates.aggRollup]]). */
+    def rollup(): DataFrame = Aggregates.aggRollup(spark, dir)
+    /** Typed facade of `agg_skew_kurtosis` (delegates to [[graft.ops.Aggregates.aggSkewKurtosis]]). */
+    def skewKurtosis(): DataFrame = Aggregates.aggSkewKurtosis(spark, dir)
+    /** Typed facade of `agg_stats` (delegates to [[graft.ops.Aggregates.aggStats]]). */
+    def stats(): DataFrame = Aggregates.aggStats(spark, dir)
+    /** Typed facade of `agg_string_concat` (delegates to [[graft.ops.Aggregates.aggStringConcat]]). */
+    def stringConcat(): DataFrame = Aggregates.aggStringConcat(spark, dir)
+    /** Typed facade of `agg_tdigest` (delegates to [[graft.ops.Aggregates.aggTdigest]]). */
+    def tdigest(): DataFrame = Aggregates.aggTdigest(spark, dir)
+    /** Typed facade of `agg_weighted_median` (delegates to [[graft.ops.Aggregates.aggWeightedMedian]]). */
+    def weightedMedian(): DataFrame = Aggregates.aggWeightedMedian(spark, dir)
   }
 
   /** The facade-coverage table (round 14, VERDICT r13 #6): registry key →
@@ -500,7 +739,115 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     "graph_resource_alloc" -> (() => vectors.resourceAlloc()),
     "graph_clustering_coeff" -> (() => vectors.clusteringCoeff()),
     "vec_retrain_churn" -> (() => vectors.retrainChurn()),
-    "ml_pr_curve" -> (() => prCurve()))
+    "ml_pr_curve" -> (() => prCurve()),
+    "agg_approx_hll" -> (() => analytics.approxHll()),
+    "agg_bitmap_distinct" -> (() => analytics.bitmapDistinct()),
+    "agg_bool" -> (() => analytics.bool()),
+    "agg_collect_sorted" -> (() => analytics.collectSorted()),
+    "agg_corr_pairs" -> (() => analytics.corrPairs()),
+    "agg_count_distinct" -> (() => analytics.countDistinct()),
+    "agg_cube" -> (() => analytics.cube()),
+    "agg_decay_halflife" -> (() => analytics.decayHalflife()),
+    "agg_filter_clause" -> (() => analytics.filterClause()),
+    "agg_gini_revenue" -> (() => analytics.giniRevenue()),
+    "agg_group_by_all" -> (() => analytics.groupByAll()),
+    "agg_grouping_id" -> (() => analytics.groupingId()),
+    "agg_grouping_sets" -> (() => analytics.groupingSets()),
+    "agg_histogram" -> (() => analytics.histogram()),
+    "agg_histogram_equidepth" -> (() => analytics.histogramEquidepth()),
+    "agg_hll_sketch_union" -> (() => analytics.hllSketchUnion()),
+    "agg_incremental_merge" -> (() => analytics.incrementalMerge()),
+    "agg_min_max_by" -> (() => analytics.minMaxBy()),
+    "agg_mode_deterministic" -> (() => analytics.modeDeterministic()),
+    "agg_multi_distinct" -> (() => analytics.multiDistinct()),
+    "agg_percentile_approx" -> (() => analytics.percentileApprox()),
+    "agg_percentiles" -> (() => analytics.percentiles()),
+    "agg_pricing_summary" -> (() => analytics.pricingSummary()),
+    "agg_regression" -> (() => analytics.regression()),
+    "agg_robust_stats" -> (() => analytics.robustStats()),
+    "agg_rollup" -> (() => analytics.rollup()),
+    "agg_skew_kurtosis" -> (() => analytics.skewKurtosis()),
+    "agg_stats" -> (() => analytics.stats()),
+    "agg_string_concat" -> (() => analytics.stringConcat()),
+    "agg_tdigest" -> (() => analytics.tdigest()),
+    "agg_weighted_median" -> (() => analytics.weightedMedian()),
+    "dq_ab_ttest" -> (() => quality.abTtest()),
+    "dq_freshness_lag" -> (() => quality.freshnessLag()),
+    "dq_incident_islands" -> (() => quality.incidentIslands()),
+    "dq_outlier_tukey" -> (() => quality.outlierTukey()),
+    "dq_pk_uniqueness" -> (() => quality.pkUniqueness()),
+    "dq_profile_drift" -> (() => quality.profileDrift()),
+    "text_bm25_topk" -> (() => text.bm25Topk()),
+    "text_bpe_pair_stats" -> (() => text.bpePairStats()),
+    "text_exact_dedup" -> (() => text.exactDedup()),
+    "text_gopher_gates" -> (() => text.gopherGates()),
+    "text_jaccard_pairs" -> (() => text.jaccardPairs()),
+    "text_lang_stats" -> (() => text.langStats()),
+    "text_levenshtein_pairs" -> (() => text.levenshteinPairs()),
+    "text_ngram_topk" -> (() => text.ngramTopk()),
+    "text_paragraph_dedup" -> (() => text.paragraphDedup()),
+    "text_perplexity_proxy" -> (() => text.perplexityProxy()),
+    "text_repetition_stats" -> (() => text.repetitionStats()),
+    "text_shingle_generate" -> (() => text.shingleGenerate()),
+    "text_source_entropy" -> (() => text.sourceEntropy()),
+    "text_tfidf_top" -> (() => text.tfidfTop()),
+    "text_token_explode" -> (() => text.tokenExplode()),
+    "text_vocab_chao1" -> (() => text.vocabChao1()),
+    "text_zipf_slope" -> (() => text.zipfSlope()),
+    "ts_autocorr_hourly" -> (() => timeseries.autocorrHourly()),
+    "ts_changepoint_cusum" -> (() => timeseries.changepointCusum()),
+    "ts_downsample_ohlc" -> (() => timeseries.downsampleOhlc()),
+    "ts_forecast_baseline_mae" -> (() => timeseries.forecastBaselineMae()),
+    "ts_gapfill_hourly" -> (() => timeseries.gapfillHourly()),
+    "ts_hourofday_profile" -> (() => timeseries.hourofdayProfile()),
+    "ts_interval_union" -> (() => timeseries.intervalUnion()),
+    "ts_resample_interp_5m" -> (() => timeseries.resampleInterp5m()),
+    "ts_seasonal_anova" -> (() => timeseries.seasonalAnova()),
+    "ts_seasonal_decompose" -> (() => timeseries.seasonalDecompose()),
+    "win_cume_dist_pct" -> (() => windows.cumeDistPct()),
+    "win_cumulative_distinct" -> (() => windows.cumulativeDistinct()),
+    "win_drawdown" -> (() => windows.drawdown()),
+    "win_ewma" -> (() => windows.ewma()),
+    "win_first_last" -> (() => windows.firstLast()),
+    "win_lead_lag" -> (() => windows.leadLag()),
+    "win_nth_value" -> (() => windows.nthValue()),
+    "win_ntile_pct" -> (() => windows.ntilePct()),
+    "win_ntile_scalable" -> (() => windows.ntileScalable()),
+    "win_pattern_match" -> (() => windows.patternMatch()),
+    "win_period_over_period" -> (() => windows.periodOverPeriod()),
+    "win_range_frame" -> (() => windows.rangeFrame()),
+    "win_rank_topn" -> (() => windows.rankTopn()),
+    "win_ratio_to_report" -> (() => windows.ratioToReport()),
+    "win_retention_cohort" -> (() => windows.retentionCohort()),
+    "win_rolling_7d" -> (() => windows.rolling7d()),
+    "win_rolling_median" -> (() => windows.rollingMedian()),
+    "win_running_total" -> (() => windows.runningTotal()),
+    "win_streak_islands" -> (() => windows.streakIslands()),
+    "wk_q10_returns" -> (() => workload.q10Returns()),
+    "wk_q11_important_stock" -> (() => workload.q11ImportantStock()),
+    "wk_q12_lag_priority" -> (() => workload.q12LagPriority()),
+    "wk_q13_order_count_dist" -> (() => workload.q13OrderCountDist()),
+    "wk_q14_promo_share" -> (() => workload.q14PromoShare()),
+    "wk_q15_top_supplier" -> (() => workload.q15TopSupplier()),
+    "wk_q16_supplier_cnt" -> (() => workload.q16SupplierCnt()),
+    "wk_q17_small_qty_revenue" -> (() => workload.q17SmallQtyRevenue()),
+    "wk_q18_large_orders" -> (() => workload.q18LargeOrders()),
+    "wk_q19_brand_discounts" -> (() => workload.q19BrandDiscounts()),
+    "wk_q20_excess_stock" -> (() => workload.q20ExcessStock()),
+    "wk_q21_late_supplier" -> (() => workload.q21LateSupplier()),
+    "wk_q22_lapsed_customers" -> (() => workload.q22LapsedCustomers()),
+    "wk_q2_min_cost_supplier" -> (() => workload.q2MinCostSupplier()),
+    "wk_q3_shipping_priority" -> (() => workload.q3ShippingPriority()),
+    "wk_q4_order_priority" -> (() => workload.q4OrderPriority()),
+    "wk_q5_region_volume" -> (() => workload.q5RegionVolume()),
+    "wk_q6_discount_revenue" -> (() => workload.q6DiscountRevenue()),
+    "wk_q7_region_trade" -> (() => workload.q7RegionTrade()),
+    "wk_q8_market_share" -> (() => workload.q8MarketShare()),
+    "wk_q9_product_profit" -> (() => workload.q9ProductProfit()),
+    "win_rfm_scores_scalable" -> (() => rfmScoresScalable()),
+    "ml_calibration_bins" -> (() => calibrationBins()),
+    "ml_lift_deciles" -> (() => liftDeciles()),
+    "text_rarity_buckets" -> (() => text.rarityBuckets()))
 }
 
 object Corpus {

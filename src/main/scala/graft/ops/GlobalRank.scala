@@ -137,9 +137,17 @@ object GlobalRank {
     * [[withGlobalRowNumber]]: the first (N mod k) buckets hold ceil(N/k)
     * rows, the rest floor(N/k); `rn - 1` indexes into that layout.
     */
-  def ntileExpr(k: Int): Column = expr(
-    s"""cast(if(rn - 1 < (n_total % $k) * (n_total div $k + 1),
-       |        (rn - 1) div (n_total div $k + 1),
-       |        (n_total % $k) + (rn - 1 - (n_total % $k) * (n_total div $k + 1)) div (n_total div $k)
+  def ntileExpr(k: Int): Column = ntileExpr(k, "rn", "n_total")
+
+  /** The same closed form over caller-named rank/count columns — for
+    * GROUP-scOPED ntiles where the global rank is offset into a
+    * within-group rank first (round 15, text_rarity_buckets: one global
+    * range exchange over (group, key), then per-group offsets broadcast —
+    * never a per-group data-sized window).
+    */
+  def ntileExpr(k: Int, rn: String, n: String): Column = expr(
+    s"""cast(if($rn - 1 < ($n % $k) * ($n div $k + 1),
+       |        ($rn - 1) div ($n div $k + 1),
+       |        ($n % $k) + ($rn - 1 - ($n % $k) * ($n div $k + 1)) div ($n div $k)
        |       ) + 1 as int)""".stripMargin)
 }

@@ -185,4 +185,75 @@ object MlFeatures {
           + lit(0.0)).as("f1"))
       .orderBy(col("thr"))
   }
+
+  /** N19 ml_calibration_bins (round 15) — the reliability table behind a
+    * calibration curve: documents decile-binned by score (the N17/N18
+    * fixture: score = n_chars, label = lang == 'en'), each bin reporting
+    * size, positives, the score range it covers, the observed positive
+    * rate, and the bin's mean score — the table a "is this model's
+    * confidence honest" review plots. AUC (N17) says the RANKING is good;
+    * calibration says the VALUES mean what they claim.
+    *
+    * Deciles ride [[graft.ops.GlobalRank.withGlobalRowNumber]] + the
+    * closed-form ntile — the F5v2 two-pass range-partitioned rank, never
+    * a single-partition global window. Every cell is an exact integer;
+    * the two ratios integer-divide to ppm before the 6-dp round (the
+    * round-14 boundary rule).
+    *
+    * 100 TB: one keyed doc scan, one range exchange + P-row offsets
+    * broadcast, one ≤10-row aggregate.
+    */
+  def mlCalibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    GlobalRank.withGlobalRowNumber(scored, 8, col("score"), col("doc_id"))
+      .withColumn("decile", GlobalRank.ntileExpr(10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        min(col("score")).as("lo_score"), max(col("score")).as("hi_score"),
+        sum(col("score")).as("s_score"))
+      .select(col("decile"), col("n"), col("n_pos"), col("lo_score"),
+        col("hi_score"),
+        (round(expr("(n_pos * 1000000L) div n").cast("double") / 1e6, 6)
+          + lit(0.0)).as("pos_rate"),
+        (round(expr("(s_score * 1000000L) div n").cast("double") / 1e6, 6)
+          + lit(0.0)).as("avg_score"))
+      .orderBy(col("decile"))
+  }
+
+  /** N20 ml_lift_deciles (round 15) — cumulative-gains / lift table: rank
+    * documents by score DESCENDING (the "contact the best decile first"
+    * order), and per decile report positives captured, the running
+    * capture rate against all positives, and the decile's lift over the
+    * base rate — the campaign-targeting companion to [[mlAucScore]]
+    * (same fixture). Lift_d = (n_pos_d / n_d) / (P / N) as one exact
+    * integer fraction n_pos_d·N·10⁶ div (n_d·P) before the 6-dp round;
+    * the cumulative capture runs over the ≤10-row decile relation.
+    *
+    * 100 TB: same shape as [[mlCalibrationBins]] — the only window is
+    * over 10 rows.
+    */
+  def mlLiftDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val byDecile = GlobalRank.withGlobalRowNumber(
+        scored, 8, col("score").desc, col("doc_id"))
+      .withColumn("decile", GlobalRank.ntileExpr(10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val tot = byDecile.agg(sum(col("n")).as("nn"), sum(col("n_pos")).as("pp"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byDecile.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        (round(expr("(cum_pos * 1000000L) div pp").cast("double") / 1e6, 6)
+          + lit(0.0)).as("capture_rate"),
+        (round(expr("(n_pos * nn * 1000000L) div (n * pp)").cast("double") / 1e6, 6)
+          + lit(0.0)).as("lift"))
+      .orderBy(col("decile"))
+  }
 }

@@ -809,17 +809,27 @@ object TextAnalysis {
     * tiebreak (J9).
     */
   def perplexityProxy(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+    import graft.ops.Checkpoints.CutOps
+    // round 15 (the bpe-prefilter round's shared-relation discipline):
+    // pre-aggregate the exploded tokens to (doc_id, w, cnt) ONCE and cut
+    // it — the census, the grand total, and the per-doc rollup all derive
+    // from it, so the corpus is exploded once (was 3×) and the unigram
+    // join moves distinct (doc, word) pairs instead of raw tokens.
+    // Σ cnt·nlp_int over pairs ≡ Σ nlp_int over tokens — row-identical.
+    val dw = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .lineageCut(true)
+    val wc = dw.groupBy(col("w")).agg(sum(col("cnt")).as("c")).lineageCut(true)
     val tot = wc.agg(sum(col("c")).as("total"))
     val nlp = wc.crossJoin(broadcast(tot))
       .select(col("w"),
         expr("CAST(round(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6) AS BIGINT)")
           .as("nlp_int"))
-    toks.join(nlp, Seq("w"))
+    dw.join(nlp, Seq("w"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("nlp_int")).as("s"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("nlp_int")).as("s"))
       .select(col("doc_id"), col("n_tokens"),
         (round(col("s").cast("double") / (col("n_tokens") * lit(1e6)), 6)
           + lit(0.0)).as("avg_neg_logprob"))
@@ -1322,13 +1332,32 @@ object TextAnalysis {
     * with counts, plus the applied merge and its corpus application
     * count as constant audit columns. 100 TB: linear in corpus chars —
     * one position explode, keyed windows, two keyed aggregates.
+    *
+    * Round 15 (VERDICT r14 #2): the position/window machinery runs only
+    * on words that CONTAIN the winning pair. A word without the pair is
+    * untouched by the merge — its post-merge token stream is exactly its
+    * characters, so its contribution to the post-merge census is the
+    * plain adjacent-char census, computed flat (one explode + the shared
+    * keyed agg, no windows, no position join). Most of the corpus is
+    * untouched by any single merge (measured ~90% of position rows at
+    * sf1), so the three-window chain now runs on ~10% of the chars —
+    * row-identical by construction, the sf1 warm time moved 10.4 s →
+    * ~3 s (BASELINE.md round 15).
     */
   def bpeMergeRound(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Checkpoints.CutOps
     import org.apache.spark.sql.expressions.Window
+    // cut: the word relation feeds THREE arms (pair census, untouched-word
+    // flat census, hit-word machinery) — materialize the split/posexplode
+    // once instead of re-reading and re-splitting documents per arm
     val words = Tables.documents(spark, sfDir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
       .where(length(col("w")) >= 2)
       .select(col("doc_id"), col("wpos"), col("w"), length(col("w")).as("len"))
+      .lineageCut(true)
+    // cut: every broadcast reference to the 1-row winner would otherwise
+    // re-run the corpus-wide census explode (4 references = 4 full passes
+    // — the round-15 sf1 profile's dominant cost)
     val top = words
       .select(explode(expr(
         "transform(sequence(1, len - 1), i -> substring(w, CAST(i AS INT), 2))"))
@@ -1336,11 +1365,19 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("pair")).limit(1)
       .select(col("pair").as("mpair"), col("n").as("mpair_n"))
+      .lineageCut(true)
+    val withTop = words.crossJoin(broadcast(top))
+    // untouched words: post-merge tokens are the chars — flat census
+    val missPairs = withTop.where(expr("instr(w, mpair) = 0"))
+      .select(explode(expr(
+        """transform(sequence(1, len - 1), i -> struct(
+          |  substring(w, CAST(i AS INT), 1) AS l,
+          |  substring(w, CAST(i AS INT) + 1, 1) AS r))""".stripMargin)).as("pr"))
+      .select(col("pr.l").as("left_tok"), col("pr.r").as("right_tok"))
     val wWin = Window.partitionBy(col("doc_id"), col("wpos")).orderBy(col("p"))
-    val pos = words
-      .select(col("doc_id"), col("wpos"), col("w"), col("len"),
+    val pos = withTop.where(expr("instr(w, mpair) > 0"))
+      .select(col("doc_id"), col("wpos"), col("w"), col("len"), col("mpair"),
         explode(expr("sequence(1, len)")).as("p"))
-      .crossJoin(broadcast(top))
       .withColumn("flag",
         col("p") < col("len") &&
           expr("substring(w, CAST(p AS INT), 2)") === col("mpair"))
@@ -1351,9 +1388,12 @@ object TextAnalysis {
       .withColumn("grp", col("p") - col("rnf"))
     val isl = fl.groupBy(col("doc_id"), col("wpos"), col("grp"))
       .agg(min(col("p")).as("isl_start"))
+    // cut: both the merge application (left join below) and the n_applied
+    // audit count read the winner set — one window/join chain, not two
     val taken = fl.join(isl, Seq("doc_id", "wpos", "grp"))
       .where((col("p") - col("isl_start")) % 2 === 0)
       .select(col("doc_id"), col("wpos"), col("p"), lit(true).as("taken"))
+      .lineageCut(true)
     val merged = pos
       .join(taken, Seq("doc_id", "wpos", "p"), "left")
       .withColumn("taken", coalesce(col("taken"), lit(false)))
@@ -1367,7 +1407,9 @@ object TextAnalysis {
     merged
       .withColumn("next_token", lead(col("token"), 1).over(wWin))
       .where(col("next_token").isNotNull)
-      .groupBy(col("token").as("left_tok"), col("next_token").as("right_tok"))
+      .select(col("token").as("left_tok"), col("next_token").as("right_tok"))
+      .unionAll(missPairs)
+      .groupBy(col("left_tok"), col("right_tok"))
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("left_tok"), asc("right_tok")).limit(10)
       .crossJoin(broadcast(top))
@@ -1375,6 +1417,52 @@ object TextAnalysis {
       .select(col("left_tok"), col("right_tok"), col("n"),
         col("mpair").as("applied_pair"), col("n_applied"))
       .orderBy(desc("n"), asc("left_tok"), asc("right_tok"))
+  }
+
+  /** M127 text_rarity_buckets (round 15) — the CCNet-style head/middle/
+    * tail corpus split, integer-exact: each document scores its mean
+    * token RARITY (Σ total_tokens div token_count, integer-divided per
+    * token and again per doc — the published recipe ranks by a language-
+    * model perplexity; this engine deliberately avoids cross-engine
+    * transcendentals on the hash path, and inverse corpus frequency is
+    * the same monotone signal), then each LANGUAGE is tercile-split on
+    * that score: bucket 1 = head (commonest tokens, the "cleanest" slice
+    * curation keeps at full weight), 2 = middle, 3 = tail.
+    *
+    * The per-language tercile does NOT run a per-language data-sized
+    * window: ONE global range exchange over (lang, r, doc_id)
+    * ([[GlobalRank.withGlobalRowNumber]]) gives a global rank; per-
+    * language offsets (min rank, count — one row per language) broadcast
+    * back, and the within-language rank is rank − offset + 1 with the
+    * closed-form ntile on top. 100 TB: token census + keyed join + one
+    * range exchange + a ≤3·|langs|-row aggregate.
+    */
+  def rarityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = wc.agg(sum(col("c")).as("total"))
+    val rar = wc.crossJoin(broadcast(tot))
+      .select(col("w"), expr("total div c").as("rar"))
+    val perDoc = toks.join(rar, Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rar")).as("s"))
+      .select(col("doc_id"), col("lang"), expr("s div n_tokens").as("r"))
+    val ranked = GlobalRank.withGlobalRowNumber(
+      perDoc, 8, col("lang"), col("r"), col("doc_id"))
+    val langAgg = ranked.groupBy(col("lang"))
+      .agg(min(col("rn")).as("off"), count(lit(1)).as("n_lang"))
+    ranked.join(broadcast(langAgg), Seq("lang"))
+      .withColumn("lrn", col("rn") - col("off") + lit(1L))
+      .withColumn("bucket", GlobalRank.ntileExpr(3, "lrn", "n_lang"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("r")).as("lo_rarity"), max(col("r")).as("hi_rarity"))
+      .select(col("lang"), col("bucket"),
+        when(col("bucket") === 1, "head").when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("bucket_label"),
+        col("n_docs"), col("lo_rarity"), col("hi_rarity"))
+      .orderBy(col("lang"), col("bucket"))
   }
 
   /** M116 pipeline_domain_mix_kl — domain-mix audit against a uniform

@@ -522,6 +522,53 @@ object Windows {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** L29 v2 win_rfm_scores_scalable (round 15, VERDICT r14 #5) — the SAME
+    * (r, f, m) segment summary as [[winRfmScores]], computed without any
+    * single-partition global window: each of the three quintile ranks is
+    * the F5v2 two-pass range-partitioned global row_number
+    * ([[GlobalRank.withGlobalRowNumber]]) with the closed-form
+    * [[GlobalRank.ntileExpr]] on top, exactly the scale path the L29
+    * Scaladoc names. Three metrics = three independent total orders, so
+    * three range exchanges (they cannot share a partitioning — each sorts
+    * the customer relation by a different key), then one keyed 3-way join
+    * back on the customer key. Oracle: identical SQL to win_rfm_scores;
+    * Round15Spec additionally pins exact row agreement with L29 and
+    * PlanSpec gates the ranked stage on range partitioning.
+    *
+    * 100 TB: the per-customer aggregate is one keyed shuffle; each rank
+    * pass is parallel local sort + a P-row offsets broadcast; the joins
+    * are per-customer keyed shuffles; the segment summary is ≤125 rows.
+    */
+  def winRfmScoresScalable(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Checkpoints.CutOps
+    val parts = 8 // ≥ 2 proves the scale shape at test SF; O(cores) on a cluster
+    // cut: three independent ranking passes + the final spend agg all
+    // read the per-customer aggregate — materialize it once
+    val per = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+          .as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(Cols.dec2(col("o_totalprice"))).as("spend"))
+      .lineageCut(true)
+    def quintile(metric: String, out: String): DataFrame =
+      GlobalRank.withGlobalRowNumber(
+        per.select(col("o_custkey"), col(metric)),
+        parts, col(metric), col("o_custkey"))
+        .select(col("o_custkey"), GlobalRank.ntileExpr(5).as(out))
+    per.select(col("o_custkey"), col("spend"))
+      .join(quintile("last_day", "r_score"), Seq("o_custkey"))
+      .join(quintile("n_orders", "f_score"), Seq("o_custkey"))
+      .join(quintile("spend", "m_score"), Seq("o_custkey"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("segment_spend"),
+        (round(sum(col("spend")).cast("double") / count(lit(1)), 6) + lit(0.0))
+          .as("avg_spend"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** L30 win_cohort_ltv (round 14) — cumulative lifetime value by
     * acquisition cohort: customers are grouped by their FIRST order month
     * (integer month index — year·12 + month−1, no DATE on the wire), and

@@ -3487,6 +3487,66 @@ object OracleSql {
         |FROM sc GROUP BY r_score, f_score, m_score
         |ORDER BY r_score, f_score, m_score""".stripMargin.replace("\n", " "),
 
+    // L29 v2 (round 15): identical oracle to win_rfm_scores — the
+    // two-pass range-partitioned quintiles must agree exactly with the
+    // global-window semantics (the win_ntile_scalable precedent)
+    "win_rfm_scores_scalable" ->
+      """WITH per AS (SELECT o_custkey, MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend FROM orders GROUP BY o_custkey),
+        |sc AS (SELECT *, NTILE(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
+        |NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+        |NTILE(5) OVER (ORDER BY spend, o_custkey) AS m_score FROM per)
+        |SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |CAST(SUM(spend) AS DOUBLE) AS segment_spend,
+        |round(CAST(SUM(spend) AS DOUBLE) / COUNT(*), 6) + 0.0 AS avg_spend
+        |FROM sc GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin.replace("\n", " "),
+
+    // N19 (round 15): decile calibration table — NTILE(10) over the
+    // (score, doc_id) total order, exact-integer cells, ppm divisions
+    "ml_calibration_bins" ->
+      """WITH sc AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+        |CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |b AS (SELECT *, NTILE(10) OVER (ORDER BY score, doc_id) AS decile FROM sc)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |MIN(score) AS lo_score, MAX(score) AS hi_score,
+        |round(CAST((SUM(pos) * 1000000) // COUNT(*) AS DOUBLE) / 1e6, 6) + 0.0 AS pos_rate,
+        |round(CAST((SUM(score) * 1000000) // COUNT(*) AS DOUBLE) / 1e6, 6) + 0.0 AS avg_score
+        |FROM b GROUP BY decile ORDER BY decile""".stripMargin.replace("\n", " "),
+
+    // N20 (round 15): cumulative-gains / lift table — score-DESC deciles,
+    // lift as one exact integer fraction before the 6-dp round
+    "ml_lift_deciles" ->
+      """WITH sc AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+        |CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |b AS (SELECT *, NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile FROM sc),
+        |d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+        |FROM b GROUP BY decile),
+        |t AS (SELECT SUM(n) AS nn, SUM(n_pos) AS pp FROM d),
+        |c AS (SELECT d.*, SUM(n_pos) OVER (ORDER BY decile
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos FROM d)
+        |SELECT decile, n, n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+        |round(CAST((cum_pos * 1000000) // pp AS DOUBLE) / 1e6, 6) + 0.0 AS capture_rate,
+        |round(CAST((n_pos * nn * 1000000) // (n * pp) AS DOUBLE) / 1e6, 6) + 0.0 AS lift
+        |FROM c, t ORDER BY decile""".stripMargin.replace("\n", " "),
+
+    // M127 (round 15): per-language rarity terciles — integer inverse-
+    // frequency mass (total div c per token, s div n per doc), NTILE(3)
+    // within language on the (r, doc_id) order
+    "text_rarity_buckets" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT SUM(c) AS total FROM wc),
+        |rar AS (SELECT w, CAST(total // c AS BIGINT) AS rar FROM wc, tot),
+        |per AS (SELECT doc_id, lang, COUNT(*) AS n_tokens, SUM(rar) AS s
+        |FROM toks JOIN rar USING (w) GROUP BY doc_id, lang),
+        |sc AS (SELECT doc_id, lang, CAST(s // n_tokens AS BIGINT) AS r FROM per),
+        |b AS (SELECT lang, r, NTILE(3) OVER (PARTITION BY lang ORDER BY r, doc_id) AS bucket FROM sc)
+        |SELECT lang, bucket,
+        |CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS bucket_label,
+        |CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(r) AS lo_rarity, MAX(r) AS hi_rarity
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin.replace("\n", " "),
+
     // L30 (round 14): cumulative LTV by acquisition-month cohort —
     // integer month indices, exact decimal revenue, present-row cumsum
     "win_cohort_ltv" ->

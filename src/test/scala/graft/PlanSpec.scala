@@ -255,7 +255,9 @@ class PlanSpec extends SparkSpec {
       "agg_theta_kmv",            // 1-row theta × 1-row exact-intersection joins
       "ann_range_search",         // 10 broadcast query vectors (J3 pattern)
       "ml_pr_curve",              // 5-row broadcast threshold grid
-      "vec_retrain_churn")        // two 10-row quantizer broadcasts + 1-row total
+      "vec_retrain_churn",        // two 10-row quantizer broadcasts + 1-row total
+      "ml_lift_deciles",          // broadcast 1-row (N, P) grand totals
+      "text_rarity_buckets")      // broadcast 1-row corpus token total
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
