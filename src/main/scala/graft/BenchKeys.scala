@@ -22,11 +22,14 @@ object BenchKeys {
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "16m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
-      Tables.registerAll(spark, sfDir)
-    } catch { case _: Throwable => }
+    // ADVICE r15: registration OUTSIDE the warm-up's catch-all — a
+    // docs-only sfDir must skip only the lineitem warm-up, never silently
+    // skip table registration (which would push lazy registration work
+    // into the first timed run, or fail per-key runs confusingly)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => }
+    Tables.registerAll(spark, sfDir)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     keys.foreach { k =>
       def once(): Double = {

@@ -140,7 +140,7 @@ object GlobalRank {
   def ntileExpr(k: Int): Column = ntileExpr(k, "rn", "n_total")
 
   /** The same closed form over caller-named rank/count columns — for
-    * GROUP-scOPED ntiles where the global rank is offset into a
+    * group-scoped ntiles where the global rank is offset into a
     * within-group rank first (round 15, text_rarity_buckets: one global
     * range exchange over (group, key), then per-group offsets broadcast —
     * never a per-group data-sized window).

@@ -215,10 +215,14 @@ object MlFeatures {
         sum(col("score")).as("s_score"))
       .select(col("decile"), col("n"), col("n_pos"), col("lo_score"),
         col("hi_score"),
-        (round(expr("(n_pos * 1000000L) div n").cast("double") / 1e6, 6)
-          + lit(0.0)).as("pos_rate"),
-        (round(expr("(s_score * 1000000L) div n").cast("double") / 1e6, 6)
-          + lit(0.0)).as("avg_score"))
+        // ADVICE r15: ppm products in DECIMAL(38,0) — BIGINT wraps
+        // silently past ~9.2e18 while the DuckDB oracle's SUM() promotes
+        // to HUGEINT, so the exact-integer contract must not depend on
+        // corpus size ('div' on decimals still returns BIGINT)
+        (round(expr("(CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n")
+          .cast("double") / 1e6, 6) + lit(0.0)).as("pos_rate"),
+        (round(expr("(CAST(s_score AS DECIMAL(38,0)) * 1000000) div n")
+          .cast("double") / 1e6, 6) + lit(0.0)).as("avg_score"))
       .orderBy(col("decile"))
   }
 
@@ -250,10 +254,14 @@ object MlFeatures {
     byDecile.crossJoin(broadcast(tot))
       .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
       .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
-        (round(expr("(cum_pos * 1000000L) div pp").cast("double") / 1e6, 6)
-          + lit(0.0)).as("capture_rate"),
-        (round(expr("(n_pos * nn * 1000000L) div (n * pp)").cast("double") / 1e6, 6)
-          + lit(0.0)).as("lift"))
+        // ADVICE r15: the lift numerator n_pos·nn·10⁶ wraps a BIGINT once
+        // n_pos·nn exceeds ~9.2e12 (≈3M docs) while the oracle's HUGEINT
+        // does not — compute both ppm fractions in DECIMAL(38,0)
+        (round(expr("(CAST(cum_pos AS DECIMAL(38,0)) * 1000000) div pp")
+          .cast("double") / 1e6, 6) + lit(0.0)).as("capture_rate"),
+        (round(expr(
+          "(CAST(n_pos AS DECIMAL(38,0)) * nn * 1000000) div (CAST(n AS DECIMAL(38,0)) * pp)")
+          .cast("double") / 1e6, 6) + lit(0.0)).as("lift"))
       .orderBy(col("decile"))
   }
 }

@@ -1438,15 +1438,25 @@ object TextAnalysis {
     * range exchange + a ≤3·|langs|-row aggregate.
     */
   def rarityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Checkpoints.CutOps
+    // ADVICE r15 (the perplexityProxy shared-relation fix applied here):
+    // pre-aggregate the exploded tokens to (doc_id, lang, w, cnt) ONCE and
+    // cut it — the census and the per-doc rollup both derive from it, so
+    // the corpus is exploded once (was 2×) and the rarity join moves
+    // distinct (doc, word) pairs instead of raw tokens.
+    // Σ cnt·rar over pairs ≡ Σ rar over tokens — row-identical.
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-    val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .lineageCut(true)
+    val wc = toks.groupBy(col("w")).agg(sum(col("cnt")).as("c"))
     val tot = wc.agg(sum(col("c")).as("total"))
     val rar = wc.crossJoin(broadcast(tot))
       .select(col("w"), expr("total div c").as("rar"))
     val perDoc = toks.join(rar, Seq("w"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("rar")).as("s"))
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("rar")).as("s"))
       .select(col("doc_id"), col("lang"), expr("s div n_tokens").as("r"))
     val ranked = GlobalRank.withGlobalRowNumber(
       perDoc, 8, col("lang"), col("r"), col("doc_id"))

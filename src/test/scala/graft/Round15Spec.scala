@@ -55,8 +55,10 @@ class Round15Spec extends SparkSpec {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("pair")).limit(1).head().getString(0)
     val total = words.count()
-    val hit = words.where(expr(s"instr(w, '$top') > 0")).count()
-    val miss = words.where(expr(s"instr(w, '$top') = 0")).count()
+    // ADVICE r15: Column-side filter — a pair containing a quote or
+    // backslash must break nothing (no string-interpolated SQL)
+    val hit = words.where(instr(col("w"), top) > 0).count()
+    val miss = words.where(instr(col("w"), top) === 0).count()
     assert(hit + miss === total, "hit/miss split must partition the word set")
     assert(hit > 0 && miss > 0,
       "fixture must exercise BOTH paths or the split is untested")
