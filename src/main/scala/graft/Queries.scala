@@ -491,5 +491,14 @@ object Queries {
     "ml_calibration_bins"       -> (MlFeatures.mlCalibrationBins _),
     "ml_lift_deciles"           -> (MlFeatures.mlLiftDeciles _),
     "text_rarity_buckets"       -> (TextAnalysis.rarityBuckets _),
+    // round 16: the DE calibration generation (the family beyond D4's
+    // grid sweep) and the 2D fixed-grid stencil/image-cleaning family —
+    // tailcut two-threshold clean, keep-largest-island via the star-CC
+    // loop, and the 3×3 box-mean stencil primitive
+    "param_sweep_de_step"       -> (Relational.paramSweepDeStep _),
+    "param_sweep_saes_step"     -> (Relational.paramSweepSaesStep _),
+    "grid_tailcut_clean"        -> (GridStencil.gridTailcutClean _),
+    "grid_island_largest"       -> (GridStencil.gridIslandLargest _),
+    "grid_stencil_smooth"       -> (GridStencil.gridStencilSmooth _),
   )
 }

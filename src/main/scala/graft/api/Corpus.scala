@@ -191,7 +191,12 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     * quantiles (round 13). */
   def conversionLag(): DataFrame = Windows.winConversionLag(spark, dir)
 
-  /** RFM quintile customer segmentation (round 14). */
+  /** RFM quintile customer segmentation (round 14). PREFER
+    * [[rfmScoresScalable]]: this form ranks through three
+    * single-partition global ntile windows — fine on a demo fixture,
+    * a scale-killer on a real corpus. The scalable twin is spec-pinned
+    * row-identical (Round15Spec), so there is no fidelity trade-off.
+    */
   def rfmScores(): DataFrame = Windows.winRfmScores(spark, dir)
 
   /** The F5v2 two-pass range-partitioned twin of [[rfmScores]] — same
@@ -267,6 +272,22 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     def funnel(): DataFrame = TextAnalysis.dedupFunnel(spark, dir)
     /** 1/cluster-size soft-dedup training weights (round 13). */
     def softWeights(): DataFrame = TextAnalysis.softdedupWeights(spark, dir)
+    /** Typed facade of `dedup_connected_components` — the v1 contract
+      * alias of [[clusters]] (identical transitive-closure semantics). */
+    def connectedComponents(): DataFrame = Dedup.connectedComponents(spark, dir)
+    /** Typed facade of `dedup_embedding_topk` (delegates to [[graft.ops.Dedup.embeddingTopk]]). */
+    def embeddingTopk(): DataFrame = Dedup.embeddingTopk(spark, dir)
+    /** Typed facade of `dedup_exact_substring` (delegates to [[graft.ops.Dedup.exactSubstring]]). */
+    def exactSubstring(): DataFrame = Dedup.exactSubstring(spark, dir)
+    /** Typed facade of `dedup_lsh_recall_eval` (delegates to [[graft.ops.Dedup.lshRecallEval]]). */
+    def lshRecallEval(): DataFrame = Dedup.lshRecallEval(spark, dir)
+    /** Typed facade of `dedup_minhash_sig_agg` — the mergeable
+      * TypedImperativeAggregate signature twin. */
+    def minhashSignaturesAgg(): DataFrame = Dedup.minhashSigAgg(spark, dir)
+    /** Typed facade of `dedup_pq_codes` (delegates to [[graft.ops.Dedup.pqCodes]]). */
+    def pqCodes(): DataFrame = Dedup.pqCodes(spark, dir)
+    /** Typed facade of `dedup_url_canonical` (delegates to [[graft.ops.Dedup.urlCanonical]]). */
+    def urlCanonical(): DataFrame = Dedup.urlCanonical(spark, dir)
   }
 
   /** Similarity search over the embeddings table. */
@@ -381,6 +402,40 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     /** Retrain churn: frozen-vs-fresh quantizer cell reassignment of the
       * current corpus (round 14). */
     def retrainChurn(): DataFrame = Similarity.vecRetrainChurn(spark, dir)
+    /** Typed facade of `vec_cosine_pairs` (delegates to [[graft.ops.VectorText.vecCosinePairs]]). */
+    def cosinePairs(): DataFrame = VectorText.vecCosinePairs(spark, dir)
+    /** Typed facade of `vec_cosine_pairs_native` — the codegen'd DotProduct twin. */
+    def cosinePairsNative(): DataFrame = VectorText.vecCosinePairsNative(spark, dir)
+    /** Typed facade of `vec_error_metrics` (delegates to [[graft.ops.VectorText.vecErrorMetrics]]). */
+    def errorMetrics(): DataFrame = VectorText.vecErrorMetrics(spark, dir)
+    /** Typed facade of `vec_binary_hamming_topk` (delegates to [[graft.ops.VectorText.vecBinaryHammingTopk]]). */
+    def binaryHammingTopk(): DataFrame = VectorText.vecBinaryHammingTopk(spark, dir)
+    /** Typed facade of `vec_ivf_stats` (delegates to [[graft.ops.Similarity.vecIvfStats]]). */
+    def ivfStats(): DataFrame = Similarity.vecIvfStats(spark, dir)
+    /** Typed facade of `vec_pq_adc_topk` (delegates to [[graft.ops.Similarity.vecPqAdcTopk]]). */
+    def pqAdcTopk(): DataFrame = Similarity.vecPqAdcTopk(spark, dir)
+    /** Typed facade of `vec_pq_error` (delegates to [[graft.ops.Similarity.vecPqError]]). */
+    def pqError(): DataFrame = Similarity.vecPqError(spark, dir)
+    /** Typed facade of `vec_pq_residual` (delegates to [[graft.ops.Similarity.vecPqResidual]]). */
+    def pqResidual(): DataFrame = Similarity.vecPqResidual(spark, dir)
+    /** Typed facade of `graph_triangle_knn` (delegates to [[graft.ops.Similarity.graphTriangleKnn]]). */
+    def triangleKnn(): DataFrame = Similarity.graphTriangleKnn(spark, dir)
+    /** Typed facade of `graph_triangle_full` (delegates to [[graft.ops.Similarity.graphTriangleFull]]). */
+    def triangleFull(): DataFrame = Similarity.graphTriangleFull(spark, dir)
+    /** Typed facade of `graph_degree_assortativity` (delegates to [[graft.ops.Similarity.graphDegreeAssortativity]]). */
+    def degreeAssortativity(): DataFrame = Similarity.graphDegreeAssortativity(spark, dir)
+    /** Typed facade of `graph_assortativity_full` (delegates to [[graft.ops.Similarity.graphAssortativityFull]]). */
+    def assortativityFull(): DataFrame = Similarity.graphAssortativityFull(spark, dir)
+    /** Typed facade of `graph_kcore_peel` (delegates to [[graft.ops.Similarity.graphKcorePeel]]). */
+    def kcorePeel(): DataFrame = Similarity.graphKcorePeel(spark, dir)
+    /** Typed facade of `graph_label_propagation` (delegates to [[graft.ops.Similarity.graphLabelPropagation]]). */
+    def labelPropagation(): DataFrame = Similarity.graphLabelPropagation(spark, dir)
+    /** Typed facade of `graph_modularity_full` (delegates to [[graft.ops.Similarity.graphModularityFull]]). */
+    def modularityFull(): DataFrame = Similarity.graphModularityFull(spark, dir)
+    /** Typed facade of `graph_modularity_labels` (delegates to [[graft.ops.Similarity.graphModularityLabels]]). */
+    def modularityLabels(): DataFrame = Similarity.graphModularityLabels(spark, dir)
+    /** Typed facade of `graph_bfs_distance_full` (delegates to [[graft.ops.Similarity.graphBfsDistanceFull]]). */
+    def bfsDistanceFull(): DataFrame = Similarity.graphBfsDistanceFull(spark, dir)
   }
 
   /** Data-quality checks. */
@@ -439,6 +494,109 @@ final class Corpus(val spark: SparkSession, val dir: String) {
       * slice, merge pair relations — row-identical to a full rebuild at
       * delta-sized cost (round 11). */
     def indexUpdate(): DataFrame = IndexStore.indexUpdateMediasig(spark, dir)
+    /** Typed facade of `mm_magic_sniff` (delegates to [[graft.ops.Multimodal.magicSniff]]). */
+    def magicSniff(): DataFrame = Multimodal.magicSniff(spark, dir)
+    /** Typed facade of `mm_chunk_table` (delegates to [[graft.ops.Multimodal.chunkTable]]). */
+    def chunkTable(): DataFrame = Multimodal.chunkTable(spark, dir)
+  }
+
+  /** Streaming / event-sequence analytics (the stream_* family: each a
+    * batch query whose Structured-Streaming twin is spec-verified on
+    * MemoryStream fixtures).
+    */
+  object streams {
+    /** Typed facade of `stream_tumbling_1h` (delegates to [[graft.ops.Streaming.streamTumbling1h]]). */
+    def tumbling1h(): DataFrame = Streaming.streamTumbling1h(spark, dir)
+    /** Typed facade of `stream_sliding_1h_15m` (delegates to [[graft.ops.Streaming.streamSliding1h15m]]). */
+    def sliding1h15m(): DataFrame = Streaming.streamSliding1h15m(spark, dir)
+    /** Typed facade of `stream_session_30m` (delegates to [[graft.ops.Streaming.streamSession30m]]). */
+    def session30m(): DataFrame = Streaming.streamSession30m(spark, dir)
+    /** Typed facade of `stream_session_custom` (delegates to [[graft.ops.Streaming.streamSessionCustom]]). */
+    def sessionCustom(): DataFrame = Streaming.streamSessionCustom(spark, dir)
+    /** Typed facade of `stream_dau_retention` (delegates to [[graft.ops.Streaming.streamDauRetention]]). */
+    def dauRetention(): DataFrame = Streaming.streamDauRetention(spark, dir)
+    /** Typed facade of `stream_funnel` (delegates to [[graft.ops.Streaming.streamFunnel]]). */
+    def funnel(): DataFrame = Streaming.streamFunnel(spark, dir)
+    /** Typed facade of `stream_watermark_late` (delegates to [[graft.ops.Streaming.streamWatermarkLate]]). */
+    def watermarkLate(): DataFrame = Streaming.streamWatermarkLate(spark, dir)
+    /** Typed facade of `stream_dedup_keep_first` (delegates to [[graft.ops.Streaming.streamDedupKeepFirst]]). */
+    def dedupKeepFirst(): DataFrame = Streaming.streamDedupKeepFirst(spark, dir)
+    /** Typed facade of `stream_stateful_count` (delegates to [[graft.ops.Streaming.streamStatefulCount]]). */
+    def statefulCount(): DataFrame = Streaming.streamStatefulCount(spark, dir)
+    /** Typed facade of `stream_stateful_count_v2` (delegates to [[graft.ops.Streaming.streamStatefulCountV2]]). */
+    def statefulCountV2(): DataFrame = Streaming.streamStatefulCountV2(spark, dir)
+    /** Typed facade of `stream_join_view_purchase` (delegates to [[graft.ops.Streaming.streamJoinViewPurchase]]). */
+    def joinViewPurchase(): DataFrame = Streaming.streamJoinViewPurchase(spark, dir)
+    /** Typed facade of `stream_cdc_apply` (delegates to [[graft.ops.Streaming.cdcApply]]). */
+    def cdcApply(): DataFrame = Streaming.cdcApply(spark, dir)
+    /** Typed facade of `scd2_change_intervals` (delegates to [[graft.ops.Streaming.scd2ChangeIntervals]]). */
+    def scd2ChangeIntervals(): DataFrame = Streaming.scd2ChangeIntervals(spark, dir)
+  }
+
+  /** Corpus-pipeline operations (the pipeline_* family beyond the
+    * top-level composites).
+    */
+  object pipelines {
+    /** Typed facade of `pipeline_corpus_curation` (delegates to [[graft.ops.TextAnalysis.corpusCuration]]). */
+    def corpusCuration(): DataFrame = TextAnalysis.corpusCuration(spark, dir)
+    /** Typed facade of `pipeline_incremental_merge` (delegates to [[graft.ops.TextAnalysis.incrementalMerge]]). */
+    def incrementalMerge(): DataFrame = TextAnalysis.incrementalMerge(spark, dir)
+    /** Typed facade of `pipeline_quality_funnel` (delegates to [[graft.ops.TextAnalysis.qualityFunnel]]). */
+    def qualityFunnel(): DataFrame = TextAnalysis.qualityFunnel(spark, dir)
+    /** Typed facade of `pipeline_observe_metrics` (delegates to [[graft.ops.DataQuality.observeMetrics]]). */
+    def observeMetrics(): DataFrame = DataQuality.observeMetrics(spark, dir)
+    /** Typed facade of `pipeline_dataset_diff` (delegates to [[graft.ops.TextAnalysis.datasetDiff]]). */
+    def datasetDiff(): DataFrame = TextAnalysis.datasetDiff(spark, dir)
+    /** Typed facade of `pipeline_packing_efficiency` (delegates to [[graft.ops.TextAnalysis.packingEfficiency]]). */
+    def packingEfficiency(): DataFrame = TextAnalysis.packingEfficiency(spark, dir)
+    /** Typed facade of `pipeline_compaction_plan` (delegates to [[graft.ops.Relational.compactionPlan]]). */
+    def compactionPlan(): DataFrame = Relational.compactionPlan(spark, dir)
+    /** Typed facade of `pipeline_shard_manifest` (delegates to [[graft.ops.TextAnalysis.shardManifest]]). */
+    def shardManifest(): DataFrame = TextAnalysis.shardManifest(spark, dir)
+    /** Typed facade of `pipeline_shuffle_stripe` (delegates to [[graft.ops.TextAnalysis.shuffleStripe]]). */
+    def shuffleStripe(): DataFrame = TextAnalysis.shuffleStripe(spark, dir)
+    /** Typed facade of `pipeline_license_filter` (delegates to [[graft.ops.TextAnalysis.licenseFilter]]). */
+    def licenseFilter(): DataFrame = TextAnalysis.licenseFilter(spark, dir)
+    /** Typed facade of `pipeline_version_hash` (delegates to [[graft.ops.TextAnalysis.versionHash]]). */
+    def versionHash(): DataFrame = TextAnalysis.versionHash(spark, dir)
+  }
+
+  /** ML feature engineering + model calibration (the ml_* transforms and
+    * the param_sweep_* calibration family).
+    */
+  object features {
+    /** Typed facade of `ml_feature_hash` (delegates to [[graft.ops.MlFeatures.featureHash]]). */
+    def featureHash(): DataFrame = MlFeatures.featureHash(spark, dir)
+    /** Typed facade of `ml_feature_scaler_fit` (delegates to [[graft.ops.MlFeatures.featureScalerFit]]). */
+    def featureScalerFit(): DataFrame = MlFeatures.featureScalerFit(spark, dir)
+    /** Typed facade of `ml_target_encode_loo` (delegates to [[graft.ops.MlFeatures.targetEncodeLoo]]). */
+    def targetEncodeLoo(): DataFrame = MlFeatures.targetEncodeLoo(spark, dir)
+    /** Grid-sweep calibration: broadcast param grid × corpus, argmin
+      * (the D4 sweep). [[deStep]] is the evolutionary path. */
+    def sweepArgmin(): DataFrame = Relational.paramSweepArgmin(spark, dir)
+    /** One differential-evolution generation (DE/rand/1/bin, seeded
+      * replayable randomness) over the 2-D integer param box — the
+      * calibration family beyond the grid (round 16). */
+    def deStep(): DataFrame = Relational.paramSweepDeStep(spark, dir)
+    /** One (μ+λ) self-adaptive evolution-strategy generation — each
+      * individual carries its own mutating step sizes (round 16). */
+    def saesStep(): DataFrame = Relational.paramSweepSaesStep(spark, dir)
+  }
+
+  /** 2D fixed-grid stencil / image-cleaning over the 8×8 grids read from
+    * the embeddings (round 16 — the upstream reference's literal core
+    * transform family).
+    */
+  object grid {
+    /** Two-threshold tailcut clean: per-image core/boundary/kept counts
+      * + kept-intensity sum/max. */
+    def tailcutClean(): DataFrame = GridStencil.gridTailcutClean(spark, dir)
+    /** Isolated-island removal: 4-neighbor components over kept pixels
+      * (the global star-CC loop), per-image largest-island profile. */
+    def islandLargest(): DataFrame = GridStencil.gridIslandLargest(spark, dir)
+    /** 3×3 edge-clipped integer box-mean stencil with per-image peak
+      * readout. */
+    def stencilSmooth(): DataFrame = GridStencil.gridStencilSmooth(spark, dir)
   }
 
   /** The relational/commerce workload battery (the wk_* contract family). */
@@ -847,7 +1005,69 @@ final class Corpus(val spark: SparkSession, val dir: String) {
     "win_rfm_scores_scalable" -> (() => rfmScoresScalable()),
     "ml_calibration_bins" -> (() => calibrationBins()),
     "ml_lift_deciles" -> (() => liftDeciles()),
-    "text_rarity_buckets" -> (() => text.rarityBuckets()))
+    "text_rarity_buckets" -> (() => text.rarityBuckets()),
+    // round 16: the vec/graph serving tails, the streams/pipelines/
+    // features family objects, media sniff/chunk, and the new grid +
+    // DE-calibration operators — escape hatch 145 → 91
+    "vec_cosine_pairs" -> (() => vectors.cosinePairs()),
+    "vec_cosine_pairs_native" -> (() => vectors.cosinePairsNative()),
+    "vec_error_metrics" -> (() => vectors.errorMetrics()),
+    "vec_binary_hamming_topk" -> (() => vectors.binaryHammingTopk()),
+    "vec_ivf_stats" -> (() => vectors.ivfStats()),
+    "vec_pq_adc_topk" -> (() => vectors.pqAdcTopk()),
+    "vec_pq_error" -> (() => vectors.pqError()),
+    "vec_pq_residual" -> (() => vectors.pqResidual()),
+    "graph_triangle_knn" -> (() => vectors.triangleKnn()),
+    "graph_triangle_full" -> (() => vectors.triangleFull()),
+    "graph_degree_assortativity" -> (() => vectors.degreeAssortativity()),
+    "graph_assortativity_full" -> (() => vectors.assortativityFull()),
+    "graph_kcore_peel" -> (() => vectors.kcorePeel()),
+    "graph_label_propagation" -> (() => vectors.labelPropagation()),
+    "graph_modularity_full" -> (() => vectors.modularityFull()),
+    "graph_modularity_labels" -> (() => vectors.modularityLabels()),
+    "graph_bfs_distance_full" -> (() => vectors.bfsDistanceFull()),
+    "dedup_connected_components" -> (() => dedup.connectedComponents()),
+    "dedup_embedding_topk" -> (() => dedup.embeddingTopk()),
+    "dedup_exact_substring" -> (() => dedup.exactSubstring()),
+    "dedup_lsh_recall_eval" -> (() => dedup.lshRecallEval()),
+    "dedup_minhash_sig_agg" -> (() => dedup.minhashSignaturesAgg()),
+    "dedup_pq_codes" -> (() => dedup.pqCodes()),
+    "dedup_url_canonical" -> (() => dedup.urlCanonical()),
+    "mm_magic_sniff" -> (() => media.magicSniff()),
+    "mm_chunk_table" -> (() => media.chunkTable()),
+    "stream_tumbling_1h" -> (() => streams.tumbling1h()),
+    "stream_sliding_1h_15m" -> (() => streams.sliding1h15m()),
+    "stream_session_30m" -> (() => streams.session30m()),
+    "stream_session_custom" -> (() => streams.sessionCustom()),
+    "stream_dau_retention" -> (() => streams.dauRetention()),
+    "stream_funnel" -> (() => streams.funnel()),
+    "stream_watermark_late" -> (() => streams.watermarkLate()),
+    "stream_dedup_keep_first" -> (() => streams.dedupKeepFirst()),
+    "stream_stateful_count" -> (() => streams.statefulCount()),
+    "stream_stateful_count_v2" -> (() => streams.statefulCountV2()),
+    "stream_join_view_purchase" -> (() => streams.joinViewPurchase()),
+    "stream_cdc_apply" -> (() => streams.cdcApply()),
+    "scd2_change_intervals" -> (() => streams.scd2ChangeIntervals()),
+    "pipeline_corpus_curation" -> (() => pipelines.corpusCuration()),
+    "pipeline_incremental_merge" -> (() => pipelines.incrementalMerge()),
+    "pipeline_quality_funnel" -> (() => pipelines.qualityFunnel()),
+    "pipeline_observe_metrics" -> (() => pipelines.observeMetrics()),
+    "pipeline_dataset_diff" -> (() => pipelines.datasetDiff()),
+    "pipeline_packing_efficiency" -> (() => pipelines.packingEfficiency()),
+    "pipeline_compaction_plan" -> (() => pipelines.compactionPlan()),
+    "pipeline_shard_manifest" -> (() => pipelines.shardManifest()),
+    "pipeline_shuffle_stripe" -> (() => pipelines.shuffleStripe()),
+    "pipeline_license_filter" -> (() => pipelines.licenseFilter()),
+    "pipeline_version_hash" -> (() => pipelines.versionHash()),
+    "ml_feature_hash" -> (() => features.featureHash()),
+    "ml_feature_scaler_fit" -> (() => features.featureScalerFit()),
+    "ml_target_encode_loo" -> (() => features.targetEncodeLoo()),
+    "param_sweep_argmin" -> (() => features.sweepArgmin()),
+    "param_sweep_de_step" -> (() => features.deStep()),
+    "param_sweep_saes_step" -> (() => features.saesStep()),
+    "grid_tailcut_clean" -> (() => grid.tailcutClean()),
+    "grid_island_largest" -> (() => grid.islandLargest()),
+    "grid_stencil_smooth" -> (() => grid.stencilSmooth()))
 }
 
 object Corpus {

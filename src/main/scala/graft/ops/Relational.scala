@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational core: scans/sources (SURVEY §2.A), projections/filters (§2.B),
@@ -1000,6 +1000,157 @@ object Relational {
         row_number().over(Window.orderBy(col("total_err"), col("p"))))
       .orderBy(col("rank_err"))
   }
+
+  /** D5 param_sweep_de_step (round 16, VERDICT r15 #4) — ONE generation
+    * of differential evolution (DE/rand/1/bin), the reference's
+    * calibration family beyond D4's grid (SURVEY §1.1 recalls grid +
+    * differential evolution + SAES minimizing the corpus score):
+    *
+    *   - population: NP=12 members over the 2-D integer box a∈[1,50],
+    *     b∈[0,10], lattice-initialized (a=(7i+3)%50+1, b=(3i+1)%11 —
+    *     DE calibration conventionally starts from a space-filling
+    *     lattice; no RNG needed at init)
+    *   - donors r1,r2,r3 per member: rank the other 11 members by
+    *     md5('de|r|i|j') — the M70/M120 SEEDED-choice idiom, so the
+    *     "random" generation is replayable from the member id alone and
+    *     both engines derive identical digests
+    *   - mutant v = clamp(x_r1 + (x_r2 − x_r3)) with F=1 (integral — no
+    *     division, so no truncate-vs-floor cross-engine hazard)
+    *   - binomial crossover CR=0.75 per dimension via a hex-digit
+    *     threshold (first md5 char < 'c' ⇔ 12/16), with the forced
+    *     dimension j_rand = i mod 2 (classic DE: the trial always takes
+    *     ≥ 1 mutant coordinate)
+    *   - selection: score parent AND trial against the corpus in ONE
+    *     broadcast fact pass — err(a,b) = Σ |qty−a| + |100·disc−b|, all
+    *     exact integers — and keep the trial iff strictly better.
+    *
+    * Output: one row per member with parent, trial, both corpus scores,
+    * the selected next-generation member, and the improved flag.
+    *
+    * 100 TB: the population relations are ≤ NP² rows of driver-free
+    * tiny-relation algebra; the ONLY corpus-sized work is one broadcast
+    * nested-loop scan scoring all 2·NP candidates map-side into NP
+    * groups — the D4 sweep shape, so a full DE run is generations ×
+    * (one fact scan), embarrassingly parallel in the corpus. The
+    * Round16Spec pins the whole generation against a sequential
+    * reference implementation.
+    */
+  def paramSweepDeStep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val NP = 12
+    val pop = spark.range(NP).select(col("id").as("i"),
+      ((col("id") * 7 + 3) % 50 + 1).as("a"),
+      ((col("id") * 3 + 1) % 11).as("b"))
+    val donors = pop.select(col("i"), col("a"), col("b"))
+      .crossJoin(pop.select(col("i").as("j"), col("a").as("ja"), col("b").as("jb")))
+      .where(col("j") =!= col("i"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("i"))
+        .orderBy(md5(concat(lit("de|r|"), col("i").cast("string"),
+          lit("|"), col("j").cast("string"))), col("j"))))
+      .where(col("rk") <= 3)
+    val mut = donors.groupBy(col("i")).agg(
+      greatest(lit(1L), least(lit(50L),
+        max(when(col("rk") === 1, col("ja"))) + max(when(col("rk") === 2, col("ja")))
+          - max(when(col("rk") === 3, col("ja"))))).as("va"),
+      greatest(lit(0L), least(lit(10L),
+        max(when(col("rk") === 1, col("jb"))) + max(when(col("rk") === 2, col("jb")))
+          - max(when(col("rk") === 3, col("jb"))))).as("vb"))
+    val tr = pop.join(mut, Seq("i"))
+      .select(col("i"), col("a"), col("b"),
+        when(col("i") % 2 === 0 ||
+          substring(md5(concat(lit("de|cx|"), col("i").cast("string"), lit("|a"))), 1, 1) < "c",
+          col("va")).otherwise(col("a")).as("ta"),
+        when(col("i") % 2 === 1 ||
+          substring(md5(concat(lit("de|cx|"), col("i").cast("string"), lit("|b"))), 1, 1) < "c",
+          col("vb")).otherwise(col("b")).as("tb"))
+    val facts = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_discount") * 100).cast("long").as("d100"))
+    val sc = facts.crossJoin(broadcast(tr))
+      .groupBy(col("i"))
+      .agg(sum(abs(col("qty") - col("a")) + abs(col("d100") - col("b"))).as("parent_err"),
+        sum(abs(col("qty") - col("ta")) + abs(col("d100") - col("tb"))).as("trial_err"))
+    tr.join(sc, Seq("i"))
+      .select(col("i"), col("a"), col("b"),
+        col("ta").as("trial_a"), col("tb").as("trial_b"),
+        col("parent_err"), col("trial_err"),
+        when(col("trial_err") < col("parent_err"), col("ta")).otherwise(col("a")).as("sel_a"),
+        when(col("trial_err") < col("parent_err"), col("tb")).otherwise(col("b")).as("sel_b"),
+        (col("trial_err") < col("parent_err")).as("improved"))
+      .orderBy(col("i"))
+  }
+
+  /** D6 param_sweep_saes_step (round 16) — one (μ+λ) SELF-ADAPTIVE
+    * evolution-strategy generation, completing the reference's recalled
+    * calibration triple (SURVEY §1.1: grid [D4] + differential evolution
+    * [D5] + SAES): each individual carries its own step sizes (σa, σb)
+    * that mutate WITH it — the self-adaptation that lets an ES anneal
+    * from coarse to fine search with no external schedule.
+    *
+    * Integer-exact discretization (everything portable, no floats):
+    *   - μ=4 parents on a lattice with σ ∈ {1,2,4,8}
+    *   - λ=16 offspring, parent j%4; σ' = σ·2 or σ div 2 (clamped to
+    *     [1,16]) by a seeded md5 bit — the discrete two-point
+    *     self-adaptation rule (Rechenberg) — and x' = clamp(x + s·σ')
+    *     with step s ∈ {−2..2} from a seeded hex digit
+    *     (instr('0123456789abcdef', ch) − 1, identical on both engines)
+    *   - (μ+λ) selection: parents and offspring scored in ONE broadcast
+    *     corpus pass (the D4/D5 shape), top-μ by (err, candidate id)
+    *
+    * Output: the selected next generation with inherited step sizes and
+    * scores, plus each survivor's origin. 100 TB: ≤ 20 candidate rows
+    * broadcast against one fact scan; everything else is tiny-relation
+    * algebra. Seeded like D5 — replayable from ids alone.
+    */
+  def paramSweepSaesStep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // μ=4 parents: candidate ids 0..3, lattice positions, σ = 2^i
+    val parents = spark.range(4).select(col("id").as("cid"),
+      col("id").as("origin"),
+      ((col("id") * 11 + 7) % 50 + 1).as("a"),
+      ((col("id") * 5 + 2) % 11).as("b"),
+      expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("sa"),
+      expr("CAST(shiftleft(1L, CAST((id + 2) % 4 AS INT)) AS BIGINT)").as("sb"))
+    // λ=16 offspring: cid 4..19, parent j % 4; seeded σ and step digits
+    val off = spark.range(16).select(col("id").as("j"))
+      .join(parents.select(col("cid").as("p"), col("a").as("pa"), col("b").as("pb"),
+        col("sa").as("psa"), col("sb").as("psb")), col("j") % 4 === col("p"))
+      .withColumn("sa", greatest(lit(1L), least(lit(16L),
+        when(hexDigit("saes|sig|", "j", "a") % 2 === 0,
+          col("psa") * 2).otherwise(expr("psa div 2")))))
+      .withColumn("sb", greatest(lit(1L), least(lit(16L),
+        when(hexDigit("saes|sig|", "j", "b") % 2 === 0,
+          col("psb") * 2).otherwise(expr("psb div 2")))))
+      .select((col("j") + 4).as("cid"), col("p").as("origin"),
+        greatest(lit(1L), least(lit(50L),
+          col("pa") + (hexDigit("saes|x|", "j", "a") % 5 - 2) * col("sa"))).as("a"),
+        greatest(lit(0L), least(lit(10L),
+          col("pb") + (hexDigit("saes|x|", "j", "b") % 5 - 2) * col("sb"))).as("b"),
+        col("sa"), col("sb"))
+    val cands = parents.unionByName(off)
+    val facts = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_discount") * 100).cast("long").as("d100"))
+    val scored = facts.crossJoin(broadcast(cands))
+      .groupBy(col("cid"), col("origin"), col("a"), col("b"), col("sa"), col("sb"))
+      .agg(sum(abs(col("qty") - col("a")) + abs(col("d100") - col("b"))).as("err"))
+    scored
+      .withColumn("rank", row_number().over(Window.orderBy(col("err"), col("cid"))))
+      .where(col("rank") <= 4)
+      .select(col("rank"), col("cid"), col("origin"), col("a"), col("b"),
+        col("sa").as("sigma_a"), col("sb").as("sigma_b"), col("err"),
+        (col("cid") >= 4).as("is_offspring"))
+      .orderBy(col("rank"))
+  }
+
+  /** Seeded hex digit in 0..15: position of md5(prefix<j>|dim)'s first
+    * hex char in '0123456789abcdef' — identical digests and identical
+    * instr semantics on both engines (the D5/M70 idiom, digit-valued).
+    * SQL-expr form because `functions.instr` only takes a literal needle.
+    */
+  private def hexDigit(prefix: String, jCol: String, dim: String): Column =
+    expr(s"instr('0123456789abcdef', substring(md5(concat('$prefix', " +
+      s"CAST($jCol AS STRING), '|$dim')), 1, 1)) - 1")
 
   /** H4 — unpivot/melt: the 4 lineitem measure columns become
     * (measure, value) rows — the wide→long reshape every feature pipeline

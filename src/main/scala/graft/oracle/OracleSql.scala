@@ -4633,6 +4633,120 @@ object OracleSql {
         |round(CAST(c.n AS DOUBLE) / tot.total, 6) AS frac
         |FROM c JOIN tot USING (event_type) WHERE c.n * 64 > tot.total
         |ORDER BY c.event_type, n DESC, item""".stripMargin.replace("\n", " "),
+
+    // D5 (round 16): one DE/rand/1/bin generation — lattice init, seeded
+    // md5 donor ranking and crossover coin (the M70/M120 idiom), F=1
+    // integral mutation, one corpus pass scoring parent+trial. Every sum
+    // CAST AS BIGINT (the round-15 HUGEINT→float64 bridge trap).
+    "param_sweep_de_step" ->
+      """WITH pop AS (SELECT CAST(i AS BIGINT) AS i,
+        |CAST((7 * i + 3) % 50 + 1 AS BIGINT) AS a,
+        |CAST((3 * i + 1) % 11 AS BIGINT) AS b FROM range(12) t(i)),
+        |dn AS (SELECT p.i, q.a AS ja, q.b AS jb,
+        |ROW_NUMBER() OVER (PARTITION BY p.i ORDER BY
+        |md5('de|r|' || CAST(p.i AS VARCHAR) || '|' || CAST(q.i AS VARCHAR)), q.i) AS rk
+        |FROM pop p JOIN pop q ON q.i <> p.i),
+        |mut AS (SELECT i,
+        |GREATEST(1, LEAST(50, MAX(CASE WHEN rk = 1 THEN ja END)
+        |+ MAX(CASE WHEN rk = 2 THEN ja END) - MAX(CASE WHEN rk = 3 THEN ja END))) AS va,
+        |GREATEST(0, LEAST(10, MAX(CASE WHEN rk = 1 THEN jb END)
+        |+ MAX(CASE WHEN rk = 2 THEN jb END) - MAX(CASE WHEN rk = 3 THEN jb END))) AS vb
+        |FROM dn WHERE rk <= 3 GROUP BY i),
+        |tr AS (SELECT p.i, p.a, p.b,
+        |CASE WHEN p.i % 2 = 0 OR substr(md5('de|cx|' || CAST(p.i AS VARCHAR) || '|a'), 1, 1) < 'c'
+        |THEN m.va ELSE p.a END AS ta,
+        |CASE WHEN p.i % 2 = 1 OR substr(md5('de|cx|' || CAST(p.i AS VARCHAR) || '|b'), 1, 1) < 'c'
+        |THEN m.vb ELSE p.b END AS tb
+        |FROM pop p JOIN mut m ON m.i = p.i),
+        |f AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(l_discount * 100 AS BIGINT) AS d100 FROM lineitem),
+        |sc AS (SELECT t.i,
+        |CAST(SUM(ABS(f.qty - t.a) + ABS(f.d100 - t.b)) AS BIGINT) AS parent_err,
+        |CAST(SUM(ABS(f.qty - t.ta) + ABS(f.d100 - t.tb)) AS BIGINT) AS trial_err
+        |FROM tr t, f GROUP BY t.i)
+        |SELECT t.i, t.a, t.b, t.ta AS trial_a, t.tb AS trial_b, s.parent_err, s.trial_err,
+        |CASE WHEN s.trial_err < s.parent_err THEN t.ta ELSE t.a END AS sel_a,
+        |CASE WHEN s.trial_err < s.parent_err THEN t.tb ELSE t.b END AS sel_b,
+        |s.trial_err < s.parent_err AS improved
+        |FROM tr t JOIN sc s ON s.i = t.i ORDER BY t.i""".stripMargin.replace("\n", " "),
+
+    // D6 (round 16): one (μ+λ) self-adaptive ES generation — lattice
+    // parents with power-of-two step sizes, seeded two-point σ
+    // adaptation + hex-digit steps, one corpus pass scoring all 20
+    // candidates, top-4 survive
+    "param_sweep_saes_step" ->
+      """WITH par AS (SELECT CAST(i AS BIGINT) AS cid, CAST(i AS BIGINT) AS origin,
+        |CAST((11 * i + 7) % 50 + 1 AS BIGINT) AS a,
+        |CAST((5 * i + 2) % 11 AS BIGINT) AS b,
+        |CAST(1 << i AS BIGINT) AS sa,
+        |CAST(1 << CAST((i + 2) % 4 AS INT) AS BIGINT) AS sb FROM range(4) t(i)),
+        |hx AS (SELECT j,
+        |instr('0123456789abcdef', substr(md5('saes|sig|' || CAST(j AS VARCHAR) || '|a'), 1, 1)) - 1 AS hsa,
+        |instr('0123456789abcdef', substr(md5('saes|sig|' || CAST(j AS VARCHAR) || '|b'), 1, 1)) - 1 AS hsb,
+        |instr('0123456789abcdef', substr(md5('saes|x|' || CAST(j AS VARCHAR) || '|a'), 1, 1)) - 1 AS hxa,
+        |instr('0123456789abcdef', substr(md5('saes|x|' || CAST(j AS VARCHAR) || '|b'), 1, 1)) - 1 AS hxb
+        |FROM range(16) t(j)),
+        |o1 AS (SELECT h.j, p.cid AS origin, p.a AS pa, p.b AS pb,
+        |GREATEST(1, LEAST(16, CASE WHEN h.hsa % 2 = 0 THEN p.sa * 2 ELSE p.sa // 2 END)) AS sa,
+        |GREATEST(1, LEAST(16, CASE WHEN h.hsb % 2 = 0 THEN p.sb * 2 ELSE p.sb // 2 END)) AS sb,
+        |h.hxa, h.hxb FROM hx h JOIN par p ON p.cid = h.j % 4),
+        |off AS (SELECT CAST(j + 4 AS BIGINT) AS cid, origin,
+        |CAST(GREATEST(1, LEAST(50, pa + (hxa % 5 - 2) * sa)) AS BIGINT) AS a,
+        |CAST(GREATEST(0, LEAST(10, pb + (hxb % 5 - 2) * sb)) AS BIGINT) AS b,
+        |CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb FROM o1),
+        |cand AS (SELECT * FROM par UNION ALL SELECT * FROM off),
+        |f AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(l_discount * 100 AS BIGINT) AS d100 FROM lineitem),
+        |sc AS (SELECT c.cid, c.origin, c.a, c.b, c.sa, c.sb,
+        |CAST(SUM(ABS(f.qty - c.a) + ABS(f.d100 - c.b)) AS BIGINT) AS err
+        |FROM cand c, f GROUP BY c.cid, c.origin, c.a, c.b, c.sa, c.sb),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY err, cid) AS rank FROM sc)
+        |SELECT rank, cid, origin, a, b, sa AS sigma_a, sb AS sigma_b, err,
+        |cid >= 4 AS is_offspring FROM rk WHERE rank <= 4 ORDER BY rank"""
+        .stripMargin.replace("\n", " "),
+
+    // P1 (round 16): two-threshold tailcut clean over the 8×8 grid —
+    // counts + kept-intensity sum/max (×1000 BIGINTs, kept ≥ LO > 0)
+    "grid_tailcut_clean" ->
+      (s"WITH $gridKeptChain, " +
+        """q AS (SELECT vec_id, core, kept,
+        |list_transform(emb, v -> CAST(round(v * 1000) AS BIGINT)) AS qa FROM k)
+        |SELECT vec_id,
+        |CAST(len(list_filter(core, x -> x)) AS BIGINT) AS n_core,
+        |CAST(len(list_filter(range(0, 64), p -> kept[CAST(p + 1 AS INT)]
+        |AND NOT core[CAST(p + 1 AS INT)])) AS BIGINT) AS n_boundary,
+        |CAST(len(list_filter(kept, x -> x)) AS BIGINT) AS n_kept,
+        |CAST(COALESCE(list_sum(list_transform(range(0, 64), p ->
+        |CASE WHEN kept[CAST(p + 1 AS INT)] THEN qa[CAST(p + 1 AS INT)] ELSE 0 END)), 0) AS BIGINT) AS q_sum,
+        |CAST(COALESCE(list_max(list_transform(range(0, 64), p ->
+        |CASE WHEN kept[CAST(p + 1 AS INT)] THEN qa[CAST(p + 1 AS INT)] ELSE NULL END)), 0) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+
+    // P2 (round 16): 4-neighbor components over kept pixels (recursive
+    // min-label closure per image — the M24 oracle pattern), then the
+    // per-image island profile with the size-then-smallest-root argmax
+    "grid_island_largest" ->
+      (s"WITH RECURSIVE $gridKeptChain, " +
+        """kp AS (SELECT vec_id, CAST(p AS BIGINT) AS p0 FROM k, range(0, 64) t(p)
+        |WHERE kept[CAST(p + 1 AS INT)]),
+        |ed0 AS (SELECT a.vec_id, a.p0 AS ap, b.p0 AS bp FROM kp a JOIN kp b
+        |ON b.vec_id = a.vec_id AND ((b.p0 = a.p0 + 1 AND a.p0 % 8 <> 7) OR b.p0 = a.p0 + 8)),
+        |edges AS (SELECT vec_id, ap AS ea, eb FROM (SELECT vec_id, ap, bp AS eb FROM ed0
+        |UNION ALL SELECT vec_id, bp AS ap, ap AS eb FROM ed0)),
+        |reach AS (SELECT vec_id, p0 AS node, p0 AS label FROM kp
+        |UNION SELECT e.vec_id, e.eb, r.label FROM reach r
+        |JOIN edges e ON e.vec_id = r.vec_id AND e.ea = r.node),
+        |comp AS (SELECT vec_id, node, MIN(label) AS comp FROM reach GROUP BY vec_id, node),
+        |isl AS (SELECT vec_id, comp, CAST(COUNT(*) AS BIGINT) AS isl_size
+        |FROM comp GROUP BY vec_id, comp)
+        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |CAST(SUM(isl_size) AS BIGINT) AS n_kept,
+        |CAST(MAX(isl_size) AS BIGINT) AS largest_size,
+        |CAST(max_by(comp, isl_size * 1000000000000 - comp) AS BIGINT) AS largest_px
+        |FROM isl GROUP BY vec_id ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+
+    // P3 (round 16): 3×3 edge-clipped box mean on the +1-shifted ×1000
+    // quantization (all integers nonnegative, so // ≡ Spark div); the
+    // stencil terms come from the SAME Scala generator as the engine
+    "grid_stencil_smooth" -> gridStencilSmoothSql,
   )
 
   /** One snapshot side of dq_profile_drift: the 13-metric single-scan
@@ -4710,4 +4824,49 @@ object OracleSql {
       |codes AS (SELECT vec_id, s, c AS code, d2 AS qerr FROM (
       |SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn1 FROM enc) WHERE rn1 = 1)"""
       .stripMargin.replace("\n", " ")
+
+  /** The grid-family two-threshold clean (g → core → kept) shared by
+    * grid_tailcut_clean / grid_island_largest, mirroring
+    * GridStencil.cleaned on the DuckDB list dialect (1-based brackets,
+    * CASE-guarded neighbor probes — FALSE AND x = FALSE under 3VL, so an
+    * unguarded wrap can never flip a decision). Thresholds interpolate
+    * from the engine constants (the ADVICE r11 #1 discipline). No WITH
+    * prefix: callers supply WITH or WITH RECURSIVE.
+    */
+  private def gridKeptChain: String = {
+    val hi = graft.ops.GridStencil.TailHi
+    val lo = graft.ops.GridStencil.TailLo
+    s"""g AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c AS (SELECT vec_id, emb, list_transform(range(0, 64), p ->
+      |emb[CAST(p + 1 AS INT)] >= $hi) AS core FROM g),
+      |k AS (SELECT vec_id, emb, core, list_transform(range(0, 64), p ->
+      |core[CAST(p + 1 AS INT)] OR (emb[CAST(p + 1 AS INT)] >= $lo AND (
+      |CASE WHEN p >= 8 THEN core[CAST(p - 7 AS INT)] ELSE false END OR
+      |CASE WHEN p < 56 THEN core[CAST(p + 9 AS INT)] ELSE false END OR
+      |CASE WHEN p % 8 <> 0 THEN core[CAST(p AS INT)] ELSE false END OR
+      |CASE WHEN p % 8 <> 7 THEN core[CAST(p + 2 AS INT)] ELSE false END))) AS kept FROM c)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** grid_stencil_smooth oracle: the 9 stencil terms are generated by the
+    * SAME Scala code as the engine expression
+    * ([[graft.ops.GridStencil.stencilTerms]]) on the DuckDB dialect, so
+    * the window geometry cannot drift between engine and oracle.
+    */
+  private def gridStencilSmoothSql: String = {
+    val (sumT, cntT) = graft.ops.GridStencil.stencilTerms(
+      (g, t, e) => s"CASE WHEN $g THEN $t ELSE $e END",
+      i => s"qs[CAST($i AS INT)]")
+    s"""WITH g AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(emb, v ->
+      |CAST(round((v + 1.0) * 1000) AS BIGINT)) AS qs FROM g),
+      |s AS (SELECT vec_id, qs, list_transform(range(0, 64), p ->
+      |($sumT) // ($cntT)) AS sm FROM q)
+      |SELECT vec_id, CAST(list_max(sm) AS BIGINT) AS sm_max,
+      |CAST(list_position(sm, list_max(sm)) - 1 AS BIGINT) AS sm_argmax_px,
+      |CAST(len(list_filter(range(0, 64), p ->
+      |sm[CAST(p + 1 AS INT)] > qs[CAST(p + 1 AS INT)])) AS BIGINT) AS n_raised,
+      |CAST(list_sum(sm) // 64 AS BIGINT) AS sm_mean
+      |FROM s ORDER BY vec_id""".stripMargin.replace("\n", " ")
+  }
 }

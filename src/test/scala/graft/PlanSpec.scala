@@ -196,6 +196,8 @@ class PlanSpec extends SparkSpec {
       "text_tfidf_top",         // broadcast 1-row corpus count
       "ann_ivf_topk",           // broadcast 10-row centroid table
       "param_sweep_argmin",     // broadcast ≤7-row param grid
+      "param_sweep_de_step",    // broadcast 12-row parent+trial table (D5)
+      "param_sweep_saes_step",  // broadcast 20-row (μ+λ) candidate table (D6)
       "dq_rule_violations",     // 1-row rule agg × 1-row denominator agg
       "agg_decay_halflife",     // broadcast 1-row reference timestamp
       "dq_anomaly_mad",         // broadcast 1-row median + 1-row MAD
