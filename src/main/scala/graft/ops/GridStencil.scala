@@ -109,11 +109,16 @@ object GridStencil {
     * node ids stay < 10¹² until 1.5·10¹⁰ images, recorded bound).
     */
   def gridIslandLargest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Checkpoints.CutOps
+    // cut: the kept-pixel relation is read THREE times (edge left side,
+    // edge membership side, label join) — without the cut each reference
+    // re-runs the corpus-wide HOF clean (the shared-relation discipline)
     val nodes = cleaned(spark, sfDir)
       .select(col("vec_id"), posexplode(col("kept")).as(Seq("p0", "k")))
       .where(col("k"))
       .select(col("vec_id"), col("p0").cast("long").as("p0"),
         (col("vec_id") * Cells + col("p0")).as("node"))
+      .lineageCut(true)
     // right + down candidate edges only — starComponents symmetrizes
     val cand = nodes.select(col("vec_id"), col("node"),
       explode(expr(
