@@ -62,8 +62,13 @@ object IndexStore {
     * v2: + the full-corpus `knn_candidates_full` artifact (declared round
     * 10; builder landed round 11 — the params change re-keyed the store,
     * so any artifact-less v2 leftover is abandoned, never read).
+    * v3 (optimization round 16): the BASE snapshot store additionally
+    * persists `pq_packed`, so the incremental update packs only the
+    * delta's codes and reuses the base packing verbatim (vec_id-disjoint
+    * slices ⇒ the merged grouping is the disjoint union of the two
+    * groupings). A v2 base store lacks the artifact, so v3 re-keys.
     */
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   val ArtifactNames: Seq[String] = Seq(
     "ivf_centroids", "ivf_assigned", "knn_candidates", "knn_candidates_full",
@@ -200,8 +205,103 @@ object IndexStore {
     dir
   }
 
-  private def write(df: DataFrame, path: String): Unit =
+  /** Stage profiler (optimization rounds): `SPARK_GRAFT_INDEX_PROFILE=1`
+    * prints per-artifact wall seconds to stderr — measurement plumbing
+    * only, zero work when unset.
+    */
+  private val profile = sys.env.get("SPARK_GRAFT_INDEX_PROFILE").contains("1")
+  private[graft] def timed[T](name: String)(body: => T): T =
+    if (!profile) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      Console.err.println(
+        f"[index-profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
+  private def write(df: DataFrame, path: String): Unit = timed(
+      path.substring(path.lastIndexOf('/') + 1)) {
     df.write.mode("overwrite").parquet(path)
+  }
+
+  /** Run independent artifact lanes as concurrent Spark jobs (guide-§2.6
+    * overlap: actions are only sequential because driver code calls them
+    * sequentially; a build whose artifact DAG has independent branches
+    * should let the tail of one branch's stages back-fill the cores the
+    * other branch is not using). Exceptions propagate unwrapped. A
+    * single-element list degenerates to a plain call — no pool.
+    */
+  private def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size <= 1) tasks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      try {
+        val futs = tasks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = t()
+          })
+        }
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally pool.shutdown()
+    }
+
+  /** The parallel manifest: one count job per artifact, submitted
+    * concurrently — each count is a tiny parquet scan whose wall time is
+    * almost pure job-scheduling overhead, so N sequential counts cost
+    * N × the floor while one concurrent wave costs ~1 × .
+    */
+  private def manifest(spark: SparkSession, dir: String,
+      names: Seq[String]): Seq[(String, Long)] = {
+    val out = new Array[(String, Long)](names.size)
+    inParallel(names.zipWithIndex.map { case (n, i) =>
+      () => out(i) = (n, timed(s"count:$n")(
+        spark.read.parquet(s"$dir/$n").count()))
+    })
+    out.toSeq
+  }
+
+  /** Link every data file of a published parquet artifact into `dstDir`
+    * under a `tag-` prefix — the lake-table "append the unchanged
+    * partitions" emulation (VERDICT r15 #2): an incremental update's
+    * merged artifact whose base slice is provably unchanged (disjoint
+    * key ranges, per-row pure functions of frozen quantizers) is the
+    * base's files PLUS the delta's files, not a corpus-sized rewrite. A
+    * parquet directory is exactly its set of data files, so the linked
+    * directory IS the union relation, row for row. Hard links where the
+    * filesystem allows (same volume here — the store root), byte copy as
+    * the fallback; `_`/`.`-prefixed bookkeeping files are skipped, and
+    * the tag prefix makes collisions with Spark-written part files
+    * impossible. Deleting a source store later only unlinks names —
+    * the shared inodes survive until every reference is gone.
+    */
+  private def linkParts(srcDir: String, dstDir: String, tag: String): Unit =
+    timed(s"link:${dstDir.substring(dstDir.lastIndexOf('/') + 1)}<-$tag") {
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Paths.get(srcDir)
+      val dst = java.nio.file.Paths.get(dstDir)
+      java.nio.file.Files.createDirectories(dst)
+      val s = java.nio.file.Files.list(src)
+      try s.iterator().asScala.toList.foreach { f =>
+        val name = f.getFileName.toString
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          val to = dst.resolve(s"$tag-$name")
+          try java.nio.file.Files.createLink(to, f)
+          catch {
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
+              java.nio.file.Files.copy(f, to,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      } finally s.close()
+    }
 
   /** Pack per-subvector codes into the 4-code serving word per vector —
     * shared by the full build and the incremental update's merged store.
@@ -312,35 +412,50 @@ object IndexStore {
     }
   }
 
+  /** The seven-artifact build, as THREE independent lanes run as
+    * concurrent jobs (optimization round 16, guide §2.6: the artifact DAG
+    * has no edge between the IVF chain, the PQ chain, and the bounded kNN
+    * slice, so serializing them left most cores idle during each lane's
+    * small-stage tails — measured 7.1 s warm → the lanes overlap the
+    * ~2 s shortlist candidate join with the whole PQ chain). Within each
+    * lane the read-back discipline is unchanged: every derived artifact
+    * is computed from the STORED form of its input.
+    */
   private def build(spark: SparkSession, sfDir: String, finalDir: String,
       force: Boolean = false): Unit = publish(finalDir, force) { dir =>
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    // IVF: quantizer, then inverted lists computed against the STORED
-    // centroids (read back, so the persisted assignment provably derives
-    // from the persisted quantizer — the same read path queries use)
-    write(Similarity.centroidsBuild(e), s"$dir/ivf_centroids")
-    val cent = spark.read.parquet(s"$dir/ivf_centroids")
-    write(Similarity.ivfAssignBuild(e, cent), s"$dir/ivf_assigned")
-    // PQ: trained codebooks + per-subvector codes + packed code words
-    val (codebook, codes) = Similarity.pqIndex(e)
-    write(codebook, s"$dir/pq_codebook")
-    write(codes.select(col("vec_id"), col("s"), col("code"), col("qerr")),
-      s"$dir/pq_codes")
-    val storedCodes = spark.read.parquet(s"$dir/pq_codes")
-    write(packCodes(storedCodes), s"$dir/pq_packed")
-    // kNN candidate relation over the bounded graph slice
-    val eb = e.where(col("vec_id") < KnnBound)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    write(Similarity.knnCandidates(eb, KnnNprobe), s"$dir/knn_candidates")
-    // FULL-corpus candidate relation (VERDICT r9 #1): √n-scaled sub-cells
-    // over the STORED inverted lists, so the persisted pairs provably
-    // derive from the persisted quantizer — the graph family's input.
-    // Persisted as the top-K shortlist per vector (see [[KnnFullTopK]]):
-    // the raw candidate relation is build-time-only working set.
-    val storedAssigned = spark.read.parquet(s"$dir/ivf_assigned")
-    write(Similarity.knnShortlistFull(e, storedAssigned, cent, KnnFullTopK),
-      s"$dir/knn_candidates_full")
+    inParallel(Seq(
+      // lane 1 — IVF: quantizer, then inverted lists computed against the
+      // STORED centroids (read back, so the persisted assignment provably
+      // derives from the persisted quantizer — the same read path queries
+      // use), then the FULL-corpus candidate relation (VERDICT r9 #1):
+      // √n-scaled sub-cells over the STORED inverted lists. Persisted as
+      // the top-K shortlist per vector (see [[KnnFullTopK]]): the raw
+      // candidate relation is build-time-only working set.
+      () => {
+        write(Similarity.centroidsBuild(e), s"$dir/ivf_centroids")
+        val cent = spark.read.parquet(s"$dir/ivf_centroids")
+        write(Similarity.ivfAssignBuild(e, cent), s"$dir/ivf_assigned")
+        val storedAssigned = spark.read.parquet(s"$dir/ivf_assigned")
+        write(Similarity.knnShortlistFull(e, storedAssigned, cent, KnnFullTopK),
+          s"$dir/knn_candidates_full")
+      },
+      // lane 2 — PQ: trained codebooks + per-subvector codes + packed words
+      () => {
+        val (codebook, codes) = Similarity.pqIndex(e)
+        write(codebook, s"$dir/pq_codebook")
+        write(codes.select(col("vec_id"), col("s"), col("code"), col("qerr")),
+          s"$dir/pq_codes")
+        val storedCodes = spark.read.parquet(s"$dir/pq_codes")
+        write(packCodes(storedCodes), s"$dir/pq_packed")
+      },
+      // lane 3 — the kNN candidate relation over the bounded graph slice
+      () => {
+        val eb = e.where(col("vec_id") < KnnBound)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        write(Similarity.knnCandidates(eb, KnnNprobe), s"$dir/knn_candidates")
+      }))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(marker(dir),
       corpusKey(sfDir).getBytes("UTF-8"))
@@ -355,11 +470,10 @@ object IndexStore {
     * write path.
     */
   def indexBuildVecsearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = rebuild(spark, sfDir)
+    val dir = timed("rebuild:vecsearch")(rebuild(spark, sfDir))
     import spark.implicits._
-    ArtifactNames.map { n =>
-      (n, spark.read.parquet(s"$dir/$n").count())
-    }.toDF("artifact", "n_rows").orderBy(col("artifact"))
+    manifest(spark, dir, ArtifactNames)
+      .toDF("artifact", "n_rows").orderBy(col("artifact"))
   }
 
   // ---- media family (round 9): block-SimHash signatures + near-dup pairs
@@ -425,9 +539,8 @@ object IndexStore {
   def indexBuildMediasig(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = rebuildMedia(spark, sfDir)
     import spark.implicits._
-    MediaArtifactNames.map { n =>
-      (n, spark.read.parquet(s"$dir/$n").count())
-    }.toDF("artifact", "n_rows").orderBy(col("artifact"))
+    manifest(spark, dir, MediaArtifactNames)
+      .toDF("artifact", "n_rows").orderBy(col("artifact"))
   }
 
   // ---- incremental media maintenance (round 11, VERDICT r9 #2)
@@ -513,27 +626,29 @@ object IndexStore {
     val updDir = mediaUpdDir(sfDir)
     // force: the query owns the delta-build cost (the bench measures it
     // here, once, like the other index_build_* entries)
+    // Optimization round 16: the merged artifacts are file LINKS of their
+    // provably-disjoint slices (a signature is a pure function of its own
+    // payload and the doc_id slices are disjoint; base×base pairs touch no
+    // delta doc while every delta pair touches ≥ 1), not corpus-sized
+    // Spark rewrites — the same lake-append economics as the vector store.
     publish(updDir, force = true) { tmp =>
       val delta = Tables.documents(spark, sfDir).where(DeltaPred)
       write(Multimodal.phashSignatures(delta), s"$tmp/media_sigs_delta")
       val deltaSigs = spark.read.parquet(s"$tmp/media_sigs_delta")
-      val baseSigs = spark.read.parquet(s"$baseDir/media_sigs")
-      write(baseSigs.unionAll(deltaSigs), s"$tmp/media_sigs")
+      linkParts(s"$baseDir/media_sigs", s"$tmp/media_sigs", "base")
+      linkParts(s"$tmp/media_sigs_delta", s"$tmp/media_sigs", "delta")
       val mergedSigs = spark.read.parquet(s"$tmp/media_sigs")
       write(Multimodal.phashPairsDelta(deltaSigs, mergedSigs),
         s"$tmp/media_pairs_delta")
-      val deltaPairs = spark.read.parquet(s"$tmp/media_pairs_delta")
-      // disjoint union: base pairs touch no delta doc, delta pairs ≥ 1
-      write(spark.read.parquet(s"$baseDir/media_pairs").unionAll(deltaPairs),
-        s"$tmp/media_pairs")
+      linkParts(s"$baseDir/media_pairs", s"$tmp/media_pairs", "base")
+      linkParts(s"$tmp/media_pairs_delta", s"$tmp/media_pairs", "delta")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
       java.nio.file.Files.write(marker(tmp),
         mediaUpdKey(sfDir).getBytes("UTF-8"))
     }
     import spark.implicits._
-    MediaUpdateArtifactNames.map { n =>
-      (n, spark.read.parquet(s"$updDir/$n").count())
-    }.toDF("artifact", "n_rows").orderBy(col("artifact"))
+    manifest(spark, updDir, MediaUpdateArtifactNames)
+      .toDF("artifact", "n_rows").orderBy(col("artifact"))
   }
 
   // ---- incremental VECSEARCH maintenance (round 12, VERDICT r11 #2)
@@ -573,7 +688,7 @@ object IndexStore {
     */
   val VecBaseArtifactNames: Seq[String] = Seq(
     "ivf_assigned", "ivf_centroids", "knn_candidates_full", "knn_probes_alt",
-    "knn_routing", "pq_codebook", "pq_codes")
+    "knn_routing", "pq_codebook", "pq_codes", "pq_packed")
 
   /** The incremental update's manifest: the merged serving relations plus
     * the delta relations the update actually computed (persisted so the
@@ -618,6 +733,12 @@ object IndexStore {
         write(codebook, s"$tmp/pq_codebook")
         write(codes.select(col("vec_id"), col("s"), col("code"), col("qerr")),
           s"$tmp/pq_codes")
+        // packed serving words over the base slice (v3): the incremental
+        // update links these verbatim and packs only the delta's codes —
+        // base and delta vec_ids are disjoint, so the merged grouping is
+        // exactly the disjoint union of the two groupings
+        write(packCodes(spark.read.parquet(s"$tmp/pq_codes")),
+          s"$tmp/pq_packed")
         // the frozen routing relations (see VecBaseArtifactNames)
         write(Similarity.knnRouting(storedAssigned), s"$tmp/knn_routing")
         val routing = spark.read.parquet(s"$tmp/knn_routing")
@@ -685,55 +806,74 @@ object IndexStore {
     val updDir = vecUpdDir(sfDir)
     // force: the query owns the delta-build cost (the bench measures it
     // here, once, like the other index_build_* entries)
+    // Optimization round 16 — three structural changes, same artifact rows:
+    //   1. the frozen quantizers and every merged artifact whose base
+    //      slice is provably unchanged (assignment/encoding/packing are
+    //      per-vector pure functions of the frozen quantizers, and base ∪
+    //      delta vec_ids are disjoint) are LINKED from the base store's
+    //      files instead of rewritten through Spark — the lake "append the
+    //      changed partitions" economics VERDICT r15 #2 asked for;
+    //   2. the IVF→kNN chain and the PQ chain are independent lanes run as
+    //      concurrent jobs (guide §2.6);
+    //   3. pq_packed packs ONLY the delta's codes (base packing linked,
+    //      see [[VecBaseArtifactNames]] v3).
+    // Update cost now tracks |delta| in WRITES too, not just in compute.
     publish(updDir, force = true) { tmp =>
       graft.functions.DotProduct.register(spark)
       val e = Tables.embeddings(spark, sfDir)
       val delta = e.where(VecDeltaPred)
       val cent = spark.read.parquet(s"$baseDir/ivf_centroids")
-      write(cent, s"$tmp/ivf_centroids")
+      linkParts(s"$baseDir/ivf_centroids", s"$tmp/ivf_centroids", "base")
       val cb = spark.read.parquet(s"$baseDir/pq_codebook")
-      write(cb, s"$tmp/pq_codebook")
-      // delta assignment + encode, merged per-vector artifacts
-      write(Similarity.ivfAssignBuild(delta, cent), s"$tmp/ivf_assigned_delta")
-      val deltaAsg = spark.read.parquet(s"$tmp/ivf_assigned_delta")
-      write(spark.read.parquet(s"$baseDir/ivf_assigned").unionByName(deltaAsg),
-        s"$tmp/ivf_assigned")
-      write(Similarity.pqEncodeAgainst(delta, cb), s"$tmp/pq_codes_delta")
-      val deltaCodes = spark.read.parquet(s"$tmp/pq_codes_delta")
-      write(spark.read.parquet(s"$baseDir/pq_codes").unionByName(deltaCodes),
-        s"$tmp/pq_codes")
-      write(packCodes(spark.read.parquet(s"$tmp/pq_codes")), s"$tmp/pq_packed")
-      // shortlist delta band against the FROZEN base routing
-      val routing = spark.read.parquet(s"$baseDir/knn_routing")
-      val baseMem = routing.select(col("vec_id"), col("cell"), col("bucket"))
-      val baseProbes2 = spark.read.parquet(s"$baseDir/knn_probes_alt")
-      val bounds = Similarity.knnBounds(routing)
-      val deltaOwn = Similarity.mapByBounds(deltaAsg, bounds)
-        .lineageCut(false) // probe side, membership side, and the B band read it
-      val deltaSec = Similarity.mapByBounds(
-        Similarity.probeCells(delta, cent), bounds)
-      val bandA = Similarity.knnPairIds(
-        deltaOwn.unionByName(deltaSec), baseMem.unionByName(deltaOwn))
-      val bandB = Similarity.knnPairIds(
-        baseMem.unionByName(baseProbes2), deltaOwn)
-      write(Similarity.dotPairs(e, bandA.unionByName(bandB)),
-        s"$tmp/knn_pairs_delta")
-      val deltaPairs = spark.read.parquet(s"$tmp/knn_pairs_delta")
-      val baseShort = spark.read.parquet(s"$baseDir/knn_candidates_full")
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
-      write(baseShort.unionByName(deltaPairs)
-          .withColumn("rn", row_number().over(wTop))
-          .where(col("rn") <= KnnFullTopK)
-          .drop("rn"),
-        s"$tmp/knn_candidates_full")
+      linkParts(s"$baseDir/pq_codebook", s"$tmp/pq_codebook", "base")
+      inParallel(Seq(
+        // lane 1 — delta assignment, merged inverted lists, the shortlist
+        // delta band against the FROZEN base routing, merged shortlist
+        () => {
+          write(Similarity.ivfAssignBuild(delta, cent),
+            s"$tmp/ivf_assigned_delta")
+          val deltaAsg = spark.read.parquet(s"$tmp/ivf_assigned_delta")
+          linkParts(s"$baseDir/ivf_assigned", s"$tmp/ivf_assigned", "base")
+          linkParts(s"$tmp/ivf_assigned_delta", s"$tmp/ivf_assigned", "delta")
+          val routing = spark.read.parquet(s"$baseDir/knn_routing")
+          val baseMem = routing.select(col("vec_id"), col("cell"), col("bucket"))
+          val baseProbes2 = spark.read.parquet(s"$baseDir/knn_probes_alt")
+          val bounds = Similarity.knnBounds(routing)
+          val deltaOwn = Similarity.mapByBounds(deltaAsg, bounds)
+            .lineageCut(false) // probe side, membership side, and the B band read it
+          val deltaSec = Similarity.mapByBounds(
+            Similarity.probeCells(delta, cent), bounds)
+          val bandA = Similarity.knnPairIds(
+            deltaOwn.unionByName(deltaSec), baseMem.unionByName(deltaOwn))
+          val bandB = Similarity.knnPairIds(
+            baseMem.unionByName(baseProbes2), deltaOwn)
+          write(Similarity.dotPairs(e, bandA.unionByName(bandB)),
+            s"$tmp/knn_pairs_delta")
+          val deltaPairs = spark.read.parquet(s"$tmp/knn_pairs_delta")
+          val baseShort = spark.read.parquet(s"$baseDir/knn_candidates_full")
+          val wTop = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("a_id")).orderBy(col("dot").desc, col("b_id").asc)
+          write(baseShort.unionByName(deltaPairs)
+              .withColumn("rn", row_number().over(wTop))
+              .where(col("rn") <= KnnFullTopK)
+              .drop("rn"),
+            s"$tmp/knn_candidates_full")
+        },
+        // lane 2 — delta encode, merged codes, delta-only packed words
+        () => {
+          write(Similarity.pqEncodeAgainst(delta, cb), s"$tmp/pq_codes_delta")
+          val deltaCodes = spark.read.parquet(s"$tmp/pq_codes_delta")
+          linkParts(s"$baseDir/pq_codes", s"$tmp/pq_codes", "base")
+          linkParts(s"$tmp/pq_codes_delta", s"$tmp/pq_codes", "delta")
+          write(packCodes(deltaCodes), s"$tmp/pq_packed")
+          linkParts(s"$baseDir/pq_packed", s"$tmp/pq_packed", "base")
+        }))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
       java.nio.file.Files.write(marker(tmp),
         vecUpdKey(sfDir).getBytes("UTF-8"))
     }
     import spark.implicits._
-    VecUpdateArtifactNames.map { n =>
-      (n, spark.read.parquet(s"$updDir/$n").count())
-    }.toDF("artifact", "n_rows").orderBy(col("artifact"))
+    manifest(spark, updDir, VecUpdateArtifactNames)
+      .toDF("artifact", "n_rows").orderBy(col("artifact"))
   }
 }
