@@ -109,39 +109,36 @@ object GridStencil {
     * node ids stay < 10¹² until 1.5·10¹⁰ images, recorded bound).
     */
   def gridIslandLargest(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.Checkpoints.CutOps
-    // cut: the kept-pixel relation is read THREE times (edge left side,
-    // edge membership side, label join) — without the cut each reference
-    // re-runs the corpus-wide HOF clean (the shared-relation discipline)
-    val nodes = cleaned(spark, sfDir)
-      .select(col("vec_id"), posexplode(col("kept")).as(Seq("p0", "k")))
-      .where(col("k"))
-      .select(col("vec_id"), col("p0").cast("long").as("p0"),
-        (col("vec_id") * Cells + col("p0")).as("node"))
-      .lineageCut(true)
-    // right + down candidate edges only — starComponents symmetrizes
-    val cand = nodes.select(col("vec_id"), col("node"),
-      explode(expr(
-        s"""filter(array(IF(p0 % $Side < ${Side - 1}, p0 + 1, CAST(NULL AS BIGINT)),
-           |             IF(p0 < ${Cells - Side}, p0 + $Side, CAST(NULL AS BIGINT))),
-           |       x -> x IS NOT NULL)""".stripMargin)).as("p2"))
-    val edges = cand
-      .join(nodes.select(col("vec_id"), col("p0").as("p2"),
-        col("node").as("node2")), Seq("vec_id", "p2"))
-      .select(col("node").as("a_id"), col("node2").as("b_id"))
-    val (labels, _) = Dedup.starComponents(edges)
-    val lab = nodes
-      .join(labels.withColumnRenamed("doc_id", "node"), Seq("node"), "left")
-      .withColumn("comp", coalesce(col("component"), col("node")))
-    lab.groupBy(col("vec_id"), col("comp"))
-      .agg(count(lit(1)).as("isl_size"))
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_islands"),
-        sum(col("isl_size")).as("n_kept"),
-        max(col("isl_size")).as("largest_size"),
-        expr("max_by(comp, isl_size * 1000000000000L - comp)").as("lcomp"))
-      .select(col("vec_id"), col("n_islands"), col("n_kept"),
-        col("largest_size"), (col("lcomp") % Cells).as("largest_px"))
+    // Optimization round 16: islands can never cross images (every
+    // 4-neighbor edge stays inside one vec_id's 8×8 grid), so the global
+    // star-CC job over exploded kept pixels — a checkpointed multi-round
+    // join loop, ~20 Spark jobs per run — collapses to ONE codegen'd
+    // per-row union-find over the 64-cell kept mask
+    // ([[graft.functions.GridIslands]]): component label = the island's
+    // minimum pixel index ≡ the old global component root modulo
+    // vec_id·64, and the (size desc, label asc) largest-island order is
+    // the old isl_size·10¹² − comp ordering. The whole operator is now a
+    // map over the corpus scan plus the output sort — the P1/P3 shape;
+    // the oracle (recursive min-label closure per image) is unchanged
+    // and Round16Spec's clean/island consistency gate still pins the
+    // decomposition. 100 TB: embarrassingly parallel — no shuffle, no
+    // iteration count, no corpus-size dependence inside the row.
+    graft.functions.GridIslands.register(spark)
+    cleaned(spark, sfDir)
+      // explode(array(·)) is a Generate barrier: without it the
+      // optimizer substitutes the expression into the pushed-down filter
+      // AND each of the four field extractions — six evaluations per row
+      // of a call whose `kept` input is itself the inlined HOF clean
+      // (measured 2.9 s; the §4.4 duplicated-expensive-expression
+      // failure mode). Behind the barrier it is evaluated exactly once.
+      .select(col("vec_id"),
+        explode(array(expr("graft_grid_islands(kept)"))).as("isl"))
+      .where(col("isl.n_kept") > 0)
+      .select(col("vec_id"),
+        col("isl.n_islands").as("n_islands"),
+        col("isl.n_kept").as("n_kept"),
+        col("isl.largest_size").as("largest_size"),
+        col("isl.largest_px").as("largest_px"))
       .orderBy(col("vec_id"))
   }
 
