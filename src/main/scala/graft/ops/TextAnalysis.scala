@@ -968,16 +968,19 @@ object TextAnalysis {
     * corpus. Per-row explode + ONE pair-keyed aggregate + a
     * TakeOrderedAndProject cut; linear in total characters at any scale.
     */
-  def bpePairStats(spark: SparkSession, sfDir: String): DataFrame =
+  def bpePairStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // codegen'd pair walk (optimization round 16): same semantics as the
+    // transform(sequence(...), substring) HOF chain it replaces, without
+    // the per-character lambda dispatch — see [[graft.functions.CharPairs]]
+    graft.functions.CharPairs.register(spark)
     Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, CAST(i AS INT), 2))"))
-        .as("pair"))
+      .select(explode(expr("graft_char_pairs(w)")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("pair"))
       .limit(20)
+  }
 
   /** M93 pipeline_version_hash — content-addressable dataset versioning:
     * every (doc_id, text) pair contributes a 32-bit word decoded from its
@@ -1355,27 +1358,43 @@ object TextAnalysis {
       .where(length(col("w")) >= 2)
       .select(col("doc_id"), col("wpos"), col("w"), length(col("w")).as("len"))
       .lineageCut(true)
-    // cut: every broadcast reference to the 1-row winner would otherwise
-    // re-run the corpus-wide census explode (4 references = 4 full passes
-    // — the round-15 sf1 profile's dominant cost)
-    val top = words
-      .select(explode(expr(
-        "transform(sequence(1, len - 1), i -> substring(w, CAST(i AS INT), 2))"))
-        .as("pair"))
+    // Optimization round 16: the full PRE-merge pair census is
+    // materialized once (a ≤|alphabet|²-row relation) and serves three
+    // readers — the winner pick, the audit columns, and the UNTOUCHED-WORD
+    // arm. That third reader is the structural win: a word without the
+    // winning pair contributes its plain adjacent-char census post-merge,
+    // and summing that over the ~90% untouched slice equals the GLOBAL
+    // census minus the touched words' census — so the old corpus-scale
+    // re-explode of every untouched word (a second full pass over the
+    // corpus chars) collapses to a census-sized subtraction keyed on the
+    // pair string; only touched words (~10%) are exploded a second time.
+    // Row-identical: counts are additive over the word partition
+    // {touched, untouched}, and zero-count differences are filtered (a
+    // count of rows can never be 0 in the old form).
+    graft.functions.CharPairs.register(spark)
+    val census = words
+      .select(explode(expr("graft_char_pairs(w)")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .lineageCut(true)
+    val top = census
       .orderBy(desc("n"), asc("pair")).limit(1)
       .select(col("pair").as("mpair"), col("n").as("mpair_n"))
       .lineageCut(true)
     val withTop = words.crossJoin(broadcast(top))
-    // untouched words: post-merge tokens are the chars — flat census
-    val missPairs = withTop.where(expr("instr(w, mpair) = 0"))
-      .select(explode(expr(
-        """transform(sequence(1, len - 1), i -> struct(
-          |  substring(w, CAST(i AS INT), 1) AS l,
-          |  substring(w, CAST(i AS INT) + 1, 1) AS r))""".stripMargin)).as("pr"))
-      .select(col("pr.l").as("left_tok"), col("pr.r").as("right_tok"))
+    // touched words (contain the winning pair), read twice: the census
+    // subtraction below and the position machinery
+    val hits = withTop.where(expr("instr(w, mpair) > 0")).lineageCut(true)
+    val touched = hits
+      .select(explode(expr("graft_char_pairs(w)")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("tn"))
+    // untouched-arm census = global − touched, as (left, right, count)
+    val missAgg = census.join(touched, Seq("pair"), "left")
+      .select(expr("substring(pair, 1, 1)").as("left_tok"),
+        expr("substring(pair, 2, 1)").as("right_tok"),
+        (col("n") - coalesce(col("tn"), lit(0L))).as("n"))
+      .where(col("n") > 0)
     val wWin = Window.partitionBy(col("doc_id"), col("wpos")).orderBy(col("p"))
-    val pos = withTop.where(expr("instr(w, mpair) > 0"))
+    val pos = hits
       .select(col("doc_id"), col("wpos"), col("w"), col("len"), col("mpair"),
         explode(expr("sequence(1, len)")).as("p"))
       .withColumn("flag",
@@ -1408,9 +1427,11 @@ object TextAnalysis {
       .withColumn("next_token", lead(col("token"), 1).over(wWin))
       .where(col("next_token").isNotNull)
       .select(col("token").as("left_tok"), col("next_token").as("right_tok"))
-      .unionAll(missPairs)
       .groupBy(col("left_tok"), col("right_tok"))
       .agg(count(lit(1)).as("n"))
+      .unionAll(missAgg)
+      .groupBy(col("left_tok"), col("right_tok"))
+      .agg(sum(col("n")).as("n"))
       .orderBy(desc("n"), asc("left_tok"), asc("right_tok")).limit(10)
       .crossJoin(broadcast(top))
       .crossJoin(broadcast(nApplied))
