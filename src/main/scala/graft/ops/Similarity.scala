@@ -813,11 +813,21 @@ object Similarity {
   private[graft] def knnFullEdges(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     require(k <= IndexStore.KnnFullTopK,
       s"the stored shortlist holds top-${IndexStore.KnnFullTopK} per vector")
-    val wTop = Window.partitionBy(col("a_id")).orderBy(desc("dot"), asc("b_id"))
-    knnCandidatesFullStored(spark, sfDir)
-      .withColumn("rn", row_number().over(wTop))
-      .where(col("rn") <= k)
-      .select(col("a_id"), col("b_id"))
+    val stored = knnCandidatesFullStored(spark, sfDir)
+    // k = the artifact's own cut is the identity (the shortlist is
+    // persisted as EXACTLY the top-K rows per a_id under this order) —
+    // skip the re-ranking window, which re-shuffled and re-sorted the 8n
+    // artifact rows at the head of every full-graph analytic
+    // (optimization round 16; one hash exchange + sort removed per
+    // consumer).
+    if (k == IndexStore.KnnFullTopK) stored.select(col("a_id"), col("b_id"))
+    else {
+      val wTop = Window.partitionBy(col("a_id")).orderBy(desc("dot"), asc("b_id"))
+      stored
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= k)
+        .select(col("a_id"), col("b_id"))
+    }
   }
 
   /** MUTUAL 8-NN edges over the whole corpus (reciprocated in both top-8
@@ -848,10 +858,15 @@ object Similarity {
       rounds += 1
       val adj = edges.select(col("u").as("x"))
         .unionAll(edges.select(col("v").as("x")))
+      // lazy cut (optimization round 16): the survivor set's
+      // materialization rides the edges' eager checkpoint job — one
+      // materialization job per round instead of two; both semi-join
+      // references still read the one cached copy, and the count below
+      // reads the already-materialized blocks
       val alive = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= KcoreFullK)
         .select(col("x"))
-        .lineageCut(true)
+        .lineageCut(false)
       edges = edges
         .join(alive.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
