@@ -643,8 +643,13 @@ object Aggregates {
     val cum = GlobalRank.withGlobalRunningSum(base, 32, col("w"),
       col("l_returnflag"), col("l_extendedprice"),
       col("l_orderkey"), col("l_linenumber"))
-    // 3-row per-flag totals → exclusive start offsets in flag order
-    val totals = base.groupBy(col("l_returnflag")).agg(sum(col("w")).as("totw"))
+    // 3-row per-flag totals → exclusive start offsets in flag order.
+    // Derived from the RANKED relation (optimization round 16): `cum` is
+    // eagerly checkpointed by GlobalRank, so aggregating it reads the
+    // materialized blocks instead of re-scanning lineitem (the old
+    // `base`-side aggregate was a second full parquet scan + decimal
+    // conversion of the corpus).
+    val totals = cum.groupBy(col("l_returnflag")).agg(sum(col("w")).as("totw"))
       .withColumn("grp_offset",
         coalesce(sum(col("totw")).over(Window.orderBy(col("l_returnflag"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

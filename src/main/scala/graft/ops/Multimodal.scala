@@ -153,26 +153,19 @@ object Multimodal {
     * bits 0..59, so the value is always non-negative).
     */
   private[graft] def phashSignatures(docs: DataFrame): DataFrame = {
-    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val blocks = docs
+    // Optimization round 16: the signature is a bounded per-document
+    // loop, so the exploded one-row-per-block form — a corpus-wide
+    // groupBy carrying 60 conditional substring aggregates per block —
+    // collapses into ONE codegen'd expression
+    // ([[graft.functions.BlockSimHash]]; md5-per-block, sign-sums,
+    // bit-pack — bit-identical by construction, and Round7Spec pins it
+    // against driver-side MessageDigest recomputation). The signature
+    // pass is now a map over the corpus scan: no explode, no exchange.
+    graft.functions.BlockSimHash.register(docs.sparkSession)
+    docs
       .where(col("n_chars") > 0)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0L, (n_chars + 63) div 64 - 1),
-          |  i -> md5(cast(substring(text, cast(i as int) * 64 + 1, 64) as binary)))"""
-          .stripMargin)).as("h"))
-    val bitSums = (1 to 30).flatMap { j =>
-      Seq(
-        sum(when(substring(col("h"), j, 1).isin(hi: _*), 1).otherwise(-1)).as(s"h$j"),
-        sum(when(substring(col("h"), j, 1).isin(odd: _*), 1).otherwise(-1)).as(s"l$j"))
-    }
-    blocks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), (1 to 30).flatMap { j =>
-        Seq(
-          when(col(s"h$j") > 0, 1L << ((j - 1) * 2)).otherwise(0L),
-          when(col(s"l$j") > 0, 1L << ((j - 1) * 2 + 1)).otherwise(0L))
-      }.reduce(_ + _).cast("long").as("sig"))
+      .select(col("doc_id"),
+        expr("graft_block_simhash(text, CAST(n_chars AS BIGINT))").as("sig"))
   }
 
   /** The band-join pair stage on top of a (doc_id, sig) relation,

@@ -2640,9 +2640,10 @@ object Similarity {
       .where(col("degree") >= 2)
       .withColumn("cc_ppm",
         expr("(2L * n_triangles * 1000000L) div (degree * (degree - 1L))"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(desc("cc_ppm"), desc("degree"), asc("node"))))
-      .where(col("rk") <= 20)
+      // top-20 via orderBy+limit (TakeOrderedAndProject) instead of a
+      // single-partition window over every graph node (optimization
+      // round 16 — same rows under the same unique total order)
+      .orderBy(desc("cc_ppm"), desc("degree"), asc("node")).limit(20)
       .select(col("node"), col("degree"), col("n_triangles"),
         (round(col("cc_ppm").cast("double") / 1e6, 6) + lit(0.0))
           .as("clustering"))
@@ -2718,9 +2719,10 @@ object Similarity {
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"),
         sum(expr("840L div dz")).as("ra840"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(desc("ra840"), asc("u"), asc("v"))))
-      .where(col("rk") <= 15)
+      // top-15 via orderBy+limit (TakeOrderedAndProject) instead of a
+      // single-partition window over every candidate pair (optimization
+      // round 16 — same rows under the same unique total order)
+      .orderBy(desc("ra840"), asc("u"), asc("v")).limit(15)
       .select(col("u"), col("v"), col("n_common"),
         (round(col("ra840").cast("double") / 840.0, 6) + lit(0.0)).as("ra_score"))
       .orderBy(desc("ra_score"), asc("u"), asc("v"))

@@ -766,10 +766,14 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
     val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // top-3 via orderBy+limit (TakeOrderedAndProject) instead of a
+    // single-partition row_number window over the whole vocabulary; the
+    // rank column is re-derived on the 3 surviving rows (optimization
+    // round 16 — same rows under the same unique total order)
     val qterms = df_
+      .orderBy(desc("df"), asc("w")).limit(3)
       .withColumn("qrank", row_number().over(
         Window.orderBy(desc("df"), asc("w"))))
-      .where(col("qrank") <= 3)
     val scored = tf.join(broadcast(qterms), Seq("w"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -788,9 +792,13 @@ object TextAnalysis {
       .select(col("doc_id"),
         (round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
           + coalesce(col("s3"), lit(0.0)), 6) + lit(0.0)).as("bm25"))
+      // top-10 via orderBy+limit (TakeOrderedAndProject — the G2 shape)
+      // instead of a single-partition row_number window over every scored
+      // document; rk is re-derived on the 10 survivors (optimization
+      // round 16 — same rows under the same unique total order)
+      .orderBy(desc("bm25"), asc("doc_id")).limit(10)
       .withColumn("rk", row_number().over(
         Window.orderBy(desc("bm25"), asc("doc_id"))))
-      .where(col("rk") <= 10)
       .orderBy(col("rk"))
   }
 
@@ -833,9 +841,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         (round(col("s").cast("double") / (col("n_tokens") * lit(1e6)), 6)
           + lit(0.0)).as("avg_neg_logprob"))
+      // top-20 via orderBy+limit (TakeOrderedAndProject) instead of a
+      // single-partition window over every scored document; rk re-derived
+      // on the 20 survivors (optimization round 16)
+      .orderBy(desc("avg_neg_logprob"), asc("doc_id")).limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy(desc("avg_neg_logprob"), asc("doc_id"))))
-      .where(col("rk") <= 20)
       .orderBy(col("rk"))
   }
 
@@ -1593,11 +1604,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         (round(expr("s div n_tokens").cast("double") / lit(1e6), 6)
           + lit(0.0)).as("dsir_weight"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(desc("dsir_weight"), asc("doc_id"))))
-      .where(col("rk") <= 20)
-      .orderBy(col("rk"))
-      .drop("rk")
+      // top-20 via orderBy+limit (TakeOrderedAndProject) instead of a
+      // single-partition window over every weighted document
+      // (optimization round 16 — same rows under the same unique order)
+      .orderBy(desc("dsir_weight"), asc("doc_id")).limit(20)
+      .orderBy(desc("dsir_weight"), asc("doc_id"))
   }
 
   /** M124 text_oov_rate (round 14) — tokenizer-health audit: the share of
@@ -1613,9 +1624,11 @@ object TextAnalysis {
   def textOovRate(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    // top-1000 via orderBy+limit (TakeOrderedAndProject) instead of a
+    // single-partition window over the whole vocabulary (optimization
+    // round 16 — same rows under the same unique total order)
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("vrank", row_number().over(Window.orderBy(desc("c"), asc("w"))))
-      .where(col("vrank") <= 1000)
+      .orderBy(desc("c"), asc("w")).limit(1000)
       .select(col("w"), lit(1).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("lang"))

@@ -370,14 +370,24 @@ object Workload {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
       .localCheckpoint(true) // one build feeds the probe and both co-supplier sides
+    // Optimization round 16: the co-supplier EXISTS semi-join and the
+    // other-late NOT-EXISTS anti-join collapse into ONE per-order
+    // aggregate — for a LATE line (k, sk): ∃ sk2 ≠ sk on k ⟺ the order
+    // has ≥ 2 distinct suppliers (sk itself is on k), and ∄ other late
+    // supplier ⟺ the order's distinct LATE suppliers = {sk} ⟺ their
+    // count is exactly 1 (sk is late, so ≥ 1 always holds). Two
+    // order-keyed shuffle joins become one keyed aggregate + one keyed
+    // join riding the same hash partitioning.
+    val stats = l.groupBy(col("l_orderkey").as("k"), col("l_suppkey"))
+      .agg(max(col("late")).as("sk_late"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("sk_late"), 1L).otherwise(0L)).as("n_late_supp"))
     val l1 = l.where(col("late"))
       .select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"), col("l_linenumber"))
-    val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
-    val othersLate = l.where(col("late"))
-      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
     l1
-      .join(others, col("k") === col("k2") && col("sk") =!= col("sk2"), "left_semi")
-      .join(othersLate, col("k") === col("k3") && col("sk") =!= col("sk3"), "left_anti")
+      .join(stats, Seq("k"))
+      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
       // group by s_NAME (the official Q21 shape), not the supplier key:
       // the two coincide only while names are unique — the sf1 replica
       // fixture has 10 keys per name and caught the round-10-era key
