@@ -248,10 +248,14 @@ object Dedup {
           s"starComponents did not converge within $maxRounds rounds " +
             "(expected O(log² n) — this indicates a bug, not a big graph)")
       // star graph: every node's minimum neighbor is its component root
-      // (the root's own label is itself via least)
+      // (the root's own label is itself via least). UNORDERED on purpose
+      // (optimization round 16): three of the four consumers immediately
+      // re-aggregate the labels, so the old orderBy here materialized a
+      // range exchange + sort into the checkpoint for nothing — the one
+      // consumer that emits labels directly (connectedComponentsStar)
+      // orders at its own tail.
       val out = e.groupBy(col("a")).agg(min(col("b")).as("mb"))
         .select(col("a").as("doc_id"), least(col("a"), col("mb")).as("component"))
-        .orderBy(col("doc_id"))
         .lineageCut(true)
       (out, rounds)
     } finally savedCoalesce match {
@@ -269,6 +273,7 @@ object Dedup {
     */
   def connectedComponentsStar(spark: SparkSession, sfDir: String): DataFrame =
     starComponents(minhashPairs(spark, sfDir).select(col("a_id"), col("b_id")))._1
+      .orderBy(col("doc_id"))
 
   /** dedup_cluster_canonical — the step a dedup pipeline actually ends
     * with: for every near-dup cluster (v2 star components), KEEP ONE
