@@ -199,6 +199,83 @@ object Dedup {
     * @param pairs undirected edges, one row per pair (a_id, b_id)
     * @return (labels (doc_id, component), rounds run)
     */
+  /** The pre-round-17 REFERENCE implementation of the alternating-star
+    * loop (symmetric working set, per-round full-width dedup repartition)
+    * — retained solely as the equivalence anchor for DedupStarSpec's
+    * fused-round spec; not on any query path. Same certificate, same
+    * label contract.
+    */
+  private[graft] def starComponentsReference(pairs: DataFrame,
+      maxRounds: Int = 25): (DataFrame, Int) = {
+    val p = pairs.select(col(pairs.columns(0)).as("a"), col(pairs.columns(1)).as("b"))
+    var e = byA(p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b"))).lineageCut(false)
+    def isStarForest(df: DataFrame): Boolean =
+      df.groupBy(col("a")).agg(min(col("b")).as("mb"), max(col("b")).as("xb"))
+        .where(col("mb") < col("a") && col("mb") =!= col("xb"))
+        .isEmpty
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = byA(smallStar(largeStar(e))).lineageCut(false)
+      e = next
+      converged = isStarForest(next)
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starComponentsReference did not converge within $maxRounds rounds")
+    val out = e.groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a").as("doc_id"), least(col("a"), col("mb")).as("component"))
+      .lineageCut(true)
+    (out, rounds)
+  }
+
+  /** One FUSED large-star+small-star round over a CANONICAL (b < a,
+    * duplicates tolerated) edge relation — optimization round 17
+    * (VERDICT r16 next-round #3). Three structural facts make the fusion
+    * row-set-identical to smallStar(largeStar(·)) on the symmetric set:
+    *
+    *   1. every large-star output pair (x, y) = (b, m) has y < x (m ≤ a
+    *      < b by construction), so small-star's canonical filter (b < a)
+    *      keeps EXACTLY large-star's base pairs — the symmetric second
+    *      arm was computed, shuffled and immediately discarded;
+    *   2. small-star's output arms are themselves canonical ((b, m): m ≤
+    *      b since m mins a set containing b, equality filtered; (a, m):
+    *      m < a), so the round's output needs no symmetric doubling;
+    *   3. the star steps tolerate duplicate edges (min-aggregates are
+    *      idempotent, join fan-out linear in the dup factor), so the
+    *      round-end dedup can ride the NEXT round's entry exchange
+    *      instead of paying its own full-width repartition — each
+    *      round's dedup happens inside `pre`/`canon` below, riding the
+    *      hash(a) exchange its groupBy and join already need.
+    *
+    * Per-round exchanges: TWO full-width hash(a) repartitions (large-star
+    * entry on the symmetrized set, small-star entry on the canonical
+    * relation) — the old round paid those two PLUS a third full-width
+    * repartition+dedup of the doubled symmetric output. The convergence
+    * certificate (see [[starComponents]]) pays a narrow partial-agg
+    * exchange in its own job.
+    */
+  private def fusedStarRound(e: DataFrame): DataFrame = {
+    // large-star half: symmetrize map-side; dedup rides the entry exchange
+    val pre = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).dropDuplicates("a", "b")
+    val m = pre.groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a"), least(col("a"), col("mb")).as("m"))
+    val ls = pre.where(col("b") > col("a")).join(m, "a")
+      .select(col("b").as("a"), col("m").as("b")) // canonical: m < old a < b
+      .where(col("a") =!= col("b"))
+    // small-star half on the canonical relation; dedup rides again
+    val canon = ls.repartition(col("a")).dropDuplicates("a", "b")
+    val sm = canon.groupBy(col("a")).agg(min(col("b")).as("m"))
+    val out = canon.join(sm, "a")
+      .select(col("b").as("x"), col("m").as("y"))
+      .unionAll(sm.select(col("a").as("x"), col("m").as("y")))
+      .where(col("x") =!= col("y"))
+    out.select(col("x").as("a"), col("y").as("b")) // canonical by facts 1-2
+  }
+
   private[graft] def starComponents(pairs: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val coalesceKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
@@ -211,34 +288,44 @@ object Dedup {
     spark.conf.set(coalesceKey, "true")
     try {
       val p = pairs.select(col(pairs.columns(0)).as("a"), col(pairs.columns(1)).as("b"))
-      // lineage cut every round, NOT persist: one star round
-      // references its input several times (min-table join + two union
-      // arms), so lineage nests ~6× per round — exponential plan growth
-      // that stalls analysis after a handful of rounds. Truncating to the
-      // materialized RDD keeps every round's plan constant-size; superseded
-      // checkpoint blocks are released by the ContextCleaner once the
-      // previous round's DataFrame goes unreferenced. LAZY (eager=false,
-      // VERDICT r7 #6): the certificate aggregate right below is the
-      // round's only consumer, so materialization rides the certificate
-      // job — ONE job per round instead of checkpoint-then-check.
+      // CANONICAL working set since optimization round 17 (see
+      // [[fusedStarRound]]): one row per undirected edge oriented b < a,
+      // duplicates tolerated between rounds — each round's entry
+      // exchange dedups as it groups, so the old per-round full-width
+      // dedup repartition of the DOUBLED symmetric set is gone, and the
+      // checkpointed working set halves.
+      //
+      // lineage cut every round, NOT persist: one star round references
+      // its input several times, so lineage nests per round — exponential
+      // plan growth that stalls analysis after a handful of rounds.
+      // Truncating to the materialized RDD keeps every round's plan
+      // constant-size; superseded checkpoint blocks are released by the
+      // ContextCleaner once the previous round's DataFrame goes
+      // unreferenced. LAZY (eager=false, VERDICT r7 #6): the certificate
+      // aggregate right below is the round's first consumer, so
+      // materialization rides the certificate job — ONE job per round.
       // localCheckpoint by default; spark.graft.checkpointDir switches to
       // reliable checkpoint() for executor-loss durability (VERDICT r8 #4
       // — see [[Checkpoints]]).
-      var e = byA(p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
-        .where(col("a") =!= col("b"))).lineageCut(false)
-      // exact star-forest certificate (see Scaladoc): any node holding a
-      // smaller neighbor AND a second distinct neighbor breaks the shape.
-      // Rides the byA hash(a) layout — no exchange of its own.
-      def isStarForest(df: DataFrame): Boolean =
-        df.groupBy(col("a")).agg(min(col("b")).as("mb"), max(col("b")).as("xb"))
+      var e = p.where(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .lineageCut(false)
+      // exact star-forest certificate (see Scaladoc), evaluated on the
+      // map-side-symmetrized canonical set: any node holding a smaller
+      // neighbor AND a second distinct neighbor breaks the shape. The
+      // aggregate partial-combines map-side, so its exchange moves ~|V|
+      // narrow rows — the full-width edge set no longer re-shuffles just
+      // to be certified.
+      def isStarForest(c: DataFrame): Boolean =
+        c.unionAll(c.select(col("b").as("a"), col("a").as("b")))
+          .groupBy(col("a")).agg(min(col("b")).as("mb"), max(col("b")).as("xb"))
           .where(col("mb") < col("a") && col("mb") =!= col("xb"))
           .isEmpty
       var rounds = 0
       var converged = false
       while (!converged && rounds < maxRounds) {
-        // byA before checkpoint: rounds tolerate duplicate edges but the
-        // checkpointed working set must stay the distinct edge set
-        val next = byA(smallStar(largeStar(e))).lineageCut(false)
+        val next = fusedStarRound(e).lineageCut(false)
         e = next
         converged = isStarForest(next)
         rounds += 1
@@ -247,15 +334,16 @@ object Dedup {
         throw new IllegalStateException(
           s"starComponents did not converge within $maxRounds rounds " +
             "(expected O(log² n) — this indicates a bug, not a big graph)")
-      // star graph: every node's minimum neighbor is its component root
-      // (the root's own label is itself via least). UNORDERED on purpose
-      // (optimization round 16): three of the four consumers immediately
-      // re-aggregate the labels, so the old orderBy here materialized a
-      // range exchange + sort into the checkpoint for nothing — the one
-      // consumer that emits labels directly (connectedComponentsStar)
-      // orders at its own tail.
-      val out = e.groupBy(col("a")).agg(min(col("b")).as("mb"))
-        .select(col("a").as("doc_id"), least(col("a"), col("mb")).as("component"))
+      // canonical star forest: rows are exactly (leaf, root), so leaves
+      // label themselves with their single root (min over duplicate rows)
+      // and roots label themselves. UNORDERED on purpose (optimization
+      // round 16): three of the four consumers immediately re-aggregate
+      // the labels; the one consumer that emits labels directly orders at
+      // its own tail.
+      val out = e.groupBy(col("a")).agg(min(col("b")).as("component"))
+        .select(col("a").as("doc_id"), col("component"))
+        .unionAll(e.select(col("b")).distinct()
+          .select(col("b").as("doc_id"), col("b").as("component")))
         .lineageCut(true)
       (out, rounds)
     } finally savedCoalesce match {

@@ -311,6 +311,24 @@ object IndexStore {
       .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)")
         .as("cds"))
 
+  /** Total data-file bytes of a written parquet artifact directory — the
+    * O(1) size probe the update's broadcast-vs-repartition gate reads
+    * (the lake-table analogue is the snapshot manifest's size column).
+    */
+  private def dirBytes(dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) 0L
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala
+        .filterNot(f => f.getFileName.toString.startsWith("_") ||
+          f.getFileName.toString.startsWith("."))
+        .map(java.nio.file.Files.size).sum
+      finally s.close()
+    }
+  }
+
   private def rm(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
       val s = java.nio.file.Files.list(p)
@@ -843,10 +861,23 @@ object IndexStore {
             .lineageCut(false) // probe side, membership side, and the B band read it
           val deltaSec = Similarity.mapByBounds(
             Similarity.probeCells(delta, cent), bounds)
+          // Broadcast the |delta|-proportional side of each band when the
+          // MEASURED delta artifact is broadcast-small (optimization round
+          // 17, guide §3.1): band A's probe side and band B's membership
+          // side are both delta-derived, so each band becomes a map-side
+          // hash join over its corpus-sized side — four pinned repartition
+          // exchanges and two sort-merge sorts gone. The gate is the
+          // on-disk byte size of the just-written delta assignment times a
+          // 64× decompress/explode headroom against the session broadcast
+          // threshold; a corpus-scale delta keeps the repartition form.
+          val deltaSmall = dirBytes(s"$tmp/ivf_assigned_delta") * 64 <
+            spark.sessionState.conf.autoBroadcastJoinThreshold
           val bandA = Similarity.knnPairIds(
-            deltaOwn.unionByName(deltaSec), baseMem.unionByName(deltaOwn))
+            deltaOwn.unionByName(deltaSec), baseMem.unionByName(deltaOwn),
+            if (deltaSmall) "probes" else "none")
           val bandB = Similarity.knnPairIds(
-            baseMem.unionByName(baseProbes2), deltaOwn)
+            baseMem.unionByName(baseProbes2), deltaOwn,
+            if (deltaSmall) "membership" else "none")
           write(Similarity.dotPairs(e, bandA.unionByName(bandB)),
             s"$tmp/knn_pairs_delta")
           val deltaPairs = spark.read.parquet(s"$tmp/knn_pairs_delta")

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.ops.Checkpoints.CutOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,20 +62,51 @@ object Similarity {
     "aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y), " +
       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
-  /** Full-corpus argmax-cell assignment against a broadcast centroid
-    * relation → the inverted lists (vec_id, cell, d); `d` (the winning
-    * centroid dot) rides along for the index audit (vec_ivf_stats). The
-    * other build half of the IVF index — one corpus pass, run once by
-    * [[IndexStore]].
+  /** The ≤10-row quantizer pulled to the driver as (cell, cvec) pairs,
+    * cell-ascending (optimization round 17). Every use site already
+    * BROADCASTS this relation — a driver collect of a broadcast-sized
+    * relation is the same data movement, and it lets the assignment and
+    * probe rankings below become per-row expressions over literal
+    * centroid arrays instead of a corpus×cells shuffle + sort.
+    */
+  private def centCollect(cent: DataFrame): Array[(Int, Seq[Double])] =
+    cent.select(col("cell").cast("int"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** One candidate struct per centroid: (nd = −dot, cell), with the dot
+    * computed by the codegen'd [[graft.functions.DotProduct]] kernel —
+    * IEEE-identical to [[centDotExpr]]'s HOF chain (same left-to-right
+    * (double)x·y accumulation). Struct ordering on (nd asc, cell asc) ≡
+    * the assignment protocol's (d desc, cell asc); −(−d) restores d
+    * bit-exactly (finite doubles; an accumulated sum is never −0.0).
+    */
+  private def centDotStructs(cents: Array[(Int, Seq[Double])]): Seq[Column] =
+    cents.toSeq.map { case (cell, cvec) =>
+      struct(
+        (-call_function("graft_dot", col("embedding"), typedLit(cvec))).as("nd"),
+        lit(cell).as("cell"))
+    }
+
+  /** Full-corpus argmax-cell assignment against the persisted quantizer →
+    * the inverted lists (vec_id, cell, d); `d` (the winning centroid dot)
+    * rides along for the index audit (vec_ivf_stats). The other build
+    * half of the IVF index — one corpus pass, run once by [[IndexStore]].
+    *
+    * Map-only since optimization round 17: the argmax over ≤10 cells is a
+    * per-row `array_min` over (−dot, cell) structs built from the
+    * driver-collected quantizer — the old form shuffled corpus×cells rows
+    * into a per-vector window (hash exchange + sort) to rank a 10-element
+    * set. Row-identical by the total order above; `explode(array(…))` is
+    * the Generate barrier that stops the optimizer duplicating the
+    * argmin into each field extraction (the round-16 grid-islands
+    * lesson).
     */
   private[graft] def ivfAssignBuild(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("d", centDotExpr)
-      .select(col("vec_id"), col("cell"), col("d"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("d"))
+    graft.functions.DotProduct.register(e.sparkSession)
+    val best = array_min(array(centDotStructs(centCollect(cent)): _*))
+    e.select(col("vec_id"), explode(array(best)).as("g"))
+      .select(col("vec_id"), col("g.cell").as("cell"), (-col("g.nd")).as("d"))
   }
 
   /** The IVF candidate pipeline shared by ann_ivf_topk and ann_recall_at_k:
@@ -569,13 +600,20 @@ object Similarity {
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
         Seq("b_id"))
       .repartition(parts, col("cell"), col("bucket"))
+    // attach the embedding BEFORE the ±W explode (optimization round 17):
+    // the a_id join then shuffles one skinny probe row per (vector, cell)
+    // instead of one per exploded window slot — the explode and the clip
+    // are map-side on the join output, and the (cell, bucket) repartition
+    // below is unchanged.
     val a = probes
-      .select(col("vec_id").as("a_id"), col("cell"), col("bucket"),
-        explode(windowDeltas).as("dlt"))
-      .select(col("a_id"), col("cell"), (col("bucket") + col("dlt")).as("bucket"))
-      .where(col("bucket").between(0, m - 1))
+      .select(col("vec_id").as("a_id"), col("cell"), col("bucket"))
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
         Seq("a_id"))
+      .select(col("a_id"), col("cell"), col("bucket"), col("a_emb"),
+        explode(windowDeltas).as("dlt"))
+      .select(col("a_id"), col("cell"), (col("bucket") + col("dlt")).as("bucket"),
+        col("a_emb"))
+      .where(col("bucket").between(0, m - 1))
       .repartition(parts, col("cell"), col("bucket"))
     a.join(b, Seq("cell", "bucket"))
       .where(col("a_id") =!= col("b_id"))
@@ -689,13 +727,17 @@ object Similarity {
     * keep the at-most-one-probe-center-per-(vector, cell) invariant.
     */
   private[graft] def probeCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("d", centDotExpr)
-      .select(col("vec_id"), col("cell"), col("d"))
-      .withColumn("crn", row_number().over(wAssign))
-      .where(col("crn") >= 2 && col("crn") <= IndexStore.KnnFullProbeCells)
-      .select(col("vec_id"), col("cell"), col("d"))
+    // map-only since optimization round 17 (same rewrite as
+    // [[ivfAssignBuild]]): ranks 2..P of a ≤10-element per-row set are a
+    // sorted-array slice over the driver-collected quantizer, not a
+    // corpus×cells window. sort_array asc on (nd = −d, cell) ≡ the
+    // (d desc, cell asc) ranking protocol; the explode is the Generate
+    // barrier AND the row producer.
+    graft.functions.DotProduct.register(e.sparkSession)
+    val ranked = sort_array(array(centDotStructs(centCollect(cent)): _*))
+    e.select(col("vec_id"),
+        explode(slice(ranked, 2, IndexStore.KnnFullProbeCells - 1)).as("g"))
+      .select(col("vec_id"), col("g.cell").as("cell"), (-col("g.nd")).as("d"))
   }
 
   /** Dot-range mapping of (vec_id, cell, d) rows into a cell's equal-depth
@@ -707,11 +749,38 @@ object Similarity {
     * an empty cell) is dropped — documented convention: such vectors stay
     * unindexed until the next full rebuild.
     */
-  private[graft] def mapByBounds(vcd: DataFrame, bounds: DataFrame): DataFrame =
-    vcd.join(broadcast(bounds), Seq("cell"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(coalesce(min(when(col("lo") <= col("d"), col("bucket"))),
-        max(col("bucket"))).as("bucket"))
+  private[graft] def mapByBounds(vcd: DataFrame, bounds: DataFrame): DataFrame = {
+    // Map-only since optimization round 17: the boundary relation is ~√n
+    // rows and was already broadcast, so pull it to the driver and make
+    // the dot-range mapping a per-row expression — the old form joined
+    // probe rows against every bucket of their cell and shuffled the
+    // ×m-blown relation back through a (vec_id, cell) aggregate. For a
+    // cell's NON-INCREASING lo sequence (bucket-ascending: bucket b holds
+    // higher dots than b+1, so min-dots fall monotonically), "least
+    // bucket whose lo ≤ d, else the cell's last bucket" equals
+    // min(count of buckets with lo > d, m_cell − 1) — row-identical to
+    // the old aggregate. Cells absent from the boundary relation drop
+    // their rows (the old inner join's behavior, kept by the null
+    // filter).
+    val byCell: Seq[(Int, Seq[Double])] =
+      bounds.select(col("cell").cast("int"), col("bucket").cast("long"),
+          col("lo").cast("double")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_._2).map(_._3).toSeq)
+        }
+    val bucketExpr = byCell.foldLeft(lit(null).cast("long")) {
+      case (acc, (cell, los)) =>
+        val idx = least(
+          size(filter(typedLit(los), l => l > col("d"))),
+          lit(los.size - 1)).cast("long")
+        when(col("cell") === cell, idx).otherwise(acc)
+    }
+    vcd.select(col("vec_id"), col("cell"), bucketExpr.as("bucket"))
+      .where(col("bucket").isNotNull)
+      .select(col("vec_id"), col("cell"), col("bucket"))
+  }
 
   /** The SKINNY candidate pair relation (a_id, b_id) from probe centers ×
     * (cell, bucket) membership — the [[knnCandidatesFull]] join with the
@@ -722,19 +791,38 @@ object Similarity {
     * ±[[IndexStore.KnnFullProbeWidth]] buckets; (a, b) is produced at most
     * once because a vector has at most one probe center per cell.
     */
-  private[graft] def knnPairIds(probes: DataFrame, membership: DataFrame): DataFrame = {
-    // explicit fixed-count repartition for the same reason as
-    // [[knnKeyedDots]]: the (cell, bucket) join explodes, and AQE would
-    // coalesce it to a couple of tasks from its few-MB skinny inputs
-    val parts = probes.sparkSession.sessionState.conf.numShufflePartitions
-    probes
+  /** @param broadcastSide "probes" | "membership" | "none" (optimization
+    *   round 17, guide §3.1): the incremental update's two delta bands
+    *   each have one |delta|-proportional side — broadcasting it makes
+    *   the band a map-side hash join over the corpus-sized side (zero
+    *   exchanges) instead of two pinned repartitions + a sort-merge. The
+    *   caller gates on the MEASURED delta artifact size against the
+    *   session broadcast threshold, so a corpus-scale delta falls back to
+    *   the repartition form — the broadcast is data-derived, never a
+    *   local-mode assumption.
+    */
+  private[graft] def knnPairIds(probes: DataFrame, membership: DataFrame,
+      broadcastSide: String = "none"): DataFrame = {
+    val exploded = probes
       .select(col("vec_id").as("a_id"), col("cell"), col("bucket"),
         explode(windowDeltas).as("dlt"))
       .select(col("a_id"), col("cell"), (col("bucket") + col("dlt")).as("bucket"))
-      .repartition(parts, col("cell"), col("bucket"))
-      .join(membership.select(col("vec_id").as("b_id"), col("cell"), col("bucket"))
-        .repartition(parts, col("cell"), col("bucket")),
-        Seq("cell", "bucket"))
+    val mem = membership
+      .select(col("vec_id").as("b_id"), col("cell"), col("bucket"))
+    val joined = broadcastSide match {
+      case "probes"     => mem.join(broadcast(exploded), Seq("cell", "bucket"))
+      case "membership" => exploded.join(broadcast(mem), Seq("cell", "bucket"))
+      case _ =>
+        // explicit fixed-count repartition for the same reason as
+        // [[knnKeyedDots]]: the (cell, bucket) join explodes, and AQE
+        // would coalesce it to a couple of tasks from its few-MB skinny
+        // inputs
+        val parts = probes.sparkSession.sessionState.conf.numShufflePartitions
+        exploded.repartition(parts, col("cell"), col("bucket"))
+          .join(mem.repartition(parts, col("cell"), col("bucket")),
+            Seq("cell", "bucket"))
+    }
+    joined
       .where(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
   }
@@ -837,8 +925,14 @@ object Similarity {
     * linear in |V|.
     */
   private[graft] def mutualKnnFullEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    // No lineage cut (optimization round 17): since the round-16 re-rank
+    // skip this is a bare projection of the persisted 8n-row shortlist
+    // artifact — the parquet files ARE the materialization, so an eager
+    // checkpoint only copied them into block storage as an extra job at
+    // the head of every full-graph analytic. The mutuality self-join
+    // scans the artifact twice instead, which is strictly cheaper than
+    // one copy plus two cached reads.
     val knn = knnFullEdges(spark, sfDir, 8)
-      .lineageCut(true) // both sides of the mutuality self-join read it
     knn
       .join(knn.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
         Seq("a_id", "b_id"), "left_semi")
@@ -847,8 +941,10 @@ object Similarity {
   }
 
   def graphKcoreFull(spark: SparkSession, sfDir: String): DataFrame = {
+    // lazy cut: the initial count below is the materializing job (one job
+    // instead of checkpoint-then-count; optimization round 17)
     var edges = mutualKnnFullEdges(spark, sfDir)
-      .lineageCut(true)
+      .lineageCut(false)
     var prevEdges = edges.count()
     var rounds = 0
     var converged = false
@@ -859,10 +955,8 @@ object Similarity {
       val adj = edges.select(col("u").as("x"))
         .unionAll(edges.select(col("v").as("x")))
       // lazy cut (optimization round 16): the survivor set's
-      // materialization rides the edges' eager checkpoint job — one
-      // materialization job per round instead of two; both semi-join
-      // references still read the one cached copy, and the count below
-      // reads the already-materialized blocks
+      // materialization rides the round's single job; both semi-join
+      // references still read the one cached copy
       val alive = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= KcoreFullK)
         .select(col("x"))
@@ -870,9 +964,17 @@ object Similarity {
       edges = edges
         .join(alive.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
-        .lineageCut(true)
-      nAlive = alive.count()
-      nEdges = edges.count()
+        .lineageCut(false)
+      // ONE job per round (optimization round 17; was three — an eager
+      // edge checkpoint plus two scalar counts): the loop control needs
+      // exactly two numbers, so read them in one action whose execution
+      // also materializes the round's lazy cuts — the edge count runs the
+      // survivor filter into its checkpoint, the alive count reads the
+      // cached survivor set.
+      val counts = edges.agg(count(lit(1)).as("ne"))
+        .crossJoin(alive.agg(count(lit(1)).as("na"))).head()
+      nEdges = counts.getLong(0)
+      nAlive = counts.getLong(1)
       if (nEdges == prevEdges) converged = true
       prevEdges = nEdges
     }
@@ -921,7 +1023,10 @@ object Similarity {
     */
   def pageRankFull(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val edges = knnFullEdges(spark, sfDir, 8).lineageCut(true)
+    // no cut on the bare artifact projection (optimization round 17):
+    // the parquet files are the materialization; each iteration's join
+    // re-scans 8n skinny rows instead of paying a copy job up front
+    val edges = knnFullEdges(spark, sfDir, 8)
     val verts = e.select(col("vec_id")).lineageCut(true)
     val outdeg = edges.groupBy(col("a_id")).agg(count(lit(1)).as("od"))
       .lineageCut(true)
@@ -937,7 +1042,13 @@ object Similarity {
         .join(contrib, col("vec_id") === col("b_id"), "left")
         .select(col("vec_id"),
           round(lit(0.15) / col("n") + lit(0.85) * coalesce(col("c"), lit(0.0)), 12).as("r"))
-        .lineageCut(true)
+        // LAZY cut (optimization round 17; was eager): each iteration's
+        // rank relation has exactly one consumer — the next iteration —
+        // so the whole 3-round chain rides the final top-20 action as ONE
+        // job with the intermediate checkpoints materializing along the
+        // way, instead of one driver-blocking job per iteration. Plan
+        // growth is still truncated at every round.
+        .lineageCut(false)
     }
     ranks
       .select(col("vec_id"), (round(col("r"), 6) + lit(0.0)).as("pagerank"))
@@ -1227,7 +1338,8 @@ object Similarity {
         .join(contrib, col("vec_id") === col("b_id"), "left")
         .select(col("vec_id"),
           round(lit(0.15) / col("n") + lit(0.85) * coalesce(col("c"), lit(0.0)), 12).as("r"))
-        .lineageCut(true)
+        // lazy: one job for the whole chain (see pageRankFull)
+        .lineageCut(false)
     }
     ranks
       .select(col("vec_id"), (round(col("r"), 6) + lit(0.0)).as("pagerank"))
@@ -1554,20 +1666,45 @@ object Similarity {
       .select(col("s"), col("vec_id").cast("int").as("c"), col("sv").as("cb"))
       .lineageCut(true)
 
-  /** Encode every subvector against a 64-row broadcast codebook: argmin
+  /** Encode every subvector against a ≤64-entry codebook: argmin
     * squared-L2, asc-code tiebreak; carries sv through (pruned by Catalyst
     * when a consumer doesn't read it) so the M-step needs no second
     * corpus join.
+    *
+    * Map-only since optimization round 17: the codebook is ≤64 rows (it
+    * was already broadcast), so the argmin over a subvector's 16
+    * candidates is a per-row `array_min` over (d2, c) structs built from
+    * the driver-collected codebook — the old form materialized a
+    * corpus×16 joined relation of interpreted `zip_with`/`aggregate`
+    * lambdas and shuffled it back through a (vec_id, s) hash aggregate.
+    * d2 comes from the codegen'd [[graft.functions.SquaredL2]] kernel,
+    * IEEE-identical to the HOF chain (left-to-right (x−y)² accumulation);
+    * `min(struct(d2, c))` ≡ `array_min` over the same structs. The
+    * explode is the Generate barrier and the single evaluation point.
     */
-  private def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(broadcast(cb), Seq("s"))
-      .withColumn("dv", expr("zip_with(sv, cb, (x, y) -> x - y)"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d2"), col("c"))).as("m"), first(col("sv")).as("sv"))
+  private def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.SquaredL2.register(sub.sparkSession)
+    val entries: Seq[(Int, Seq[(Int, Seq[Double])])] =
+      cb.select(col("s").cast("int"), col("c").cast("int"), col("cb")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, rows) =>
+          (s, rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq)
+        }
+    def argmin(cands: Seq[(Int, Seq[Double])]): Column =
+      array_min(array(cands.map { case (c, cbv) =>
+        struct(
+          call_function("graft_l2sq", col("sv"), typedLit(cbv)).as("d2"),
+          lit(c).as("c"))
+      }: _*))
+    val mExpr = entries.tail.foldLeft(
+      when(col("s") === entries.head._1, argmin(entries.head._2))) {
+      case (acc, (s, cands)) => acc.when(col("s") === s, argmin(cands))
+    }
+    sub.select(col("vec_id"), col("s"), explode(array(mExpr)).as("m"), col("sv"))
       .select(col("vec_id"), col("s"), col("m.c").as("code"), col("m.d2").as("qerr"),
         col("sv"))
+  }
 
   /** J21 vec_pq_adc_topk — product-quantization ADC search, the serving
     * half of the IVF-PQ architecture every 100 TB vector deployment runs:
@@ -2395,7 +2532,12 @@ object Similarity {
     val nodes = ed.select(col("a").as("node")).distinct().lineageCut(true)
     var dist = nodes.where(col("node") % 100 === 0)
       .select(col("node"), lit(0).as("dist"))
-      .lineageCut(true)
+      .lineageCut(false)
+    // LAZY cuts (optimization round 17; were eager): the four frontier
+    // expansions ride the final histogram action as ONE job — each
+    // round's distance relation materializes into its checkpoint at first
+    // use inside that job instead of paying a driver-blocking job per
+    // round. Plan growth is still truncated per cut.
     for (d <- 1 to 4) {
       val frontier = dist.where(col("dist") === d - 1)
       val next = ed
@@ -2403,7 +2545,7 @@ object Similarity {
         .select(col("b").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("dist"))
-      dist = dist.unionAll(next).lineageCut(true)
+      dist = dist.unionAll(next).lineageCut(false)
     }
     nodes.join(dist, Seq("node"), "left")
       .select(coalesce(col("dist"), lit(-1)).cast("long").as("dist"))
@@ -2437,13 +2579,13 @@ object Similarity {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val cent = IndexStore.read(spark, sfDir, "ivf_centroids")
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("d"), asc("cell"))
-    val m = e.crossJoin(broadcast(cent))
-      .withColumn("d", centDotExpr)
-      .select(col("vec_id"), col("cell"), col("d"))
-      .withColumn("crn", row_number().over(wAssign))
-      .where(col("crn") <= 2)
-      .select(col("vec_id"), col("cell"))
+    // map-only two-table routing (optimization round 17, the
+    // [[probeCells]] rewrite): ranks 1..2 of the ≤10-cell per-row set are
+    // a sorted-array slice over the driver-collected quantizer — the old
+    // form shuffled corpus×cells rows into a per-vector window.
+    val ranked = sort_array(array(centDotStructs(centCollect(cent)): _*))
+    val m = e.select(col("vec_id"), explode(slice(ranked, 1, 2)).as("g"))
+      .select(col("vec_id"), col("g.cell").as("cell"))
       .lineageCut(true) // query and membership sides both read it
     val cand = m.where(col("vec_id") < 8).select(col("vec_id").as("a_id"), col("cell"))
       .join(m.select(col("vec_id").as("b_id"), col("cell")), Seq("cell"))
@@ -2500,19 +2642,25 @@ object Similarity {
     // authorities from hubs before hubs are recomputed from them (ADVICE
     // r13 #3 — an initial `a` would be dead, misrepresenting the init)
     var a: DataFrame = null
+    // LAZY cuts (optimization round 17; were eager): each half-round's
+    // score relation has one consumer — the next half-round (the final
+    // a/h additionally feed the output join) — so all eight half-rounds
+    // ride the final top-20 action as ONE job with the intermediate
+    // checkpoints materializing along the way, instead of eight
+    // driver-blocking jobs. Plan growth is still truncated per cut.
     for (_ <- 1 to 4) {
       a = nodes.join(
         me.join(h.withColumnRenamed("node", "u"), Seq("u"))
           .groupBy(col("v").as("node")).agg(sum(col("h")).as("s")),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
-        .lineageCut(true)
+        .lineageCut(false)
       h = nodes.join(
         me.join(a.withColumnRenamed("node", "v"), Seq("v"))
           .groupBy(col("u").as("node")).agg(sum(col("a")).as("s")),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
-        .lineageCut(true)
+        .lineageCut(false)
     }
     nodes.join(a, Seq("node")).join(h, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))

@@ -69,6 +69,35 @@ class DedupStarSpec extends SparkSpec {
     }
   }
 
+  test("fused round (r17) ≡ reference alternating-star loop: labels AND round counts") {
+    // the optimization-round-17 fused large+small-star round must be
+    // set-equivalent to the pre-fusion reference per round, so labels AND
+    // the certificate's firing round agree on every graph shape the loop
+    // meets: deep paths (adversarial diameter), stars (already-converged
+    // shape), cliques, duplicate/reversed edges, self-loops, and seeded
+    // random graphs
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 40L).map(i => (i, i + 1)),                   // path
+      (1L to 9L).map(i => (0L, i)),                          // min-rooted star
+      (1L to 9L).map(i => (9L, i - 1L)),                     // max-centered star
+      for { a <- 0L to 6L; b <- 0L to 6L if a < b } yield (a, b), // clique
+      Seq((5L, 5L), (1L, 2L), (2L, 1L), (7L, 3L), (3L, 7L)), // self-loop + dups
+      Seq.empty[(Long, Long)]
+    ) ++ Seq(11L, 42L).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(50)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    }
+    cases.zipWithIndex.foreach { case (edges, i) =>
+      val df = edges.toDF("a_id", "b_id")
+      val (fused, fr) = Dedup.starComponents(df)
+      val (ref, rr) = Dedup.starComponentsReference(df)
+      val f = fused.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val g = ref.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(f == g, s"case $i: fused labels $f differ from reference $g")
+      assert(fr == rr, s"case $i: fused converged in $fr rounds, reference $rr")
+    }
+  }
+
   test("v1 registry key yields the identical labeling as v2 (delegation contract)") {
     val a = run("dedup_connected_components")
     val b = run("dedup_connected_components_v2")
