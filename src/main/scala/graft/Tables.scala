@@ -164,6 +164,74 @@ object Tables {
     dfCache.getOrElseUpdate((spark, sfDir, name),
       normalize(name, spark.read.parquet(s"$sfDir/$name.parquet")))
 
+  /** Estimated scan-task count for a fixture table: per data file,
+    * ceil(bytes / maxPartitionBytes) byte-range splits, floored at 1.
+    * O(#files) filesystem metadata, no Spark job. This is an UPPER bound
+    * on effective scan parallelism (a large single-row-group file spans
+    * several byte ranges but only one of them reads rows), so the spread
+    * gate below errs toward NOT spreading — the safe direction at scale.
+    */
+  private def estScanSplits(spark: SparkSession, sfDir: String, name: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(sfDir, s"$name.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.toList
+          .filterNot(f => f.getFileName.toString.startsWith("_") ||
+            f.getFileName.toString.startsWith("."))
+        finally s.close()
+      } else List(p)
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    files.map(f => math.max(1L,
+      (java.nio.file.Files.size(f) + maxPart - 1) / maxPart)).sum
+  }
+
+  /** The documents corpus SPREAD across the session's parallelism when its
+    * file layout cannot feed enough scan tasks (optimization round 17,
+    * guide §2.5 "one huge unsplittable file … repartition immediately
+    * after the read"): every driver fixture table is ONE parquet file
+    * with ONE row group, so the first stage of every corpus pass — the
+    * regex splits, per-token hashes and shingle walks that dominate the
+    * text/dedup family — ran on a single task however many cores the
+    * session had. One narrow keyed exchange of the projected columns
+    * (filters and projections push below the repartition) buys the whole
+    * downstream map full parallelism.
+    *
+    * The gate is DATA-derived: when the input already yields at least
+    * half the session's parallelism in estimated scan splits (any real
+    * lake layout — thousands of files), the bare scan is returned and no
+    * corpus shuffle is ever added. The partition count is pinned
+    * (AQE would coalesce an unpinned repartition back to one task from
+    * the tiny pre-explode byte size — the knnKeyedDots lesson); it is the
+    * session's shuffle-partition setting, so it scales with the
+    * deployment, not with this machine. Applied ONLY by operators whose
+    * first stage does corpus-sized per-row compute; byte-bound scans keep
+    * the bare loader.
+    */
+  def documentsSpread(spark: SparkSession, sfDir: String): DataFrame =
+    spread(spark, sfDir, "documents", "doc_id")
+
+  /** The embeddings corpus with the same spread treatment, for consumers
+    * whose first stage is per-row array compute over the same
+    * single-row-group fixture layout AND whose downstream does not
+    * immediately re-exchange (measured ABBA at sf0.1: a win for the
+    * residual/ADC per-vector kernels; a LOSS inside the multi-lane index
+    * build and Lloyd iterations, which keep the bare loader).
+    */
+  def embeddingsSpread(spark: SparkSession, sfDir: String): DataFrame =
+    spread(spark, sfDir, "embeddings", "vec_id")
+
+  private def spread(spark: SparkSession, sfDir: String, name: String,
+      key: String): DataFrame =
+    dfCache.getOrElseUpdate((spark, sfDir, s"$name#spread"), {
+      val d = load(spark, sfDir, name)
+      val est = estScanSplits(spark, sfDir, name)
+      if (est * 2 >= spark.sparkContext.defaultParallelism) d
+      else d.repartition(
+        spark.sessionState.conf.numShufflePartitions, col(key))
+    })
+
   @volatile private var registeredFor: Option[(SparkSession, String)] = None
 
   /** Registers every table as a temp view so `spark.sql` queries (D-series,

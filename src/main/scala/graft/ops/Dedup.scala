@@ -20,7 +20,7 @@ object Dedup {
 
   /** 3-word shingles (distinct) as one exploded (doc_id, s) relation. */
   private def shingles(spark: SparkSession, sfDir: String, bound: Int): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsSpread(spark, sfDir)
       .where(col("doc_id") < bound)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -456,7 +456,7 @@ object Dedup {
   def ngramCorpusFrac(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = Tables.documents(spark, sfDir)
+    val grams = Tables.documentsSpread(spark, sfDir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .withColumn("w1", lead(col("w"), 1).over(wDoc))
       .withColumn("w2", lead(col("w"), 2).over(wDoc))

@@ -2444,7 +2444,7 @@ object Similarity {
     * convention).
     */
   def vecPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Tables.embeddingsSpread(spark, sfDir)
     val k = 10
     val cent = IndexStore.read(spark, sfDir, "ivf_centroids")
     val asg = IndexStore.read(spark, sfDir, "ivf_assigned")

@@ -422,7 +422,7 @@ object TextAnalysis {
     */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, sfDir)
+    val toks = Tables.documentsSpread(spark, sfDir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
     val tokStats = toks.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"))
@@ -915,7 +915,7 @@ object TextAnalysis {
     * rounded division.
     */
   def textNoveltyFrac(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    val grams = Tables.documentsSpread(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(array_distinct(expr(
         """CASE WHEN size(t) < 5 THEN array()
@@ -1477,7 +1477,7 @@ object TextAnalysis {
     // the corpus is exploded once (was 2×) and the rarity join moves
     // distinct (doc, word) pairs instead of raw tokens.
     // Σ cnt·rar over pairs ≡ Σ rar over tokens — row-identical.
-    val toks = Tables.documents(spark, sfDir)
+    val toks = Tables.documentsSpread(spark, sfDir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -1571,7 +1571,7 @@ object TextAnalysis {
     */
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val b = DsirBuckets
-    val toks = Tables.documents(spark, sfDir)
+    val toks = Tables.documentsSpread(spark, sfDir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", md5(col("w")))
       // explicit floor: DuckDB CAST(double AS BIGINT) ROUNDS while Spark

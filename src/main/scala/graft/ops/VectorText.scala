@@ -247,7 +247,7 @@ object VectorText {
     * rounded similarity with full id tiebreak.
     */
   def sparseCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsSpread(spark, sfDir)
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
