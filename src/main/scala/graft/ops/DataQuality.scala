@@ -36,33 +36,46 @@ object DataQuality {
     * shuffle-only). The shuffle is the declared price of exactness here.
     */
   def dqProfileTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir).repartition(col("o_orderkey"))
+    val o = Tables.orders(spark, sfDir)
     def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+    // One scan for the streaming metrics (count/nulls/min/max) — no
+    // distinct aggregate in it, so no Expand (optimization round 17,
+    // guide §2.3): six countDistincts in one agg planned as an Expand
+    // that multiplied the full-width scan 7× before the hash aggregate
+    // (measured 6.9 s CPU of this key's 9.2 s total at sf0.1). Each
+    // exact distinct count now runs as its own column-pruned two-level
+    // aggregate (partial distinct per partition, tiny exchange, final
+    // count) and the seven one-row results cross-join back together.
+    // countDistinct ignores NULLs, so the per-column form filters them.
     val agg = o.agg(
       count(lit(1)).as("n_rows"),
-      nn("o_orderkey"), countDistinct(col("o_orderkey")).as("nd_o_orderkey"),
+      nn("o_orderkey"),
       min(col("o_orderkey")).cast("string").as("mn_o_orderkey"),
       max(col("o_orderkey")).cast("string").as("mx_o_orderkey"),
-      nn("o_custkey"), countDistinct(col("o_custkey")).as("nd_o_custkey"),
+      nn("o_custkey"),
       min(col("o_custkey")).cast("string").as("mn_o_custkey"),
       max(col("o_custkey")).cast("string").as("mx_o_custkey"),
-      nn("o_orderstatus"), countDistinct(col("o_orderstatus")).as("nd_o_orderstatus"),
+      nn("o_orderstatus"),
       min(col("o_orderstatus")).as("mn_o_orderstatus"),
       max(col("o_orderstatus")).as("mx_o_orderstatus"),
-      nn("o_totalprice"), countDistinct(col("o_totalprice")).as("nd_o_totalprice"),
+      nn("o_totalprice"),
       min(Cols.dec2(col("o_totalprice"))).cast("string").as("mn_o_totalprice"),
       max(Cols.dec2(col("o_totalprice"))).cast("string").as("mx_o_totalprice"),
-      nn("o_orderdate"), countDistinct(col("o_orderdate")).as("nd_o_orderdate"),
+      nn("o_orderdate"),
       min(col("o_orderdate")).cast("date").cast("string").as("mn_o_orderdate"),
       max(col("o_orderdate")).cast("date").cast("string").as("mx_o_orderdate"),
-      nn("o_orderpriority"), countDistinct(col("o_orderpriority")).as("nd_o_orderpriority"),
+      nn("o_orderpriority"),
       min(col("o_orderpriority")).as("mn_o_orderpriority"),
       max(col("o_orderpriority")).as("mx_o_orderpriority"))
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
+    val withNd = cols.foldLeft(agg) { (d, c) =>
+      d.crossJoin(o.where(col(c).isNotNull).select(col(c)).distinct()
+        .agg(count(lit(1)).as(s"nd_$c")))
+    }
     val stackArgs = cols
       .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-    agg.select(col("n_rows"), expr(
+    withNd.select(col("n_rows"), expr(
         s"stack(${cols.size}, $stackArgs) as (col_name, n_nulls, n_distinct, min_v, max_v)"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_v"), col("max_v"),
@@ -307,14 +320,26 @@ object DataQuality {
       .where(col("l_returnflag").isin("R", "N"))
       .select(graft.ops.Cols.dec2(col("l_extendedprice")).as("v"),
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ia"))
-    val g = base.groupBy(col("v"))
+    // ONE range exchange of the raw rows (optimization round 17; was a
+    // hash exchange into the census, an eager census checkpoint, and a
+    // second full range exchange inside the running-sum): range
+    // partitioning on v satisfies the groupBy(v) distribution, so the
+    // census aggregates IN the range layout at the pinned 32-way width
+    // (AQE had coalesced the census hash agg to 4 byte-sized tasks at
+    // sf0.1 — §2 of the guide: output compute, not input bytes, should
+    // size an aggregation), and the running-sum machinery starts from the
+    // already-ranged census with no re-exchange. Totals now read off the
+    // cum relation's maxima (cum is inclusive and nondecreasing, so the
+    // max IS the total — exact longs), dropping the census's second
+    // consumer and with it the eager census checkpoint.
+    val g = base.repartitionByRange(32, col("v"))
+      .groupBy(col("v"))
       .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
-      .lineageCut(true)
-    val cums = GlobalRank.withGlobalRunningSums(g, 32,
+    val cums = GlobalRank.withGlobalRunningSumsRanged(g,
         Seq(col("ca") -> "cbf_a", col("cb") -> "cbf_b"), col("v"))
       .select(col("v"), (col("cbf_a") + col("ca")).as("cum_a"),
         (col("cbf_b") + col("cb")).as("cum_b"))
-    val tot = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val tot = cums.agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
     cums
       .crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),

@@ -102,12 +102,31 @@ object GlobalRank {
     * RangePartitioner sample for every consumer.
     */
   def withGlobalRunningSums(df: DataFrame, parts: Int,
+      values: Seq[(Column, String)], order: Column*): DataFrame =
+    runningSumsBody(df.repartitionByRange(parts, order: _*), values, order: _*)
+
+  /** [[withGlobalRunningSums]] for input that is ALREADY range-partitioned
+    * on `order` (partition ranges monotone in partition id — a
+    * `repartitionByRange` upstream whose partitioning survived, e.g.
+    * through an aggregate it also satisfied). Skips the second range
+    * exchange the generic form would add (optimization round 17,
+    * dq_ks_test: the value census rides ONE range exchange of the raw
+    * rows instead of a hash exchange plus a range re-exchange of the
+    * census). The caller owns the precondition; everything else —
+    * unique-key order, integral values, the eager one-sample checkpoint —
+    * is unchanged.
+    */
+  private[graft] def withGlobalRunningSumsRanged(df: DataFrame,
+      values: Seq[(Column, String)], order: Column*): DataFrame =
+    runningSumsBody(df, values, order: _*)
+
+  private def runningSumsBody(ranged: DataFrame,
       values: Seq[(Column, String)], order: Column*): DataFrame = {
     val w = Window.partitionBy(col("part")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = checkpointEagerly(
       values.zipWithIndex.foldLeft(
-        df.repartitionByRange(parts, order: _*)
+        ranged
           .withColumn("part", spark_partition_id())) {
         case (d, ((v, _), i)) =>
           d.withColumn(s"__gv_$i", v.cast("long"))

@@ -85,6 +85,35 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("P-law: pre-ranged running sums equal the generic form (round 17)") {
+    // withGlobalRunningSumsRanged skips the internal repartitionByRange on
+    // the contract that its input is already range-partitioned on the
+    // order key (the dq_ks_test census shape: repartitionByRange on the
+    // raw rows, then a groupBy the range layout satisfies). The law: for
+    // any values and partition count, routing the same census through the
+    // ranged form after an explicit repartitionByRange+groupBy produces
+    // the exact running sums of the generic form.
+    val genVals = Gen.listOfN(23, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 50L)))
+    val genParts = Gen.choose(1, 5)
+    check(Prop.forAll(genVals, genParts) { (rows, parts) =>
+      import org.apache.spark.sql.functions.{col, sum => ssum}
+      val df = rows.toDF("k", "x")
+      val census = df.repartitionByRange(parts, col("k"))
+        .groupBy(col("k")).agg(ssum(col("x")).as("cx"))
+      val got = graft.ops.GlobalRank
+        .withGlobalRunningSumsRanged(census, Seq(col("cx") -> "cum"), col("k"))
+        .select("k", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val genericCensus = df.groupBy(col("k")).agg(ssum(col("x")).as("cx"))
+      val want = graft.ops.GlobalRank
+        .withGlobalRunningSums(genericCensus, parts,
+          Seq(col("cx") -> "cum"), col("k"))
+        .select("k", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    })
+  }
+
   test("F-law: running total over full partition equals group sum") {
     val gen = Gen.listOfN(10, Gen.zip(Gen.choose(0, 2), Gen.choose(1, 100)))
     check(Prop.forAll(gen) { xs =>
