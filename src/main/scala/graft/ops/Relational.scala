@@ -1038,7 +1038,7 @@ object Relational {
   def paramSweepDeStep(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val NP = 12
-    val pop = spark.range(NP).select(col("id").as("i"),
+    val pop = spark.range(0, NP, 1, 1).select(col("id").as("i"),
       ((col("id") * 7 + 3) % 50 + 1).as("a"),
       ((col("id") * 3 + 1) % 11).as("b"))
     val donors = pop.select(col("i"), col("a"), col("b"))
@@ -1105,14 +1105,14 @@ object Relational {
   def paramSweepSaesStep(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // μ=4 parents: candidate ids 0..3, lattice positions, σ = 2^i
-    val parents = spark.range(4).select(col("id").as("cid"),
+    val parents = spark.range(0, 4, 1, 1).select(col("id").as("cid"),
       col("id").as("origin"),
       ((col("id") * 11 + 7) % 50 + 1).as("a"),
       ((col("id") * 5 + 2) % 11).as("b"),
       expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("sa"),
       expr("CAST(shiftleft(1L, CAST((id + 2) % 4 AS INT)) AS BIGINT)").as("sb"))
     // λ=16 offspring: cid 4..19, parent j % 4; seeded σ and step digits
-    val off = spark.range(16).select(col("id").as("j"))
+    val off = spark.range(0, 16, 1, 1).select(col("id").as("j"))
       .join(parents.select(col("cid").as("p"), col("a").as("pa"), col("b").as("pb"),
         col("sa").as("psa"), col("sb").as("psb")), col("j") % 4 === col("p"))
       .withColumn("sa", greatest(lit(1L), least(lit(16L),

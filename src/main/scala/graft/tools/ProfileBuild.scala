@@ -84,6 +84,27 @@ object ProfileBuild {
       spark.stop()
       return
     }
+    // one-off: phase row counts / timings of the shortlist pipeline
+    if (args.length > 1 && args(1) == "slphases") {
+      val cent0 = t("centroids") {
+        write(Similarity.centroidsBuild(e), s"$dir/ivf_centroids")
+        spark.read.parquet(s"$dir/ivf_centroids")
+      }
+      t("ivf_assigned") { write(Similarity.ivfAssignBuild(e, cent0), s"$dir/ivf_assigned") }
+      val sa = spark.read.parquet(s"$dir/ivf_assigned")
+      val (probes, routed, m) = Similarity.knnFullSides(e, sa, cent0)
+      println(s"[slphases] m=$m")
+      t("probes_count") { println(s"[slphases] probes=${probes.count()}") }
+      val keyed = Similarity.knnKeyedDots(e, probes, routed, m)
+      t("keyed_count") { println(s"[slphases] keyed=${keyed.count()}") }
+      t("keyed_count2") { println(s"[slphases] keyed2=${keyed.count()}") }
+      t("cut_noop") { Similarity.knnShortlistCut(keyed, 8)
+        .write.mode("overwrite").format("noop").save() }
+      t("cut_noop2") { Similarity.knnShortlistCut(keyed, 8)
+        .write.mode("overwrite").format("noop").save() }
+      spark.stop()
+      return
+    }
     // one-off: dump the executed shortlist plan + per-stage metrics
     if (args.length > 1 && args(1) == "explain") {
       val cent0 = t("centroids") {
