@@ -259,7 +259,9 @@ class PlanSpec extends SparkSpec {
       "ml_pr_curve",              // 5-row broadcast threshold grid
       "vec_retrain_churn",        // two 10-row quantizer broadcasts + 1-row total
       "ml_lift_deciles",          // broadcast 1-row (N, P) grand totals
-      "text_rarity_buckets")      // broadcast 1-row corpus token total
+      "text_rarity_buckets",      // broadcast 1-row corpus token total
+      "dq_profile_table")         // seven 1-row aggregate results cross-joined
+                                  // (round 17: the Expand-free profile shape)
     SparkEntry.queries.keys.filterNot(boundedByDesign).foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
@@ -296,12 +298,24 @@ class PlanSpec extends SparkSpec {
     assert(deg.count() == 500)
   }
 
-  test("N1: profile computes every column metric in ONE scan of orders") {
-    // expand-based multi-distinct still reads the table once: the
-    // optimized logical plan has exactly one relation leaf (the plan
-    // STRING can render AQE subtrees twice, so count tree nodes)
-    val leaves = run("dq_profile_table").queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.size == 1, s"profile must be single-scan, got:\n$leaves")
+  test("N1: profile runs Expand-free with column-pruned distinct scans") {
+    // round 17: six exact countDistincts in one agg planned as an Expand
+    // that multiplied the full-width scan 7x before the hash aggregate
+    // (measured 6.9 s of 9.2 s CPU at sf0.1). The profile now runs one
+    // streaming-metrics scan plus one column-pruned two-level aggregate
+    // per distinct count — so the plan must have NO Expand, and every
+    // relation leaf beyond the first must prune to a single column.
+    val qe = run("dq_profile_table").queryExecution
+    val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Expand"),
+      "profile must not multiply the scan through an Expand")
+    val leaves = qe.optimizedPlan.collectLeaves()
+    assert(leaves.size == 7, s"expected 1 metrics + 6 distinct scans:\n$leaves")
+    // pruning is physical (the logical Relation leaf keeps the table
+    // schema): each distinct scan must read exactly one column
+    val singleCol = "ReadSchema: struct<[^,>]*>".r.findAllIn(plan).size
+    assert(singleCol >= 6,
+      s"distinct scans must prune to their one column:\n$plan")
   }
 
   test("L12: SCD2 intervals share ONE hash exchange across both windows") {
